@@ -1,0 +1,53 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line with per-query and
+total wall seconds.
+
+Execution is forced with a `noop` format write — full pipeline runs
+(scan → shuffle → sink) without driver-side collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from projectone_spark.queries import REGISTRY, queries
+    from projectone_spark.session import get_spark
+
+    spark = get_spark("projectone_spark-bench")
+    all_queries = queries()
+
+    # Warm the JVM/session on the smallest scale so timings measure the
+    # queries, not session spin-up.
+    warm = all_queries["q01_pricing_summary"]
+    warm(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(all_queries.items()):
+        if not REGISTRY[name].bench:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Deduplication operators: exact hash, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is a single hash-keyed aggregation (one shuffle on a 16-byte
+  key, map-side partial);
+- MinHash signatures are computed scan-side from a *materialized* normalized
+  column (never recompute the normalize chain inside a per-shingle lambda),
+  and only (id, signature) tuples ever shuffle — never the documents;
+- candidate verification (Jaccard) runs only within LSH buckets, so the
+  quadratic blow-up is bounded by bucket size, not corpus size.
+
+All expressions are Catalyst built-ins (md5 / transform / aggregate /
+array_*) so signature generation stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from projectone_spark.functions.text import (
+    normalize,
+    spread,
+    tokens_of_norm,
+)
+
+
+def content_hash_of_norm(norm: Column | str) -> Column:
+    c = F.col(norm) if isinstance(norm, str) else norm
+    return F.md5(c.cast("binary"))
+
+
+def content_hash(col: Column | str) -> Column:
+    """Exact-dup key: md5 of normalized text."""
+    return content_hash_of_norm(normalize(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                parallelism: int | None = None) -> DataFrame:
+    """One row per distinct normalized text: the minimum id wins, with the
+    duplicate count. Single hash aggregation — the canonical exact-dedup
+    plan at any scale."""
+    base = spread(df.select(F.col(id_col), content_hash(text_col).alias("content_md5")),
+                  parallelism)
+    return (base.groupBy("content_md5")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def shingles_of_norm(norm: Column | str, k: int = 5) -> Column:
+    """Character k-gram shingle array over an already-normalized column
+    (short texts yield the whole text as one shingle)."""
+    c = F.col(norm) if isinstance(norm, str) else norm
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: F.substring(c, i, F.lit(k)))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 4,
+                       k: int = 5, parallelism: int | None = None) -> DataFrame:
+    """MinHash via seeded md5: ``mh_i = min over shingles of md5(i || shingle)``.
+
+    md5-based so an external oracle (DuckDB) can reproduce values exactly;
+    lexicographic min over hex strings is a valid uniform min-hash.
+    """
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism)
+    base = base.withColumn("__sh", F.array_distinct(shingles_of_norm("__norm", k)))
+
+    # NB: factory instead of `lambda s, i=i`: pyspark passes the array index
+    # to any two-parameter callable given to F.transform.
+    def seeded_hash(seed: str):
+        return lambda s: F.md5(F.concat(F.lit(seed), s).cast("binary"))
+
+    sig = [F.array_min(F.transform(F.col("__sh"), seeded_hash(str(i)))).alias(f"mh{i}")
+           for i in range(num_hashes)]
+    return base.select(F.col(id_col), *sig)
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 4,
+                        k: int = 5, band_chars: int = 2,
+                        parallelism: int | None = None) -> DataFrame:
+    """LSH banding: bucket docs by a prefix of the first minhash and emit
+    within-bucket pairs with their estimated Jaccard (fraction of equal
+    minhashes). Only (band, id, signature) tuples shuffle; the signature
+    frame is checkpointed once (lineage truncation — the reference's
+    ``stage_results`` knob, sources.py:161-169) so the self-join's two
+    branches don't recompute the shingle/hash pipeline."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, parallelism)
+    sigs = sigs.localCheckpoint(eager=False)
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    banded = sigs.withColumn("band", F.substring(F.col("mh0"), 1, band_chars))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    eq_terms = [F.when(F.col(f"a.{c}") == F.col(f"b.{c}"), 1).otherwise(0)
+                for c in mh_cols]
+    est = sum(eq_terms[1:], eq_terms[0]).cast("double") / F.lit(float(num_hashes))
+    return pairs.select(F.col(f"a.{id_col}").alias("doc_id_a"),
+                        F.col(f"b.{id_col}").alias("doc_id_b"),
+                        F.round(est, 4).alias("est_jaccard"))
+
+
+def simhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  parallelism: int | None = None) -> DataFrame:
+    """16-bit SimHash: bit_j = sign of Σ_tokens (hexval(md5(tok)[j]) - 7.5).
+
+    Hex-digit arithmetic keeps it reproducible in any engine with md5 +
+    string ops. Output column ``simhash`` is the 16-char bit string.
+    """
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism)
+    base = base.withColumn("__toks", F.array_distinct(tokens_of_norm("__norm")))
+    # hash each distinct token once; bits reuse the materialized hash array
+    base = base.withColumn("__th", F.transform(F.col("__toks"),
+                                               lambda t: F.md5(t.cast("binary"))))
+
+    def digit_contrib(j: int):
+        return lambda h: (F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1))
+                          .cast("double") - F.lit(8.5))
+
+    bits = []
+    for j in range(1, 17):
+        total = F.aggregate(F.transform(F.col("__th"), digit_contrib(j)),
+                            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
+    return base.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", band_chars: int = 2,
+                        threshold: float = 0.0,
+                        parallelism: int | None = None) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs bucketed by a coarse
+    content-hash prefix. The exact verifier behind the MinHash estimate."""
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism)
+    toks = base.select(
+        F.col(id_col),
+        F.array_distinct(tokens_of_norm("__norm")).alias("toks"),
+        F.substring(content_hash_of_norm("__norm"), 1, band_chars).alias("band"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = (F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter)
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (pairs.select(F.col(f"a.{id_col}").alias("doc_id_a"),
+                         F.col(f"b.{id_col}").alias("doc_id_b"),
+                         F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -1,0 +1,165 @@
+"""Text analysis operators for document pipelines: normalization, token
+statistics, quality scoring, language identification, fingerprinting.
+
+Everything is a Catalyst expression (no UDFs). Two structural rules keep
+these fast at scale (learned from .explain + bench):
+
+1. **Never embed the normalize/tokenize chain inside a higher-order-function
+   lambda** — Catalyst re-evaluates the full expression tree per array
+   element. Materialize ``__norm``/``__toks`` in a projection first and have
+   lambdas reference the plain attribute.
+2. **Put an exchange between that projection and CPU-heavy consumers**
+   (``spread``): small single-file inputs otherwise run one task, and the
+   exchange also stops CollapseProject from inlining the chain back into
+   the lambdas.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: Tiny per-language marker vocabularies for the stopword language heuristic.
+#: Ties resolve to the alphabetically first language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "and", "of", "is", "to", "in"),
+    "es": ("el", "la", "de", "que", "y", "los", "un"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans"),
+}
+
+#: English stopwords used by the quality score.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this",
+)
+
+
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition before a CPU-bound per-row stage.
+
+    Small inputs (one parquet file) otherwise run single-task; the exchange
+    also acts as a projection barrier (see module docstring). At real scale
+    callers can pass ``parallelism=0`` to skip when inputs are already wide.
+    """
+    if parallelism == 0:
+        return df
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def normalize(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens_of_norm(norm: Column | str) -> Column:
+    """Whitespace tokens of already-normalized text (empty → empty array)."""
+    c = F.col(norm) if isinstance(norm, str) else norm
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(F.split(c, " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Tokens of raw text. Prefer projecting ``normalize`` to a column and
+    using :func:`tokens_of_norm` when the result feeds lambdas."""
+    return tokens_of_norm(normalize(col))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def char_ratio(col: Column | str, char_class: str) -> Column:
+    """Fraction of characters matching a regex char class (of raw length)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    matched = F.length(c) - F.length(F.regexp_replace(c, char_class, ""))
+    return F.when(n > 0, matched.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_hits(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def non_ascii_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, r"[^\x00-\x7F]", ""))).cast("bigint")
+
+
+def fingerprint_of_norm(norm: Column | str) -> Column:
+    """Key-collapse fingerprint: md5 over the sorted distinct token set —
+    robust to token order and duplication (near-dup canonicalization)."""
+    toks = tokens_of_norm(norm)
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return F.md5(canon.cast("binary"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    return fingerprint_of_norm(normalize(col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               parallelism: int | None = None) -> DataFrame:
+    """Per-document statistics frame (the `documents` table operator)."""
+    base = spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__text"),
+                  normalize(text_col).alias("__norm")),
+        parallelism)
+    toks = tokens_of_norm("__norm")
+    n_tok = F.size(toks).cast("bigint")
+    punct = char_ratio("__text", r"[^A-Za-z0-9\s]")
+    stop = (F.when(n_tok > 0,
+                   stopword_hits(toks).cast("double") / n_tok.cast("double"))
+            .otherwise(F.lit(0.0)))
+    len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    stop_score = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.3)) * 2, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct * 4, F.lit(1.0))
+    return base.select(
+        F.col(id_col),
+        F.length("__text").cast("bigint").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(char_ratio("__text", r"[0-9]"), 4).alias("digit_ratio"),
+        F.round(stop, 4).alias("stop_ratio"),
+        F.round(len_score * 0.4 + stop_score * 0.3 + punct_score * 0.3, 4)
+         .alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            truth_col: str | None = "lang",
+            parallelism: int | None = None) -> DataFrame:
+    """Marker-vocabulary language identification (argmax over per-language
+    token-hit scores; zh scored by non-ASCII character count; ties resolve
+    alphabetically; all-zero → 'und')."""
+    keep = [id_col] + ([truth_col] if truth_col else [])
+    base = spread(
+        df.select(*keep, F.col(text_col).alias("__text"),
+                  tokens(text_col).alias("__toks")),
+        parallelism)
+    def marker_filter(markers: tuple[str, ...]):
+        # factory keeps the F.filter callable unary (two-parameter callables
+        # receive the array index as the second argument)
+        return lambda t: t.isin(*markers)
+
+    scores: dict[str, Column] = {
+        lang: F.size(F.filter(F.col("__toks"), marker_filter(markers))).cast("bigint")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scores["zh"] = non_ascii_count("__text")
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = (scores[lang] == best) & (best > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("und"))
+    out = [F.col(id_col)] + ([F.col(truth_col)] if truth_col else [])
+    out.append(pred.alias("pred_lang"))
+    if truth_col:
+        out.append((pred == F.col(truth_col)).cast("int").alias("is_correct"))
+    return base.select(*out)

@@ -1,0 +1,128 @@
+"""Deduplication queries over `documents`, with DuckDB oracles reproducing
+the seeded-md5 MinHash / hex-digit SimHash arithmetic exactly."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.functions.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_frame,
+)
+from projectone_spark.queries import load, register
+
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+         " ' +', ' ', 'g'))")
+_TOKS = (f"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
+         f"ELSE string_split({_NORM}, ' ') END")
+# char 5-gram shingles over normalized text (>=1 shingle even for short text)
+_SHINGLES = (f"list_distinct(list_transform("
+             f"range(1, greatest(length({_NORM}) - 4, 1) + 1),"
+             f" i -> substr({_NORM}, CAST(i AS INTEGER), 5)))")
+
+
+def _mh_sql(i: int) -> str:
+    return (f"list_aggregate(list_transform({_SHINGLES},"
+            f" s -> md5('{i}' || s)), 'min')")
+
+
+_D01_SQL = f"""
+SELECT md5({_NORM}) AS content_md5,
+       min(doc_id) AS doc_id,
+       count(*)    AS n_dups
+FROM documents
+GROUP BY md5({_NORM})
+"""
+
+
+@register("d01_exact_dedup", _D01_SQL,
+          doc="exact dedup: hash-groupBy on normalized-content md5",
+          tags=("dedup",))
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_D02_SQL = f"""
+SELECT doc_id,
+       {_mh_sql(0)} AS mh0,
+       {_mh_sql(1)} AS mh1,
+       {_mh_sql(2)} AS mh2,
+       {_mh_sql(3)} AS mh3
+FROM documents
+"""
+
+
+@register("d02_minhash_signatures", _D02_SQL,
+          doc="MinHash: 4 seeded-md5 min-hashes over char-5-gram shingles",
+          tags=("dedup", "minhash"))
+def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+_D03_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+         {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+  FROM documents),
+banded AS (SELECT *, substr(mh0, 1, 2) AS band FROM sigs)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) / 4.0, 4) AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+@register("d03_lsh_candidate_pairs", _D03_SQL,
+          doc="LSH banding on minhash prefix → candidate pairs + estimated Jaccard",
+          tags=("dedup", "minhash", "lsh"))
+def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    bit_exprs = []
+    for j in range(1, 17):
+        total = (f"list_aggregate(list_transform(list_distinct({_TOKS}),"
+                 f" t -> strpos('0123456789abcdef', substr(md5(t), {j}, 1)) - 8.5),"
+                 f" 'sum')")
+        bit_exprs.append(f"CASE WHEN {total} > 0 THEN '1' ELSE '0' END")
+    bits = " || ".join(bit_exprs)
+    return f"SELECT doc_id, {bits} AS simhash FROM documents"
+
+
+@register("d04_simhash", _simhash_sql(),
+          doc="16-bit SimHash over token md5 hex digits",
+          tags=("dedup", "simhash"))
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_frame(load(spark, sf_dir, "documents"))
+
+
+_D05_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks,
+         substr(md5({_NORM}), 1, 2) AS band
+  FROM documents)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(CASE WHEN len(a.toks) + len(b.toks)
+                       - len(list_filter(a.toks, x -> list_contains(b.toks, x))) > 0
+                  THEN CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+                       / (len(a.toks) + len(b.toks)
+                          - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+                  ELSE 0.0 END, 4) AS jaccard
+FROM t a JOIN t b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+@register("d05_ngram_jaccard", _D05_SQL,
+          doc="exact token-set Jaccard on content-hash-bucketed candidate pairs",
+          tags=("dedup", "jaccard"))
+def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))

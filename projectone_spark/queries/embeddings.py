@@ -1,0 +1,110 @@
+"""Embedding similarity-search queries over `embeddings` (array<float>),
+with DuckDB oracles computing the identical double-precision sequential
+dot products and deterministic sign-LSH hyperplanes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.functions.embeddings import (
+    knn_bruteforce,
+    knn_lsh,
+    lsh_bucket_stats,
+)
+from projectone_spark.queries import load, register
+
+_W_MULT = 2654435761 % 1000003  # deterministic hyperplane constant (=427799)
+
+# double-cast list + sequential dot product, 1-based DuckDB list indexing
+_E_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _dot(a: str, b: str) -> str:
+    return (f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i] * {b}[i]), 'sum')")
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+_E01_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({_dot('q.qe', 'v.e')} / ({_norm('q.qe')} * {_norm('v.e')}), 6) AS score
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("e01_knn_bruteforce", _E01_SQL,
+          doc="exact cosine top-5 neighbors for every 50th vector (broadcast probe)",
+          tags=("embeddings", "knn"))
+def e01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (knn_bruteforce(emb, queries, k=5)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def _bucket_sql(vec: str, num_bits: int = 8) -> str:
+    bit_exprs = []
+    for b in range(num_bits):
+        weight = (f"CASE WHEN ((i - 1) * {_W_MULT} + {b * 40503 + 17}) % 97 < 48 "
+                  f"THEN 1.0 ELSE -1.0 END")
+        total = (f"list_aggregate(list_transform(range(1, len({vec}) + 1),"
+                 f" i -> {vec}[i] * ({weight})), 'sum')")
+        bit_exprs.append(f"CASE WHEN {total} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bit_exprs)
+
+
+_E02_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings)
+SELECT {_bucket_sql('e')} AS bucket, count(*) AS n_vectors
+FROM v
+GROUP BY 1
+"""
+
+
+@register("e02_lsh_bucket_stats", _E02_SQL,
+          doc="sign-LSH bucket histogram (the ANN index partition map)",
+          tags=("embeddings", "lsh"))
+def e02_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucket_stats(load(spark, sf_dir, "embeddings"))
+
+
+_E03_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+b AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round({_dot('q.qe', 'b.e')} / ({_norm('q.qe')} * {_norm('b.e')}), 6) AS score
+  FROM b JOIN q USING (bucket)
+  WHERE b.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("e03_knn_lsh", _E03_SQL,
+          doc="approximate top-5: candidates restricted to the query's LSH bucket",
+          tags=("embeddings", "knn", "lsh"))
+def e03_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (knn_lsh(emb, queries, k=5)
+            .select("query_id", "neighbor_id", "score", "rank"))

@@ -1,0 +1,141 @@
+"""Engine-operator queries: the SCD1/2/3 merge semantics and the CDC
+bound-resolution expressed as deterministic, oracle-checkable queries on
+`orders`/`lineitem`.
+
+Setup mirrors the reference's two-batch integration tests
+(``tests/integration_tests/test_batch.py``): batch 1 = the full orders
+snapshot; batch 2 = orders from 1997 onward with a simulated price change
+(+10%). Validity timestamps are literals ('2024-01-01' / '2024-02-01') so
+results are reproducible — the event-time path the reference calls
+``history_tracking_col``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import load, register
+from projectone_spark.writers.merge import scd1_merge, scd2_apply, scd3_apply
+
+_CUT = "1997-01-01"
+_T0 = "2024-01-01"
+_T1 = "2024-02-01"
+_SENTINEL = "9999-12-31 00:00:00"
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp")
+
+
+_S01_SQL = f"""
+WITH source AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUT}')
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total_price,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM (SELECT * FROM source
+      UNION ALL
+      SELECT * FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = o.o_orderkey))
+"""
+
+
+@register("s01_scd1_upsert", _S01_SQL,
+          doc="SCD1 upsert snapshot: changed keys take source values, others kept",
+          tags=("scd", "merge"))
+def s01_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    source = (orders.filter(F.col("o_orderdate") >= _ts(_CUT))
+              .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)))
+    merged = scd1_merge(source, orders, ["o_orderkey"], now=_ts(_T0))
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("order_date"))
+
+
+_S02_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate FROM orders),
+changed AS (SELECT o_orderkey FROM base WHERE o_orderdate >= TIMESTAMP '{_CUT}')
+SELECT o_orderkey, price, 'N' AS active,
+       TIMESTAMP '{_T0}' AS valid_from, TIMESTAMP '{_T1}' AS valid_to
+FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
+UNION ALL
+SELECT o_orderkey, round(price * 1.1, 2) AS price, 'Y' AS active,
+       TIMESTAMP '{_T1}' AS valid_from, TIMESTAMP '{_SENTINEL}' AS valid_to
+FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
+UNION ALL
+SELECT o_orderkey, price, 'Y' AS active,
+       TIMESTAMP '{_T0}' AS valid_from, TIMESTAMP '{_SENTINEL}' AS valid_to
+FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+"""
+
+
+@register("s02_scd2_history", _S02_SQL,
+          doc="SCD2 two-batch history: closed old rows + active new versions",
+          tags=("scd", "merge", "history"))
+def s02_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    t0 = scd2_apply(base, None, ["o_orderkey"], valid_from=_ts(_T0))
+    batch2 = (orders.filter(F.col("o_orderdate") >= _ts(_CUT))
+              .select("o_orderkey",
+                      F.round(F.round(F.col("o_totalprice"), 2) * 1.1, 2).alias("price")))
+    t1 = scd2_apply(batch2, t0, ["o_orderkey"], valid_from=_ts(_T1))
+    return t1.select("o_orderkey", "price",
+                     F.col("__metadata_active__").alias("active"),
+                     F.col("__metadata_valid_from_ts__").alias("valid_from"),
+                     F.col("__metadata_valid_to_ts__").alias("valid_to"))
+
+
+_S03_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate FROM orders)
+SELECT o_orderkey, round(price * 1.1, 2) AS price, price AS prev_price
+FROM base WHERE o_orderdate >= TIMESTAMP '{_CUT}'
+UNION ALL
+SELECT o_orderkey, price, CAST(NULL AS DOUBLE) AS prev_price
+FROM base WHERE o_orderdate < TIMESTAMP '{_CUT}'
+"""
+
+
+@register("s03_scd3_prev_columns", _S03_SQL,
+          doc="SCD3: current snapshot with prev_<col> populated on change",
+          tags=("scd", "merge"))
+def s03_scd3_prev_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    t0 = scd3_apply(base, None, ["o_orderkey"], ["price"], now=_ts(_T0))
+    batch2 = (orders.filter(F.col("o_orderdate") >= _ts(_CUT))
+              .select("o_orderkey",
+                      F.round(F.round(F.col("o_totalprice"), 2) * 1.1, 2).alias("price")))
+    t1 = scd3_apply(batch2, t0, ["o_orderkey"], ["price"], now=_ts(_T1))
+    return t1.select("o_orderkey", "price", "prev_price")
+
+
+_S04_SQL = """
+SELECT min(l_shipdate) AS first_start,
+       max(l_shipdate) AS first_end,
+       max(CASE WHEN l_shipdate > TIMESTAMP '1998-01-01' THEN l_shipdate END) AS incr_next,
+       CAST(sum(CASE WHEN l_shipdate > TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+         AS incr_rows
+FROM lineitem
+"""
+
+
+@register("s04_cdc_bounds", _S04_SQL,
+          doc="attribute-CDC bound resolution: first-run min/max + incremental next/rowcount",
+          tags=("cdc",))
+def s04_cdc_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    prev = _ts("1998-01-01")
+    gt = F.col("l_shipdate") > prev
+    return li.agg(
+        F.min("l_shipdate").alias("first_start"),
+        F.max("l_shipdate").alias("first_end"),
+        F.max(F.when(gt, F.col("l_shipdate"))).alias("incr_next"),
+        F.sum(F.when(gt, 1).otherwise(0)).cast("bigint").alias("incr_rows"))

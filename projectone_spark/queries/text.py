@@ -1,0 +1,133 @@
+"""Text-analysis queries over the `documents` table, each with a DuckDB
+oracle reproducing the identical arithmetic (shared normalization recipe,
+list lambdas, md5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint_of_norm,
+    lang_id,
+    normalize,
+    spread,
+    text_stats,
+    tokens_of_norm,
+)
+from projectone_spark.queries import load, register
+
+# Shared DuckDB fragments mirroring functions/text.py exactly.
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+         " ' +', ' ', 'g'))")
+_TOKS = (f"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
+         f"ELSE string_split({_NORM}, ' ') END")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_T01_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio_raw,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS digit_ratio_raw,
+         CASE WHEN len({_TOKS}) > 0
+              THEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+                   / len({_TOKS})
+              ELSE 0.0 END AS stop_ratio_raw
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       round(punct_ratio_raw, 4) AS punct_ratio,
+       round(digit_ratio_raw, 4) AS digit_ratio,
+       round(stop_ratio_raw, 4)  AS stop_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+             + (1.0 - least(abs(stop_ratio_raw - 0.3) * 2, 1.0)) * 0.3
+             + (1.0 - least(punct_ratio_raw * 4, 1.0)) * 0.3, 4) AS quality
+FROM d
+"""
+
+
+@register("t01_text_stats", _T01_SQL,
+          doc="per-document length/token/punct/stopword stats + quality score",
+          tags=("text",))
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+def _lang_case() -> str:
+    score_exprs = {
+        lang: (f"CAST(len(list_filter({_TOKS}, t -> t IN "
+               f"({', '.join(repr(w) for w in markers)}))) AS BIGINT)")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_exprs["zh"] = ("CAST(length(text) - length(regexp_replace(text, "
+                         "'[^\\x00-\\x7F]', '', 'g')) AS BIGINT)")
+    langs = sorted(score_exprs)
+    selects = ",\n         ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN s_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {selects}
+  FROM documents)
+SELECT doc_id, lang,
+       CASE {cases}
+            ELSE 'und' END AS pred_lang,
+       CAST(CASE {cases}
+            ELSE 'und' END = lang AS INTEGER) AS is_correct
+FROM scored
+"""
+
+
+@register("t02_lang_id", _lang_case(),
+          doc="marker-vocabulary language identification vs ground-truth label",
+          tags=("text", "langid"))
+def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+_T03_SQL = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 25
+"""
+
+
+@register("t03_top_tokens", _T03_SQL,
+          doc="corpus token histogram (explode + count), top-25",
+          tags=("text", "explode"))
+def t03_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents")
+                  .select(normalize("text").alias("__norm")))
+    return (docs.select(F.explode(tokens_of_norm("__norm")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token"))
+            .limit(25))
+
+
+_T04_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+FROM documents
+"""
+
+
+@register("t04_fingerprint", _T04_SQL,
+          doc="document fingerprint: md5 of sorted distinct token set",
+          tags=("text", "fingerprint"))
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents")
+                  .select("doc_id", normalize("text").alias("__norm")))
+    return docs.select("doc_id", fingerprint_of_norm("__norm").alias("fp"))

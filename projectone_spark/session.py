@@ -1,0 +1,62 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference builds its session at ``core/task/spark/task.py:274-278`` with a
+plain config map. Here we centralize the configs that matter for a large
+cluster (AQE, skew handling, partition sizing, Arrow) so every entry point
+(tests, bench, driver harness) gets the same tuned session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for 100 TB-scale behavior: AQE re-plans at runtime
+#: (coalesce small partitions, convert to broadcast joins, split skewed
+#: partitions); Arrow keeps any pandas exchange vectorized; UTC avoids
+#: session-timezone drift between engines.
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local runs: keep the shuffle fan-out equal to cores. On a real cluster
+    # AQE coalescing makes a high initial number safe; expose via env.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(app_name: str = "projectone_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    confs = dict(DEFAULT_CONFS)
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable defaults to an existing session.
+
+    The driver harness constructs its own SparkSession; this applies the
+    settings that are safe to change post-start (timezone, AQE, shuffle
+    partitions) so query semantics match ``get_spark`` sessions.
+    """
+    for k, v in DEFAULT_CONFS.items():
+        if k.startswith(("spark.sql.",)):
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # pragma: no cover - static confs raise post-start
+                pass
+    return spark
