@@ -1,0 +1,180 @@
+"""Pydantic config contracts — the engine's JSON surface.
+
+Keeps the reference's contract shape (``core/schemas/input.py:17-44``,
+``execution.py:9-37``, ``output.py:13-36``, ``sources.py:77-233``,
+``refresh.py:6-11``) so existing task specs translate directly, while the
+execution semantics behind them are the Spark-first implementations in
+``sources``/``writers``/``cdc``/``task``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+from pydantic import BaseModel, Field, field_validator, model_validator
+
+WriteType = Literal["append", "overwrite", "selective_overwrite",
+                    "scd1", "scd2", "scd3", "custom"]
+SourceType = Literal["table", "file", "stream"]
+ExtractType = Literal["batch", "stream"]
+
+
+class ReadOptions(BaseModel):
+    """Subset of the reference ReadOptions (``core/schemas/sources.py``)."""
+
+    model_config = {"extra": "allow"}
+
+    source_schema: str | None = None  # DDL string, validated like sources.py:114-133
+    filter: str | None = None
+    options: dict[str, Any] = Field(default_factory=dict)
+
+    @field_validator("source_schema")
+    @classmethod
+    def _validate_ddl(cls, v: str | None) -> str | None:
+        if v is not None:
+            from projectone_spark.features import parse_ddl
+
+            parse_ddl(v)  # raises on invalid DDL
+        return v
+
+
+class Feature(BaseModel):
+    model_config = {"extra": "allow"}
+    name: str
+
+
+class CdcConfig(BaseModel):
+    """Attribute CDC config (reference change feature, features.py:~109)."""
+
+    attribute: str
+    value_type: Literal["integer", "date", "timestamp"] = "timestamp"
+    backfill_start: Any | None = None
+    backfill_end: Any | None = None
+
+
+class SparkInput(BaseModel):
+    """Reference SparkInput (``core/schemas/input.py:17-44``)."""
+
+    name: str
+    path: str | None = None
+    table: str | None = None
+    source: str = "parquet"  # format: csv/parquet/json/delta/jdbc/kafka/odata
+    source_type: SourceType = "file"
+    source_extract_type: ExtractType = "batch"
+    read_options: ReadOptions = Field(default_factory=ReadOptions)
+    features: list[Feature] = Field(default_factory=list)
+    cdc: CdcConfig | None = None
+
+    @model_validator(mode="after")
+    def _path_or_table(self) -> "SparkInput":
+        if self.path is None and self.table is None:
+            raise ValueError(f"input '{self.name}' needs a path or a table")
+        return self
+
+
+class SparkExecution(BaseModel):
+    """Reference SparkExecution (``core/schemas/execution.py:9-37``):
+    a named function sourced from a module path, a source-code body, or a
+    file path."""
+
+    name: str
+    module: str | None = None
+    body: str | None = None
+    file: str | None = None
+    extra_arguments: dict[str, Any] = Field(default_factory=dict)
+
+    @model_validator(mode="after")
+    def _one_source(self) -> "SparkExecution":
+        if sum(x is not None for x in (self.module, self.body, self.file)) != 1:
+            raise ValueError(
+                f"execution '{self.name}': exactly one of module/body/file required")
+        return self
+
+
+class WriteOptions(BaseModel):
+    """Reference WriteOptions subset (``core/schemas/sources.py:201-233``)."""
+
+    model_config = {"extra": "allow"}
+
+    partition_by: str | None = None          # comma-separated
+    key_attributes: str | None = None        # merge keys, comma-separated
+    data_attributes: str | None = None
+    column_attributes: str | None = None     # scd3 tracked columns
+    deduplicate_onkeys: bool = False
+    history_tracking_col: str | None = None  # scd2 event-time validity
+    fix_duplicates_by_key: bool = False
+    generate_record_upsert_columns: bool = False
+    rename_metadata_columns: dict[str, str] | None = None
+    active_record_value_mapping: dict[str, str] | None = None
+    replace_where: str | None = None
+    partition_values: dict[str, list] | None = None
+
+    def split(self, attr: str) -> list[str] | None:
+        v = getattr(self, attr)
+        return [c.strip() for c in v.split(",")] if v else None
+
+
+class StreamTrigger(BaseModel):
+    """Reference StreamTrigger (``core/schemas/sources.py:88-110``)."""
+
+    once: bool | None = None
+    available_now: bool | None = None
+    processing_time: str | None = None
+
+    def to_kwargs(self) -> dict[str, Any]:
+        if self.processing_time:
+            return {"processingTime": self.processing_time}
+        if self.once:
+            return {"once": True}
+        return {"availableNow": True}  # reference default
+
+
+class SparkOutput(BaseModel):
+    """Reference SparkOutput (``core/schemas/output.py:13-36``)."""
+
+    name: str
+    table: str | None = None
+    path: str | None = None
+    sink: str = "store"
+    write_type: WriteType = "append"
+    write_options: WriteOptions = Field(default_factory=WriteOptions)
+    trigger: StreamTrigger = Field(default_factory=StreamTrigger)
+    checkpoint_location: str | None = None
+    constraints: list[tuple[str, list[str]]] = Field(default_factory=list)
+
+    @property
+    def target(self) -> str:
+        return self.table or self.path or self.name
+
+
+class RefreshPolicy(BaseModel):
+    """Reference refresh policy (``core/schemas/refresh.py:6-11``)."""
+
+    type: Literal["full", "incremental", "backfill", "stream"] = "full"
+    range_start: Any | None = None
+    range_end: Any | None = None
+
+
+class TaskConfig(BaseModel):
+    """One Spark task = inputs → execution → outputs (the core design
+    contract, projectoneflow README)."""
+
+    name: str
+    inputs: list[SparkInput]
+    execution: SparkExecution | None = None  # None → identity passthrough
+    outputs: list[SparkOutput]
+    refresh_policy: RefreshPolicy = Field(default_factory=RefreshPolicy)
+    spark_config: dict[str, str] = Field(default_factory=dict)
+    state_location: str | None = None
+    store_location: str | None = None
+    secrets: dict[str, dict[str, str]] = Field(default_factory=dict)
+
+    @model_validator(mode="after")
+    def _stream_consistency(self) -> "TaskConfig":
+        # reference stream validation (task.py:239-266)
+        any_stream = any(i.source_extract_type == "stream" for i in self.inputs)
+        if any_stream and self.refresh_policy.type != "stream":
+            raise ValueError("stream inputs require refresh_policy.type='stream'")
+        if any_stream and len(self.outputs) not in (1, len(self.inputs)):
+            raise ValueError("#outputs must equal #inputs (or 1) for stream tasks")
+        return self

@@ -1,0 +1,256 @@
+"""SparkTask: the input → execution → output pipeline unit.
+
+Re-expresses the reference's task lifecycle (``core/task/spark/task.py``,
+SURVEY §3.1) over this engine's components: sources registry for reads,
+feature pipeline for pre/post steps, CDC state machine for incremental
+predicates, writer registry + TableStore for outputs, StateStore for task
+state, Result envelopes per step (``core/schemas/result.py:5-69``).
+
+Batch lifecycle: validate → resolve CDC per input → lazy reads + features →
+bind and call the execution function → constraint checks → writers →
+persist CDC + load-timestamp state. Streaming reuses the same writers per
+micro-batch via foreachBatch (see :mod:`projectone_spark.streaming`).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.cdc import load_cdc_state, resolve_cdc, save_cdc_state
+from projectone_spark.config import SparkInput, SparkOutput, TaskConfig
+from projectone_spark.features import (
+    DictSecretManager,
+    apply_input_features,
+    interpolate,
+)
+from projectone_spark.sources import read_batch
+from projectone_spark.store import TableStore
+from projectone_spark.store.state import StateStore
+from projectone_spark.task.execution_fn import (
+    bind_arguments,
+    load_function,
+    validate_outputs,
+)
+from projectone_spark.writers import WRITERS, check_table_constraints
+
+
+@dataclass
+class Result:
+    """Step result envelope (reference ``core/schemas/result.py:5-69``)."""
+
+    name: str
+    status: str = "success"  # success | failed
+    exception: str | None = None
+    start_time: float = 0.0
+    end_time: float = 0.0
+    batch_id: str | None = None
+    detail: dict[str, Any] = field(default_factory=dict)
+
+
+def _step(results: list[Result], name: str, batch_id: str,
+          fn: Callable[[], Any]) -> Any:
+    """Run one step producing a Result envelope (reference ``execute_step``
+    decorator, ``operator/__init__.py:15-63``)."""
+    r = Result(name=name, batch_id=batch_id, start_time=time.time())
+    try:
+        out = fn()
+        r.end_time = time.time()
+        results.append(r)
+        return out
+    except Exception as e:
+        r.status = "failed"
+        r.exception = f"{type(e).__name__}: {e}\n{traceback.format_exc(limit=5)}"
+        r.end_time = time.time()
+        results.append(r)
+        raise
+
+
+class SparkTask:
+    """Builder-constructed task (reference ``SparkTask.builder`` API)."""
+
+    def __init__(self, config: TaskConfig, spark: SparkSession | None = None):
+        self.config = config
+        self._spark = spark
+        self.results: list[Result] = []
+        self.batch_id = str(uuid.uuid1())  # reference uses uuid1 (context.py:18-88)
+
+    # -- builder -----------------------------------------------------------
+
+    class Builder:
+        def __init__(self) -> None:
+            self._kw: dict[str, Any] = {"inputs": [], "outputs": []}
+            self._spark: SparkSession | None = None
+
+        def setName(self, name: str) -> "SparkTask.Builder":
+            self._kw["name"] = name
+            return self
+
+        def setInput(self, **kw: Any) -> "SparkTask.Builder":
+            self._kw["inputs"].append(kw)
+            return self
+
+        def setExecution(self, **kw: Any) -> "SparkTask.Builder":
+            self._kw["execution"] = kw
+            return self
+
+        def setOutput(self, **kw: Any) -> "SparkTask.Builder":
+            self._kw["outputs"].append(kw)
+            return self
+
+        def setRefreshPolicy(self, **kw: Any) -> "SparkTask.Builder":
+            self._kw["refresh_policy"] = kw
+            return self
+
+        def setSparkConfig(self, conf: dict[str, str]) -> "SparkTask.Builder":
+            self._kw["spark_config"] = conf
+            return self
+
+        def setStateLocation(self, path: str) -> "SparkTask.Builder":
+            self._kw["state_location"] = path
+            return self
+
+        def setStoreLocation(self, path: str) -> "SparkTask.Builder":
+            self._kw["store_location"] = path
+            return self
+
+        def setSecrets(self, secrets: dict[str, dict[str, str]]) -> "SparkTask.Builder":
+            self._kw["secrets"] = secrets
+            return self
+
+        def setSession(self, spark: SparkSession) -> "SparkTask.Builder":
+            self._spark = spark
+            return self
+
+        def create(self) -> "SparkTask":
+            return SparkTask(TaskConfig(**self._kw), self._spark)
+
+    builder: "SparkTask.Builder"
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            from projectone_spark.session import get_spark
+
+            self._spark = get_spark(self.config.name,
+                                    extra_conf=self.config.spark_config or None)
+        return self._spark
+
+    @property
+    def state(self) -> StateStore:
+        loc = self.config.state_location or f"/tmp/projectone_state/{self.config.name}"
+        return StateStore(loc)
+
+    @property
+    def store(self) -> TableStore:
+        loc = self.config.store_location or f"/tmp/projectone_store/{self.config.name}"
+        return TableStore(loc)
+
+    def _variables(self) -> dict[str, Any]:
+        rp = self.config.refresh_policy
+        return {"RangeStart": rp.range_start, "RangeEnd": rp.range_end,
+                "BatchId": self.batch_id}
+
+    def _read_input(self, inp: SparkInput) -> DataFrame:
+        secrets = DictSecretManager(self.config.secrets)
+        opts = interpolate(dict(inp.read_options.options), self._variables(), secrets)
+        path = interpolate(inp.path, self._variables(), secrets) if inp.path else None
+        if inp.read_options.filter:
+            opts = dict(opts)
+        df = read_batch(self.spark, inp.source, path=path, table=inp.table,
+                        schema=inp.read_options.source_schema, options=opts)
+        # CDC pre-step (reference input.py:92-162)
+        if inp.cdc is not None:
+            backfill = None
+            rp = self.config.refresh_policy
+            if rp.type == "backfill":
+                backfill = (inp.cdc.backfill_start or rp.range_start,
+                            inp.cdc.backfill_end or rp.range_end)
+            prev = load_cdc_state(self.state, inp.name)
+            pred, new_state = resolve_cdc(df, inp.cdc.attribute, prev,
+                                          backfill, self.batch_id)
+            df = df.filter(pred)
+            self._pending_cdc = getattr(self, "_pending_cdc", {})
+            self._pending_cdc[inp.name] = new_state
+        if inp.read_options.filter:
+            df = df.filter(inp.read_options.filter)
+        # post-steps: configured features in order (input.py:164-287)
+        return apply_input_features(df, [f.model_dump() for f in inp.features])
+
+    def _write_output(self, out: SparkOutput, df: DataFrame) -> None:
+        if out.constraints:
+            check_table_constraints(self.spark, self.store, df,
+                                    [(t, cols) for t, cols in out.constraints])
+        wo = out.write_options
+        writer = WRITERS[out.write_type]
+        kwargs: dict[str, Any] = {"partition_by": wo.split("partition_by")}
+        if out.write_type in ("scd1", "scd2", "scd3"):
+            kwargs["key_cols"] = wo.split("key_attributes") or []
+            kwargs["data_cols"] = wo.split("data_attributes")
+            kwargs["dedup_on_keys"] = wo.deduplicate_onkeys
+            kwargs["rename"] = wo.rename_metadata_columns
+        if out.write_type == "scd2":
+            kwargs["valid_from"] = wo.history_tracking_col
+            kwargs["fix_duplicates_by_key"] = wo.fix_duplicates_by_key
+            kwargs["active_mapping"] = wo.active_record_value_mapping
+        if out.write_type == "scd3":
+            kwargs["tracked_cols"] = wo.split("column_attributes") or []
+        if out.write_type in ("append", "overwrite"):
+            kwargs["upsert_ts"] = wo.generate_record_upsert_columns
+            kwargs["rename"] = wo.rename_metadata_columns
+        if out.write_type == "selective_overwrite":
+            kwargs["replace_where"] = wo.replace_where
+            kwargs["partition_values"] = wo.partition_values
+            kwargs["rename"] = wo.rename_metadata_columns
+        version = writer(self.spark, self.store, df, out.target, **kwargs)
+        self.state.set(f"{out.name}_write", {
+            "version": version, "write_type": out.write_type,
+            "batch_id": self.batch_id}, folder="sink")
+
+    def execute(self) -> list[Result]:
+        """Batch execution (reference ``task_process``, task.py:386-497)."""
+        cfg = self.config
+        inputs: dict[str, DataFrame] = {}
+        for inp in cfg.inputs:
+            inputs[inp.name] = _step(self.results, f"input_{inp.name}",
+                                     self.batch_id, lambda i=inp: self._read_input(i))
+
+        output_names = [o.name for o in cfg.outputs]
+        if cfg.execution is not None:
+            ex = cfg.execution
+            fn = load_function(ex.name, module=ex.module, body=ex.body, file=ex.file)
+            args = bind_arguments(fn, inputs, ex.extra_arguments)
+            raw = _step(self.results, f"execution_{ex.name}", self.batch_id,
+                        lambda: fn(**args))
+            outputs = validate_outputs(raw, output_names)
+        else:
+            if len(inputs) != 1 or len(output_names) != 1:
+                raise ValueError("identity passthrough needs exactly 1 input and output")
+            outputs = {output_names[0]: next(iter(inputs.values()))}
+
+        for out in cfg.outputs:
+            _step(self.results, f"output_{out.name}", self.batch_id,
+                  lambda o=out: self._write_output(o, outputs[o.name]))
+
+        # success: persist per-input CDC state + load timestamp
+        # (reference task.py:519-544, :584-648)
+        for name, st in getattr(self, "_pending_cdc", {}).items():
+            save_cdc_state(self.state, name, st)
+        self.state.set(f"pipeline_{cfg.refresh_policy.type}_load_timestamp",
+                       time.time())
+        return self.results
+
+
+SparkTask.builder = property(lambda self: SparkTask.Builder())  # type: ignore[assignment]
+
+
+def task_builder() -> SparkTask.Builder:
+    return SparkTask.Builder()
