@@ -83,6 +83,7 @@ def _ensure_loaded() -> None:
         dedup,
         embeddings,
         engine_ops,
+        streaming,
         text,
     )
 

@@ -31,7 +31,7 @@ def _ts(lit: str) -> F.Column:
 _S01_SQL = f"""
 WITH source AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
-         round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
   FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUT}')
 SELECT o_orderkey, o_custkey, o_orderstatus,
        round(o_totalprice, 2) AS total_price,
@@ -49,7 +49,7 @@ FROM (SELECT * FROM source
 def s01_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     source = (orders.filter(F.col("o_orderdate") >= _ts(_CUT))
-              .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)))
+              .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
     merged = scd1_merge(source, orders, ["o_orderkey"], now=_ts(_T0))
     return merged.select(
         "o_orderkey", "o_custkey", "o_orderstatus",
@@ -65,7 +65,7 @@ SELECT o_orderkey, price, 'N' AS active,
        TIMESTAMP '{_T0}' AS valid_from, TIMESTAMP '{_T1}' AS valid_to
 FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
 UNION ALL
-SELECT o_orderkey, round(price * 1.1, 2) AS price, 'Y' AS active,
+SELECT o_orderkey, price + 1000.0 AS price, 'Y' AS active,
        TIMESTAMP '{_T1}' AS valid_from, TIMESTAMP '{_SENTINEL}' AS valid_to
 FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
 UNION ALL
@@ -84,7 +84,7 @@ def s02_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = scd2_apply(base, None, ["o_orderkey"], valid_from=_ts(_T0))
     batch2 = (orders.filter(F.col("o_orderdate") >= _ts(_CUT))
               .select("o_orderkey",
-                      F.round(F.round(F.col("o_totalprice"), 2) * 1.1, 2).alias("price")))
+                      (F.round(F.col("o_totalprice"), 2) + 1000.0).alias("price")))
     t1 = scd2_apply(batch2, t0, ["o_orderkey"], valid_from=_ts(_T1))
     return t1.select("o_orderkey", "price",
                      F.col("__metadata_active__").alias("active"),
@@ -95,7 +95,7 @@ def s02_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S03_SQL = f"""
 WITH base AS (
   SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate FROM orders)
-SELECT o_orderkey, round(price * 1.1, 2) AS price, price AS prev_price
+SELECT o_orderkey, price + 1000.0 AS price, price AS prev_price
 FROM base WHERE o_orderdate >= TIMESTAMP '{_CUT}'
 UNION ALL
 SELECT o_orderkey, price, CAST(NULL AS DOUBLE) AS prev_price
@@ -112,7 +112,7 @@ def s03_scd3_prev_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = scd3_apply(base, None, ["o_orderkey"], ["price"], now=_ts(_T0))
     batch2 = (orders.filter(F.col("o_orderdate") >= _ts(_CUT))
               .select("o_orderkey",
-                      F.round(F.round(F.col("o_totalprice"), 2) * 1.1, 2).alias("price")))
+                      (F.round(F.col("o_totalprice"), 2) + 1000.0).alias("price")))
     t1 = scd3_apply(batch2, t0, ["o_orderkey"], ["price"], now=_ts(_T1))
     return t1.select("o_orderkey", "price", "prev_price")
 

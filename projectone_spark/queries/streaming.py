@@ -1,0 +1,157 @@
+"""Streaming queries — Structured Streaming runs over the driver parquet.
+
+Each query builds a real ``readStream`` (file source, availableNow
+trigger), runs it to completion, and returns the result as a batch
+DataFrame so the DuckDB oracle can hash-compare values. The streaming
+plans are the same declarative aggregations a production job would run
+unbounded; availableNow just makes them finite (the reference's default
+trigger too, ``core/schemas/sources.py:88-110``).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import load, register
+from projectone_spark.streaming import (
+    dedup_within_watermark,
+    foreach_batch_writer,
+    read_stream_parquet,
+    run_to_memory,
+    session_window_agg,
+    stream_wait_close,
+    tumbling_window_agg,
+    write_stream,
+)
+
+#: Raw file schema of events.parquet — ts is int64 NANOS, which Spark only
+#: reads as long under the legacy conf (see queries.load for the batch path).
+_EVENTS_DDL = ("event_id bigint, ts bigint, user_id bigint, "
+               "event_type string, value double, props string")
+
+_ORDERS_DDL = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.session import configure
+
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream_parquet(spark, f"{sf_dir}/events.parquet", _EVENTS_DDL)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+_ST01_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("st01_stream_tumbling", _ST01_SQL,
+          doc="streaming tumbling 1h window per event_type (watermark + availableNow)",
+          tags=("streaming", "window"))
+def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = tumbling_window_agg(
+        ev, "ts", "1 hour",
+        [F.count(F.lit(1)).alias("n_events"),
+         F.round(F.sum("value"), 2).alias("total_value")],
+        keys=("event_type",), watermark="2 hours")
+    return run_to_memory(agg, output_mode="complete")
+
+
+_ST02_SQL = """
+WITH source AS (
+  SELECT o_orderkey, round(o_totalprice, 2) + 1000.0 AS total_price
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+SELECT o_orderkey, total_price FROM source
+UNION ALL
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = o.o_orderkey)
+"""
+
+
+@register("st02_stream_scd1_upsert", _ST02_SQL,
+          doc="foreachBatch reuse of the batch SCD1 writer on a streamed source",
+          tags=("streaming", "scd", "merge"))
+def st02_stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed the store with the full snapshot (batch), then stream the
+    changed rows through foreachBatch → scd1 — the reference's idiom of
+    reusing every batch write type per micro-batch (output.py:195-224)."""
+    from projectone_spark.store import TableStore
+    from projectone_spark.writers import write_overwrite
+
+    store = TableStore(tempfile.mkdtemp(prefix="po_st02_"))
+    orders = load(spark, sf_dir, "orders")
+    seed = orders.select("o_orderkey",
+                         F.round("o_totalprice", 2).alias("total_price"))
+    write_overwrite(spark, store, seed, "orders_scd1")
+
+    changed = (read_stream_parquet(spark, f"{sf_dir}/orders.parquet", _ORDERS_DDL)
+               .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+               .select("o_orderkey",
+                       (F.round(F.col("o_totalprice"), 2) + 1000.0).alias("total_price")))
+    q = write_stream(
+        changed,
+        foreach_batch=foreach_batch_writer(
+            spark, store, "orders_scd1", "scd1",
+            key_cols=["o_orderkey"], now=F.lit("2024-02-01").cast("timestamp")))
+    stream_wait_close([q], timeout_seconds=300)
+    return store.read(spark, "orders_scd1").select("o_orderkey", "total_price")
+
+
+_ST03_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register("st03_stream_session_window", _ST03_SQL,
+          doc="streaming session windows (30-min gap) per user",
+          tags=("streaming", "window", "session"))
+def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = session_window_agg(
+        ev, "ts", "30 minutes",
+        [F.count(F.lit(1)).alias("n_events")],
+        keys=("user_id",), watermark="1 hour")
+    return run_to_memory(agg, output_mode="complete")
+
+
+_ST04_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+@register("st04_stream_dedup", _ST04_SQL,
+          doc="dropDuplicatesWithinWatermark: bounded-state streaming dedup",
+          tags=("streaming", "dedup"))
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    deduped = dedup_within_watermark(
+        ev.select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"], "ts", "1 hour")
+    return run_to_memory(deduped.select("user_id", "event_type"),
+                         output_mode="append")
