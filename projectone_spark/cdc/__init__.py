@@ -52,7 +52,10 @@ class CdcState:
         return None if d is None else cls(**d)
 
 
-NO_DATA = F.expr("1=2")
+def NO_DATA() -> Column:
+    """Read-nothing predicate (reference's literal ``1=2`` filter). A
+    function because Column construction needs a live SparkContext."""
+    return F.expr("1=2")
 
 
 def resolve_cdc(df: DataFrame, attribute: str,
@@ -76,7 +79,7 @@ def resolve_cdc(df: DataFrame, attribute: str,
         row = df.agg(F.min(attr).alias("lo"), F.max(attr).alias("hi")).collect()[0]
         lo, hi = row["lo"], row["hi"]
         if lo is None:  # empty source
-            return NO_DATA, CdcState(attribute, None, None, "incremental", batch_id)
+            return NO_DATA(), CdcState(attribute, None, None, "incremental", batch_id)
         state = CdcState(attribute, lo, hi, "incremental", batch_id)
         return (attr >= F.lit(lo)) & (attr <= F.lit(hi)), state
 
@@ -85,7 +88,7 @@ def resolve_cdc(df: DataFrame, attribute: str,
            .agg(F.max(attr).alias("hi")).collect()[0])
     hi = row["hi"]
     if hi is None:  # no new data: read nothing, keep state
-        return NO_DATA, CdcState(attribute, start, start, "incremental", batch_id)
+        return NO_DATA(), CdcState(attribute, start, start, "incremental", batch_id)
     state = CdcState(attribute, start, hi, "incremental", batch_id)
     if hi == start:  # degenerate equal-bound case (delta_source.py:311-328)
         return attr == F.lit(start), state

@@ -72,6 +72,15 @@ def _step(results: list[Result], name: str, batch_id: str,
         raise
 
 
+class _BuilderFactory:
+    """Makes ``SparkTask.builder`` (class attribute access) yield a fresh
+    Builder, matching the reference's ``SparkTask.builder.setInput(...)``
+    call shape."""
+
+    def __get__(self, obj: object, owner: type) -> "SparkTask.Builder":
+        return SparkTask.Builder()
+
+
 class SparkTask:
     """Builder-constructed task (reference ``SparkTask.builder`` API)."""
 
@@ -131,7 +140,7 @@ class SparkTask:
         def create(self) -> "SparkTask":
             return SparkTask(TaskConfig(**self._kw), self._spark)
 
-    builder: "SparkTask.Builder"
+    builder = _BuilderFactory()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -163,8 +172,8 @@ class SparkTask:
         secrets = DictSecretManager(self.config.secrets)
         opts = interpolate(dict(inp.read_options.options), self._variables(), secrets)
         path = interpolate(inp.path, self._variables(), secrets) if inp.path else None
-        if inp.read_options.filter:
-            opts = dict(opts)
+        row_filter = (interpolate(inp.read_options.filter, self._variables(), secrets)
+                      if inp.read_options.filter else None)
         df = read_batch(self.spark, inp.source, path=path, table=inp.table,
                         schema=inp.read_options.source_schema, options=opts)
         # CDC pre-step (reference input.py:92-162)
@@ -180,8 +189,8 @@ class SparkTask:
             df = df.filter(pred)
             self._pending_cdc = getattr(self, "_pending_cdc", {})
             self._pending_cdc[inp.name] = new_state
-        if inp.read_options.filter:
-            df = df.filter(inp.read_options.filter)
+        if row_filter:
+            df = df.filter(row_filter)
         # post-steps: configured features in order (input.py:164-287)
         return apply_input_features(df, [f.model_dump() for f in inp.features])
 
@@ -247,9 +256,6 @@ class SparkTask:
         self.state.set(f"pipeline_{cfg.refresh_policy.type}_load_timestamp",
                        time.time())
         return self.results
-
-
-SparkTask.builder = property(lambda self: SparkTask.Builder())  # type: ignore[assignment]
 
 
 def task_builder() -> SparkTask.Builder:

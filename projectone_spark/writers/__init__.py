@@ -178,8 +178,10 @@ def scd2_compact(source: DataFrame, key_cols: Sequence[str], *,
     merged normally).
     """
     from projectone_spark.writers.hashing import with_key_data_hashes
+    from projectone_spark.writers.merge import _scd2_data_cols
 
     vf = valid_from if isinstance(valid_from, Column) else F.col(valid_from)
+    data_cols = _scd2_data_cols(source, key_cols, data_cols, valid_from)
     hashed = with_key_data_hashes(source, key_cols, data_cols, algo)
     hashed = hashed.withColumn(VALID_FROM, vf)
     w = Window.partitionBy(KEY_HASH).orderBy(F.asc(VALID_FROM))

@@ -101,6 +101,17 @@ def scd1_merge(source: DataFrame, target: DataFrame | None,
     return joined.select(*cols, valid_from)
 
 
+def _scd2_data_cols(source: DataFrame, key_cols: Sequence[str],
+                    data_cols: Sequence[str] | None,
+                    valid_from: Column | str | None) -> Sequence[str] | None:
+    """When the validity source is a named column (reference
+    ``history_tracking_col``), it defines WHEN a version applies, not WHAT
+    changed — exclude it from the default change-detection hash."""
+    if data_cols is None and isinstance(valid_from, str):
+        return [c for c in data_columns(source, key_cols) if c != valid_from]
+    return data_cols
+
+
 def scd2_apply(source: DataFrame, target: DataFrame | None,
                key_cols: Sequence[str], *,
                data_cols: Sequence[str] | None = None,
@@ -122,6 +133,7 @@ def scd2_apply(source: DataFrame, target: DataFrame | None,
     """
     vf = _as_col(valid_from, F.current_timestamp())
     sentinel_ts = F.lit(sentinel).cast("timestamp")
+    data_cols = _scd2_data_cols(source, key_cols, data_cols, valid_from)
     src = _prep_source(source, key_cols, data_cols, dedup_on_keys, algo)
     src = src.withColumn(VALID_FROM, vf)
     payload = data_columns(src, key_cols)

@@ -1,0 +1,97 @@
+"""Streaming-layer tests: trigger contract, foreachBatch reuse of batch
+writers across real micro-batches, and batch/stream equivalence of the
+windowing helpers (reference stream suite shape,
+``tests/integration_tests/test_stream.py``)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from projectone_spark.store import TableStore
+from projectone_spark.streaming import (
+    StreamTrigger,
+    checkpoint_location,
+    foreach_batch_writer,
+    read_stream_parquet,
+    run_to_memory,
+    session_window_agg,
+    stream_wait_close,
+    tumbling_window_agg,
+    write_stream,
+)
+from projectone_spark.writers.hashing import ACTIVE
+
+SCHEMA = "id long, name string, offset long"
+
+
+def test_trigger_kwargs():
+    assert StreamTrigger().kwargs() == {"availableNow": True}
+    assert StreamTrigger(once=True, available_now=False).kwargs() == {"once": True}
+    assert (StreamTrigger(processing_time="5 seconds").kwargs()
+            == {"processingTime": "5 seconds"})
+
+
+def test_checkpoint_location_default():
+    assert (checkpoint_location("/s", "out") == "/s/checkpoints/out")
+
+
+def test_foreach_batch_scd2_across_micro_batches(spark, tmp_path):
+    """Two source files streamed one-per-micro-batch through the SCD2
+    writer must build the same history as two batch runs."""
+    src = tmp_path / "src"
+    b1 = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], SCHEMA) \
+        .withColumn("event_ts", F.lit("2024-01-01").cast("timestamp"))
+    b2 = spark.createDataFrame([(2, "b", 99), (3, "c", 30)], SCHEMA) \
+        .withColumn("event_ts", F.lit("2024-02-01").cast("timestamp"))
+    # one file per micro-batch, named so batch order follows event order
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    store = TableStore(str(tmp_path / "store"))
+    stream = read_stream_parquet(
+        spark, f"{src}/*/", SCHEMA + ", event_ts timestamp",
+        max_files_per_trigger=1)
+    q = write_stream(
+        stream,
+        checkpoint=str(tmp_path / "ckpt"),
+        foreach_batch=foreach_batch_writer(
+            spark, store, "t", "scd2",
+            key_cols=["id"], valid_from="event_ts"))
+    stream_wait_close([q], timeout_seconds=300)
+
+    got = store.read(spark, "t")
+    active = got.filter(F.col(ACTIVE) == "Y")
+    assert sorted((r["id"], r["offset"]) for r in active.collect()) \
+        == [(1, 10), (2, 99), (3, 30)]
+    closed = got.filter(F.col(ACTIVE) == "N").collect()
+    assert [(r["id"], r["offset"]) for r in closed] == [(2, 20)]
+
+
+def test_tumbling_window_batch_stream_equivalence(spark, tmp_path):
+    rows = [(i, f"2024-01-01 0{i % 3}:1{i}:00") for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = tumbling_window_agg(df, "ts", "1 hour",
+                                [F.count(F.lit(1)).alias("n")])
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    stream = read_stream_parquet(spark, src, "id long, ts timestamp")
+    streamed = run_to_memory(
+        tumbling_window_agg(stream, "ts", "1 hour",
+                            [F.count(F.lit(1)).alias("n")],
+                            watermark="1 hour"),
+        output_mode="complete")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, streamed.collect()))
+
+
+def test_session_window_gap_semantics(spark):
+    rows = [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:10:00"),
+            ("u", "2024-01-01 01:00:00")]  # 50-min gap → 2 sessions
+    df = spark.createDataFrame(rows, "user string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = session_window_agg(df, "ts", "30 minutes",
+                             [F.count(F.lit(1)).alias("n")], keys=("user",))
+    rows = sorted((r["session_start"].isoformat()[:16], r["n"])
+                  for r in got.collect())
+    assert rows == [("2024-01-01T00:00", 2), ("2024-01-01T01:00", 1)]

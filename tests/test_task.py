@@ -1,0 +1,211 @@
+"""SparkTask end-to-end tests: the reference's integration-test shape
+(``tests/integration_tests/test_batch.py``) — write a synthetic source, run
+the task, read the target back — plus execution-function machinery, feature
+pipeline, interpolation, and config validation."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pyspark.sql.functions as F
+import pytest
+
+from projectone_spark.config import TaskConfig
+from projectone_spark.features import DictSecretManager, interpolate
+from projectone_spark.store import TableStore
+from projectone_spark.task import SparkTask, task_builder
+from projectone_spark.task.execution_fn import (
+    ExecutionFunctionError,
+    bind_arguments,
+    load_function,
+    validate_outputs,
+)
+
+BASE = [(1, "a", 10), (2, "b", 20), (3, "c", 30),
+        (4, "d", 40), (5, "e", 50), (6, "f", 60)]
+SCHEMA = "id long, name string, offset long"
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    d = str(tmp_path / "src")
+    spark.createDataFrame(BASE, SCHEMA).write.parquet(d)
+    return d
+
+
+def _base_task(spark, tmp_path, source_dir, **extra):
+    b = (SparkTask.builder
+         .setName("t1")
+         .setInput(name="src", path=source_dir, source="parquet")
+         .setOutput(name="out", table="target", write_type="append")
+         .setStateLocation(str(tmp_path / "state"))
+         .setStoreLocation(str(tmp_path / "store"))
+         .setSession(spark))
+    return b
+
+
+def test_identity_passthrough_append(spark, tmp_path, source_dir):
+    task = _base_task(spark, tmp_path, source_dir).create()
+    results = task.execute()
+    assert all(r.status == "success" for r in results)
+    got = TableStore(str(tmp_path / "store")).read(spark, "target")
+    assert got.count() == 6
+    assert "__metadata_valid_to_ts__" in got.columns
+    # sink state recorded (reference write-state persistence)
+    assert task.state.get_value("out_write", folder="sink")["version"] == 0
+
+
+def test_execution_body_function(spark, tmp_path, source_dir):
+    body = textwrap.dedent("""
+        import pyspark.sql.functions as F
+        def double_offset(src, factor=2):
+            return src.withColumn("offset", F.col("offset") * factor)
+    """)
+    task = (_base_task(spark, tmp_path, source_dir)
+            .setExecution(name="double_offset", body=body,
+                          extra_arguments={"factor": 3})
+            .create())
+    task.execute()
+    got = TableStore(str(tmp_path / "store")).read(spark, "target")
+    assert sorted(r["offset"] for r in got.collect()) == [30, 60, 90, 120, 150, 180]
+
+
+def test_input_filter_and_features(spark, tmp_path, source_dir):
+    b = (SparkTask.builder
+         .setName("t2")
+         .setInput(name="src", path=source_dir, source="parquet",
+                   read_options={"filter": "offset >= {{Lo}}"},
+                   features=[{"name": "select_columns", "columns": "id, offset"}])
+         .setOutput(name="out", table="target", write_type="overwrite")
+         .setStateLocation(str(tmp_path / "state"))
+         .setStoreLocation(str(tmp_path / "store"))
+         .setSession(spark))
+    task = b.create()
+    task._variables = lambda: {"Lo": 40}  # stand-in refresh window variable
+    task.execute()
+    got = TableStore(str(tmp_path / "store")).read(spark, "target")
+    assert got.count() == 3
+    assert set(got.columns) == {"id", "offset", "__metadata_valid_to_ts__"}
+
+
+def test_cdc_two_run_incremental(spark, tmp_path, source_dir):
+    def mk():
+        return (SparkTask.builder
+                .setName("t3")
+                .setInput(name="src", path=source_dir, source="parquet",
+                          cdc={"attribute": "offset"})
+                .setOutput(name="out", table="target", write_type="append")
+                .setRefreshPolicy(type="incremental")
+                .setStateLocation(str(tmp_path / "state"))
+                .setStoreLocation(str(tmp_path / "store"))
+                .setSession(spark)
+                .create())
+
+    mk().execute()
+    store = TableStore(str(tmp_path / "store"))
+    assert store.read(spark, "target").count() == 6
+
+    # second run, no new data → appends nothing
+    mk().execute()
+    assert store.read(spark, "target").count() == 6
+
+    # new rows arrive → only they are read
+    spark.createDataFrame([(7, "g", 70)], SCHEMA) \
+        .write.mode("append").parquet(source_dir)
+    mk().execute()
+    got = store.read(spark, "target")
+    assert got.count() == 7
+    assert got.filter("offset = 70").count() == 1
+
+
+def test_scd1_write_type_through_task(spark, tmp_path, source_dir):
+    def mk(path):
+        return (SparkTask.builder
+                .setName("t4")
+                .setInput(name="src", path=path, source="parquet")
+                .setOutput(name="out", table="target", write_type="scd1",
+                           write_options={"key_attributes": "id"})
+                .setStateLocation(str(tmp_path / "state"))
+                .setStoreLocation(str(tmp_path / "store"))
+                .setSession(spark)
+                .create())
+
+    mk(source_dir).execute()
+    d2 = str(tmp_path / "src2")
+    spark.createDataFrame([(2, "b", 99), (7, "g", 70)], SCHEMA).write.parquet(d2)
+    mk(d2).execute()
+    got = TableStore(str(tmp_path / "store")).read(spark, "target")
+    assert got.count() == 7
+    assert got.filter("id = 2").collect()[0]["offset"] == 99
+
+
+def test_failed_step_produces_result_envelope(spark, tmp_path, source_dir):
+    task = (_base_task(spark, tmp_path, source_dir)
+            .setExecution(name="boom", body="def boom(src):\n    raise RuntimeError('x')")
+            .create())
+    with pytest.raises(RuntimeError):
+        task.execute()
+    failed = [r for r in task.results if r.status == "failed"]
+    assert len(failed) == 1 and "RuntimeError" in failed[0].exception
+
+
+def test_stream_consistency_validation():
+    with pytest.raises(ValueError, match="refresh_policy"):
+        TaskConfig(name="bad",
+                   inputs=[{"name": "s", "path": "/x", "source_extract_type": "stream"}],
+                   outputs=[{"name": "o"}])
+
+
+def test_builder_class_access():
+    assert isinstance(SparkTask.builder, SparkTask.Builder)
+    assert isinstance(task_builder(), SparkTask.Builder)
+
+
+# -- execution_fn unit tests ------------------------------------------------
+
+def test_load_function_from_file(tmp_path):
+    f = tmp_path / "fn.py"
+    f.write_text("def t(df):\n    return df\n")
+    assert callable(load_function("t", file=str(f)))
+
+
+def test_load_function_missing_raises():
+    with pytest.raises(ExecutionFunctionError):
+        load_function("nope", body="x = 1")
+
+
+def test_bind_arguments_by_name(spark):
+    df = spark.range(1)
+
+    def fn(src, factor, opt=5):
+        return src
+
+    bound = bind_arguments(fn, {"src": df}, {"factor": 2})
+    assert bound == {"src": df, "factor": 2}
+    with pytest.raises(ExecutionFunctionError, match="factor"):
+        bind_arguments(fn, {"src": df}, {})
+
+
+def test_validate_outputs(spark):
+    df = spark.range(1)
+    assert validate_outputs(df, ["a"]) == {"a": df}
+    assert validate_outputs({"a": df, "b": df}, ["a", "b"])["b"] is df
+    with pytest.raises(ExecutionFunctionError):
+        validate_outputs(df, ["a", "b"])
+    with pytest.raises(ExecutionFunctionError):
+        validate_outputs({"a": 1}, ["a"])
+
+
+# -- interpolation ----------------------------------------------------------
+
+def test_interpolate_nested_and_secrets():
+    secrets = DictSecretManager({"scope": {"pw": "s3cret"}})
+    cfg = {"url": "jdbc://{{scope/pw}}@host", "window": ["{{RangeStart}}"],
+           "n": 7}
+    out = interpolate(cfg, {"RangeStart": "2024-01-01"}, secrets)
+    assert out == {"url": "jdbc://s3cret@host", "window": ["2024-01-01"], "n": 7}
+
+
+def test_interpolate_unresolvable_raises():
+    with pytest.raises(KeyError):
+        interpolate("{{missing}}", {}, None)
