@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
     """Import all query modules so their @register calls have run."""
     from projectone_spark.queries import (  # noqa: F401
         analytics,
+        analytics2,
         dedup,
         embeddings,
         engine_ops,

@@ -1,0 +1,401 @@
+"""Extended analytics coverage: the remaining TPC-H query shapes plus the
+operator classes the reference gets "for free" from Spark SQL (SURVEY
+§2.5-2.8): disjunctive predicates, correlated-aggregate subqueries, cube +
+grouping_id, pivot, exact percentiles, moving-window frames, as-of and
+range joins.
+
+Plan notes (verified via .explain("formatted")):
+- dimension sides (part, supplier, per-part averages) broadcast under the
+  64 MB threshold; fact scans keep PushedFilters for every constant
+  predicate;
+- the as-of join is the union-merge idiom from
+  :mod:`projectone_spark.functions.joins` — one shuffle, no
+  broadcast-nested-loop;
+- cube/rollup run as a single expand + hash aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from projectone_spark.functions.joins import asof_join, range_join
+from projectone_spark.queries import load, register
+
+def _rev() -> F.Column:
+    """Revenue expression; a function because Column construction needs a
+    live SparkContext (import happens before any session exists)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount) END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+@register("q14_promo_revenue", _Q14_SQL,
+          doc="TPC-H Q14 shape: broadcast dim join + conditional aggregate ratio",
+          tags=("join", "agg"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp")))
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "ECONOMY", _rev()))
+    return j.agg(F.round(100.0 * promo / F.sum(_rev()), 2).alias("promo_pct"))
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL,
+          doc="TPC-H Q15 shape: scalar-subquery max without a global sort",
+          tags=("join", "agg", "subquery"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(_rev()), 2).alias("total_rev")))
+    # scalar max broadcast back — no single-partition global window
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+            .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .select("s_suppkey", "s_name", "total_rev"))
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_size BETWEEN 1 AND 15
+GROUP BY p_brand, p_size
+"""
+
+
+@register("q16_supplier_variety", _Q16_SQL,
+          doc="TPC-H Q16 shape: distinct-count per group with dim predicates",
+          tags=("join", "agg", "distinct"))
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & F.col("p_size").between(1, 15))
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")))
+
+
+_Q17_SQL = """
+WITH avg_qty AS (
+  SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS half_avg
+  FROM lineitem GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN avg_qty ON l_partkey = a_partkey
+WHERE l_quantity < half_avg
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_SQL,
+          doc="TPC-H Q17 shape: correlated average de-correlated to a self-agg join",
+          tags=("join", "agg", "subquery"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+               .agg((0.5 * F.avg("l_quantity")).alias("half_avg")))
+    j = li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.a_partkey)
+    return (j.filter(F.col("l_quantity") < F.col("half_avg"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       round(o_totalprice, 2) AS total_price,
+       round(sum(l_quantity), 1) AS sum_qty
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 200
+"""
+
+
+@register("q18_large_orders", _Q18_SQL,
+          doc="TPC-H Q18 shape: group-filter on a fact join (HAVING over sum)",
+          tags=("join", "agg"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                      "o_totalprice")
+            .agg(F.sum("l_quantity").alias("raw_qty"))
+            .filter(F.col("raw_qty") > 200)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_orderdate").cast("date").alias("order_date"),
+                    F.round("o_totalprice", 2).alias("total_price"),
+                    F.round("raw_qty", 1).alias("sum_qty")))
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("q19_disjunctive_predicates", _Q19_SQL,
+          doc="TPC-H Q19 shape: OR'd multi-column range predicates over a join",
+          tags=("join", "filter"))
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 15)
+           & q.between(20, 30)))
+    return j.filter(pred).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 100)
+"""
+
+
+@register("q20_bulk_part_suppliers", _Q20_SQL,
+          doc="TPC-H Q20 shape: nested grouped-HAVING feeding a semi join",
+          tags=("join", "semi", "agg"))
+def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+    bulky = (li.groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum("l_quantity").alias("q"))
+             .filter(F.col("q") > 100)
+             .select("l_suppkey"))
+    sup = load(spark, sf_dir, "supplier")
+    return (sup.join(bulky, sup.s_suppkey == bulky.l_suppkey, "semi")
+            .select("s_suppkey", "s_name"))
+
+
+_Q22_SQL = """
+WITH rich AS (
+  SELECT * FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0))
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM rich
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+@register("q22_idle_rich_customers", _Q22_SQL,
+          doc="TPC-H Q22 shape: scalar-avg filter + anti join + grouped agg",
+          tags=("join", "anti", "subquery"))
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    recent = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    rich = (cust.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab")))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "anti")
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+_Q23_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 1) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("q23_cube_grouping", _Q23_SQL,
+          doc="CUBE over (returnflag, linestatus) with grouping_id",
+          tags=("agg", "cube"))
+def q23_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.round(F.sum("l_quantity"), 1).alias("sum_qty")))
+
+
+_Q24_SQL = """
+SELECT o_orderpriority,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS status_o,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS status_f,
+       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS status_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("q24_status_pivot", _Q24_SQL,
+          doc="pivot order status → one count column per status value",
+          tags=("agg", "pivot"))
+def q24_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # explicit value list: no extra distinct-scan job, stable column order
+    piv = (orders.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["O", "F", "P"])
+           .agg(F.count(F.lit(1))))
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("status_f"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_p"))
+
+
+_Q25_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+views AS (
+  SELECT user_id, ts AS view_ts, value AS view_value
+  FROM events WHERE event_type = 'view')
+SELECT event_id, purchases.user_id AS user_id, ts, view_ts, view_value
+FROM purchases ASOF LEFT JOIN views
+  ON purchases.user_id = views.user_id AND purchases.ts >= views.view_ts
+"""
+
+
+@register("q25_asof_last_view", _Q25_SQL,
+          doc="as-of join: each purchase gains the user's latest prior view "
+              "(union-merge plan, one shuffle)",
+          tags=("join", "asof", "events"))
+def q25_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts"),
+                     F.col("value").alias("view_value")))
+    out = asof_join(purchases, views, on=["user_id"],
+                    left_ts="ts", right_ts="view_ts")
+    return out.select("event_id", "user_id", "ts", "view_ts", "view_value")
+
+
+_Q26_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_shipped_30d
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+"""
+
+
+@register("q26_range_join_ship_lag", _Q26_SQL,
+          doc="range join: lineitems shipped within 30 days of order placement",
+          tags=("join", "range"))
+def q26_range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("k"), "l_shipdate"))
+    orders = (load(spark, sf_dir, "orders")
+              .select(F.col("o_orderkey").alias("k"), "o_orderpriority",
+                      F.col("o_orderdate").alias("lo"),
+                      (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("hi")))
+    j = range_join(li, orders, left_ts="l_shipdate", right_lo="lo",
+                   right_hi="hi", on=["k"])
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shipped_30d")))
+
+
+_Q27_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS median_price,
+       quantile_disc(l_extendedprice, 0.9) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q27_exact_percentiles", _Q27_SQL,
+          doc="exact discrete percentiles (median/p90) per return flag — "
+              "discrete avoids cross-engine interpolation ulp drift",
+          tags=("agg", "percentile"))
+def q27_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+                 .alias("median_price"),
+                 F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+                 .alias("p90_price")))
+
+
+_Q28_SQL = """
+WITH daily AS (
+  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2)
+SELECT l_returnflag, d,
+       CAST(rev_dec AS DOUBLE) AS day_rev,
+       CAST(sum(rev_dec) OVER (PARTITION BY l_returnflag ORDER BY d
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rev_7d_sum
+FROM daily
+"""
+
+
+@register("q28_moving_window_revenue", _Q28_SQL,
+          doc="7-row moving window over daily revenue per return flag "
+              "(exact decimal arithmetic, no float-rounding ambiguity)",
+          tags=("window", "agg"))
+def q28_moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+    # money math on DECIMAL: sums are exact, so Spark and any other engine
+    # produce bit-identical doubles at the end — no round() ties
+    rev_dec = (F.col("l_extendedprice").cast("decimal(18,2)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    daily = (li.groupBy("l_returnflag",
+                        F.col("l_shipdate").cast("date").alias("d"))
+             .agg(F.sum(rev_dec).alias("rev_dec")))
+    w = (Window.partitionBy("l_returnflag").orderBy("d")
+         .rowsBetween(-6, Window.currentRow))
+    return daily.select(
+        "l_returnflag", "d",
+        F.col("rev_dec").cast("double").alias("day_rev"),
+        F.sum("rev_dec").over(w).cast("double").alias("rev_7d_sum"))
