@@ -22,10 +22,13 @@ def main() -> None:
     spark = get_spark("projectone_spark-bench")
     all_queries = queries()
 
-    # Warm the JVM/session on the smallest scale so timings measure the
-    # queries, not session spin-up.
-    warm = all_queries["q01_pricing_summary"]
-    warm(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    # Warm the JVM/session AND the Python worker pool on the smallest scale
+    # so timings measure the queries, not process spin-up: chained
+    # mapInPandas stages each fork a pyspark worker per core on first use
+    # (~5-15 s across 32 cores), reused afterwards.
+    for warm_name in ("q01_pricing_summary", "m02_image_pixel_stats"):
+        all_queries[warm_name](spark, "/root/testdata/sf0.001") \
+            .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -84,6 +84,7 @@ def _ensure_loaded() -> None:
         dedup,
         embeddings,
         engine_ops,
+        multimodal,
         streaming,
         text,
     )
