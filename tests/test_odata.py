@@ -1,0 +1,104 @@
+"""OData Python DataSource tests against the offline mock transport:
+schema-from-$metadata, paged partition planning, filter pushdown to
+$filter, column projection, and incremental micro-batch streaming."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from projectone_spark.sources.odata import (
+    EqualTo,
+    GreaterThan,
+    MockODataTransport,
+    ODataClient,
+    ODataReader,
+    StringStartsWith,
+    translate_filter,
+)
+
+OPTS = {"url": "mock://svc", "entity": "Accounts",
+        "transport": "projectone_spark.sources.odata:MockODataTransport",
+        "rows_per_page": "7"}
+
+
+@pytest.fixture(scope="module")
+def odata_spark(spark):
+    from projectone_spark.sources.odata import register
+
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return spark
+
+
+def _read(odata_spark, **extra):
+    r = odata_spark.read.format("odata")
+    for k, v in {**OPTS, **extra}.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_schema_from_metadata(odata_spark):
+    df = _read(odata_spark)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("Id", "bigint"), ("Name", "string"), ("Balance", "double"),
+        ("Active", "boolean"), ("ModifiedOn", "timestamp")]
+
+
+def test_full_scan_pages_across_partitions(odata_spark):
+    df = _read(odata_spark)
+    assert df.count() == 40
+    # 40 rows / 7 per page → 6 partitions
+    assert df.rdd.getNumPartitions() == 6
+    assert sorted(r["Id"] for r in df.collect()) == list(range(40))
+
+
+def test_filter_pushdown_reduces_partitions(odata_spark):
+    df = _read(odata_spark).filter(F.col("Id") >= 35)
+    rows = df.collect()
+    assert sorted(r["Id"] for r in rows) == [35, 36, 37, 38, 39]
+    # the pushed $filter shrinks $count → a single partition
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_string_pushdown_and_residual(odata_spark):
+    df = _read(odata_spark).filter(
+        F.col("Name").startswith("Account 00") & F.col("Active"))
+    assert sorted(r["Id"] for r in df.collect()) == [1, 2, 4, 5, 7, 8]
+
+
+def test_fields_projection(odata_spark):
+    df = _read(odata_spark, fields="Name,Id")
+    assert df.columns == ["Name", "Id"]
+    assert df.count() == 40
+
+
+def test_translate_filter_fragments():
+    assert translate_filter(EqualTo(("Name",), "x")) == "Name eq 'x'"
+    assert translate_filter(GreaterThan(("Id",), 3)) == "Id gt 3"
+    assert (translate_filter(StringStartsWith(("Name",), "A"))
+            == "startswith(Name,'A')")
+
+
+def test_client_count_and_page_offline():
+    client = ODataClient("mock://svc", "Accounts",
+                         "projectone_spark.sources.odata:MockODataTransport")
+    assert client.count() == 40
+    assert client.count("Id ge 38") == 2
+    page = client.page(0, 3, select=["Id", "Name"])
+    assert [r["Id"] for r in page] == [0, 1, 2]
+
+
+def test_stream_incremental_microbatches(odata_spark, tmp_path):
+    df = (odata_spark.readStream.format("odata")
+          .option("url", OPTS["url"]).option("entity", OPTS["entity"])
+          .option("transport", OPTS["transport"])
+          .option("incremental_field", "ModifiedOn")
+          .load())
+    q = (df.writeStream.format("memory").queryName("odata_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = odata_spark.table("odata_stream")
+    assert got.count() == 40  # everything is newer than the 2000-01-01 epoch
+    assert got.select(F.max("Id")).collect()[0][0] == 39
