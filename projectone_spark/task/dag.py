@@ -1,0 +1,173 @@
+"""Pipeline DAG runner + contract reference resolution (framework layer).
+
+Re-expresses the reference's local runner (``framework/runner/local.py:23,
+101-150, 242-430``): tasks declare ``depends_on``; scheduling is
+topological waves; a failed dependency marks all downstream tasks SKIPPED.
+
+Differences from the reference (deliberate): tasks run in THREADS sharing
+one SparkSession instead of subprocess-per-task — Spark schedules jobs
+from concurrent driver threads onto the same executors (FAIR pool ready),
+so a 40-task pipeline keeps the cluster saturated without 40 driver JVMs.
+The reference's worker sizing (2/3 of cpus) is kept as the default.
+
+Contract references (``framework/contract/config/__init__.py:28-32``):
+``${datasets.<schema>.tables.<t>}``, ``${tasks.<t>}``, and ``${ENV_VAR}``
+resolve recursively over the pipeline JSON before task construction.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from projectone_spark.config import TaskConfig
+from projectone_spark.task import SparkTask
+
+
+@dataclass
+class TaskNode:
+    name: str
+    config: TaskConfig
+    depends_on: list[str] = field(default_factory=list)
+
+
+@dataclass
+class TaskRun:
+    name: str
+    status: str  # SUCCESS | FAILED | SKIPPED
+    error: str | None = None
+    start_time: float = 0.0
+    end_time: float = 0.0
+
+
+class CycleError(ValueError):
+    pass
+
+
+def _toposort(nodes: dict[str, TaskNode]) -> None:
+    seen: dict[str, int] = {}
+
+    def visit(n: str, stack: tuple[str, ...]) -> None:
+        if seen.get(n) == 2:
+            return
+        if n in stack:
+            raise CycleError(f"dependency cycle: {' -> '.join(stack)} -> {n}")
+        seen[n] = 1
+        for d in nodes[n].depends_on:
+            if d not in nodes:
+                raise ValueError(f"task '{n}' depends on unknown task '{d}'")
+            visit(d, (*stack, n))
+        seen[n] = 2
+
+    for name in nodes:
+        visit(name, ())
+
+
+class PipelineRunner:
+    """Wave-scheduled DAG execution over a shared SparkSession."""
+
+    def __init__(self, spark: SparkSession | None = None,
+                 max_workers: int | None = None):
+        self.spark = spark
+        self.max_workers = max_workers or max(1, (os.cpu_count() or 3) * 2 // 3)
+
+    def run(self, tasks: list[TaskNode]) -> dict[str, TaskRun]:
+        nodes = {t.name: t for t in tasks}
+        _toposort(nodes)
+        runs: dict[str, TaskRun] = {}
+        pending = dict(nodes)
+        futures = {}
+
+        def ready(t: TaskNode) -> bool:
+            return all(d in runs for d in t.depends_on)
+
+        def deps_ok(t: TaskNode) -> bool:
+            return all(runs[d].status == "SUCCESS" for d in t.depends_on)
+
+        def execute(t: TaskNode) -> TaskRun:
+            run = TaskRun(t.name, "SUCCESS", start_time=time.time())
+            try:
+                SparkTask(t.config, self.spark).execute()
+            except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+                run.status = "FAILED"
+                run.error = f"{type(e).__name__}: {e}"
+            run.end_time = time.time()
+            return run
+
+        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+            while pending or futures:
+                for name in [n for n, t in pending.items() if ready(t)]:
+                    t = pending.pop(name)
+                    if not deps_ok(t):
+                        # reference: failed dependency → downstream skipped
+                        runs[name] = TaskRun(name, "SKIPPED",
+                                             error="upstream dependency failed")
+                        continue
+                    futures[pool.submit(execute, t)] = name
+                if futures:
+                    done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+                    for f in done:
+                        runs[futures.pop(f)] = f.result()
+        return runs
+
+
+# -- contract reference resolution ------------------------------------------
+
+_REF = re.compile(r"\$\{([^}]+)\}")
+
+
+def resolve_references(value: Any, context: dict[str, Any]) -> Any:
+    """Resolve ``${dotted.path}`` against ``context`` (nested dicts), then
+    ``${ENV_VAR}`` against the environment; whole-string references keep
+    the referent's type (a dict reference stays a dict)."""
+    if isinstance(value, str):
+        whole = _REF.fullmatch(value.strip())
+        if whole:
+            return _lookup(whole.group(1), context)
+        return _REF.sub(lambda m: str(_lookup(m.group(1), context)), value)
+    if isinstance(value, dict):
+        return {k: resolve_references(v, context) for k, v in value.items()}
+    if isinstance(value, list):
+        return [resolve_references(v, context) for v in value]
+    return value
+
+
+def _lookup(path: str, context: dict[str, Any]) -> Any:
+    cur: Any = context
+    for part in path.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            cur = None
+            break
+    if cur is not None:
+        return cur
+    if path in os.environ:
+        return os.environ[path]
+    raise KeyError(f"unresolvable contract reference: ${{{path}}}")
+
+
+def load_pipeline(contract: dict[str, Any],
+                  *, context: dict[str, Any] | None = None) -> list[TaskNode]:
+    """Parse a pipeline contract::
+
+        {"datasets": {...}, "tasks": {name: {"depends_on": [...],
+                                             "task": {<TaskConfig json>}}}}
+
+    ``datasets`` (and anything else top-level) is reference context for
+    ``${...}`` resolution inside each task config.
+    """
+    ctx = {**contract, **(context or {})}
+    nodes = []
+    for name, spec in contract["tasks"].items():
+        raw = resolve_references(spec.get("task", {}), ctx)
+        raw.setdefault("name", name)
+        nodes.append(TaskNode(name=name, config=TaskConfig(**raw),
+                              depends_on=list(spec.get("depends_on", []))))
+    return nodes
