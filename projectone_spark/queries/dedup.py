@@ -126,3 +126,40 @@ FROM t a JOIN t b ON a.band = b.band AND a.doc_id < b.doc_id
           tags=("dedup", "jaccard"))
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def _d06_sql() -> str:
+    from projectone_spark.queries.embeddings import _E_DBL, _bucket_sql, _dot, _norm
+
+    return f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+b AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM v)
+SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+       round({_dot('a.e', 'c.e')} / ({_norm('a.e')} * {_norm('c.e')}), 6) AS cosine
+FROM b a JOIN b c USING (bucket)
+WHERE a.vec_id < c.vec_id
+  AND {_dot('a.e', 'c.e')} / ({_norm('a.e')} * {_norm('c.e')}) >= 0.35
+"""
+
+
+@register("d06_embedding_neardup", _d06_sql(),
+          doc="embedding-cosine near-duplicate pairs, LSH-bucketed: pair "
+              "generation is a bucket equi-join (one shuffle), never the "
+              "O(n^2) cross product",
+          tags=("dedup", "embeddings", "lsh"))
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import cosine, lsh_bucket
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    b = emb.withColumn("bucket", lsh_bucket(F.col("e")))
+    a, c = b.alias("a"), b.alias("c")
+    cos = cosine(F.col("a.e"), F.col("c.e"))
+    return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+                   & (F.col("a.vec_id") < F.col("c.vec_id")))
+            .filter(cos >= 0.35)
+            .select(F.col("a.vec_id").alias("vec_id_a"),
+                    F.col("c.vec_id").alias("vec_id_b"),
+                    F.round(cos, 6).alias("cosine")))

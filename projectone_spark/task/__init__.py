@@ -194,12 +194,23 @@ class SparkTask:
         # post-steps: configured features in order (input.py:164-287)
         return apply_input_features(df, [f.model_dump() for f in inp.features])
 
-    def _write_output(self, out: SparkOutput, df: DataFrame) -> None:
-        if out.constraints:
-            check_table_constraints(self.spark, self.store, df,
-                                    [(t, cols) for t, cols in out.constraints])
+    def _read_stream_input(self, inp: SparkInput) -> DataFrame:
+        """Streaming read path (reference stream read + post-steps); CDC is
+        the checkpoint's job for streams, so only filter/features apply."""
+        from projectone_spark.sources import read_stream
+
+        secrets = DictSecretManager(self.config.secrets)
+        opts = interpolate(dict(inp.read_options.options), self._variables(), secrets)
+        path = interpolate(inp.path, self._variables(), secrets) if inp.path else None
+        df = read_stream(self.spark, inp.source, path=path, table=inp.table,
+                         schema=inp.read_options.source_schema, options=opts)
+        if inp.read_options.filter:
+            df = df.filter(interpolate(inp.read_options.filter,
+                                       self._variables(), secrets))
+        return apply_input_features(df, [f.model_dump() for f in inp.features])
+
+    def _writer_kwargs(self, out: SparkOutput) -> dict[str, Any]:
         wo = out.write_options
-        writer = WRITERS[out.write_type]
         kwargs: dict[str, Any] = {"partition_by": wo.split("partition_by")}
         if out.write_type in ("scd1", "scd2", "scd3"):
             kwargs["key_cols"] = wo.split("key_attributes") or []
@@ -219,12 +230,42 @@ class SparkTask:
             kwargs["replace_where"] = wo.replace_where
             kwargs["partition_values"] = wo.partition_values
             kwargs["rename"] = wo.rename_metadata_columns
-        version = writer(self.spark, self.store, df, out.target, **kwargs)
+        return kwargs
+
+    def _write_output(self, out: SparkOutput, df: DataFrame) -> None:
+        if out.constraints:
+            check_table_constraints(self.spark, self.store, df,
+                                    [(t, cols) for t, cols in out.constraints])
+        writer = WRITERS[out.write_type]
+        version = writer(self.spark, self.store, df, out.target,
+                         **self._writer_kwargs(out))
         self.state.set(f"{out.name}_write", {
             "version": version, "write_type": out.write_type,
             "batch_id": self.batch_id}, folder="sink")
 
+    def _bind_and_run_execution(self, inputs: dict[str, DataFrame],
+                                output_names: list[str]) -> dict[str, DataFrame]:
+        cfg = self.config
+        if cfg.execution is not None:
+            ex = cfg.execution
+            fn = load_function(ex.name, module=ex.module, body=ex.body, file=ex.file)
+            args = bind_arguments(fn, inputs, ex.extra_arguments)
+            raw = _step(self.results, f"execution_{ex.name}", self.batch_id,
+                        lambda: fn(**args))
+            return validate_outputs(raw, output_names)
+        if len(inputs) != 1 or len(output_names) != 1:
+            raise ValueError("identity passthrough needs exactly 1 input and output")
+        return {output_names[0]: next(iter(inputs.values()))}
+
     def execute(self) -> list[Result]:
+        """Dispatch batch/stream (reference ``execute``, task.py:578-583)."""
+        if (self.config.refresh_policy.type == "stream"
+                or any(i.source_extract_type == "stream"
+                       for i in self.config.inputs)):
+            return self.stream_process()
+        return self.batch_process()
+
+    def batch_process(self) -> list[Result]:
         """Batch execution (reference ``task_process``, task.py:386-497)."""
         cfg = self.config
         inputs: dict[str, DataFrame] = {}
@@ -233,17 +274,7 @@ class SparkTask:
                                      self.batch_id, lambda i=inp: self._read_input(i))
 
         output_names = [o.name for o in cfg.outputs]
-        if cfg.execution is not None:
-            ex = cfg.execution
-            fn = load_function(ex.name, module=ex.module, body=ex.body, file=ex.file)
-            args = bind_arguments(fn, inputs, ex.extra_arguments)
-            raw = _step(self.results, f"execution_{ex.name}", self.batch_id,
-                        lambda: fn(**args))
-            outputs = validate_outputs(raw, output_names)
-        else:
-            if len(inputs) != 1 or len(output_names) != 1:
-                raise ValueError("identity passthrough needs exactly 1 input and output")
-            outputs = {output_names[0]: next(iter(inputs.values()))}
+        outputs = self._bind_and_run_execution(inputs, output_names)
 
         for out in cfg.outputs:
             _step(self.results, f"output_{out.name}", self.batch_id,
@@ -255,6 +286,53 @@ class SparkTask:
             save_cdc_state(self.state, name, st)
         self.state.set(f"pipeline_{cfg.refresh_policy.type}_load_timestamp",
                        time.time())
+        return self.results
+
+    def stream_process(self, *, timeout_seconds: float | None = None) -> list[Result]:
+        """Streaming execution (reference ``stream_process`` +
+        ``stream_wait_close``, task.py:547-556): every output starts a
+        writeStream whose foreachBatch reuses the batch writer; checkpoints
+        default to ``{state_location}/checkpoints/{output}``."""
+        from projectone_spark.streaming import (
+            StreamTrigger,
+            checkpoint_location,
+            foreach_batch_writer,
+            stream_wait_close,
+            write_stream,
+        )
+
+        cfg = self.config
+        inputs: dict[str, DataFrame] = {}
+        for inp in cfg.inputs:
+            inputs[inp.name] = _step(
+                self.results, f"input_{inp.name}", self.batch_id,
+                lambda i=inp: self._read_stream_input(i)
+                if i.source_extract_type == "stream" else self._read_input(i))
+
+        output_names = [o.name for o in cfg.outputs]
+        outputs = self._bind_and_run_execution(inputs, output_names)
+
+        queries = []
+        state_loc = cfg.state_location or f"/tmp/projectone_state/{cfg.name}"
+        for out in cfg.outputs:
+            trig = out.trigger
+            q = _step(
+                self.results, f"output_{out.name}", self.batch_id,
+                lambda o=out: write_stream(
+                    outputs[o.name],
+                    query_name=f"{cfg.name}_{o.name}",
+                    checkpoint=o.checkpoint_location
+                    or checkpoint_location(state_loc, o.name),
+                    trigger=StreamTrigger(
+                        once=bool(trig.once),
+                        available_now=trig.available_now is not False,
+                        processing_time=trig.processing_time),
+                    foreach_batch=foreach_batch_writer(
+                        self.spark, self.store, o.target, o.write_type,
+                        **self._writer_kwargs(o))))
+            queries.append(q)
+        stream_wait_close(queries, timeout_seconds=timeout_seconds)
+        self.state.set("pipeline_stream_load_timestamp", time.time())
         return self.results
 
 

@@ -209,3 +209,27 @@ def test_interpolate_nested_and_secrets():
 def test_interpolate_unresolvable_raises():
     with pytest.raises(KeyError):
         interpolate("{{missing}}", {}, None)
+
+
+def test_stream_task_scd1_end_to_end(spark, tmp_path, source_dir):
+    """Reference test_stream.py shape: stream source → foreachBatch scd1."""
+    task = (SparkTask.builder
+            .setName("t5")
+            .setInput(name="src", path=source_dir, source="parquet",
+                      source_extract_type="stream",
+                      read_options={"source_schema": SCHEMA})
+            .setOutput(name="out", table="target", write_type="scd1",
+                       write_options={"key_attributes": "id"})
+            .setRefreshPolicy(type="stream")
+            .setStateLocation(str(tmp_path / "state"))
+            .setStoreLocation(str(tmp_path / "store"))
+            .setSession(spark)
+            .create())
+    results = task.stream_process(timeout_seconds=300)
+    assert all(r.status == "success" for r in results)
+    got = TableStore(str(tmp_path / "store")).read(spark, "target")
+    assert got.count() == 6
+    # checkpoint written under the state location (reference default)
+    import os
+
+    assert os.path.isdir(str(tmp_path / "state" / "checkpoints" / "out"))
