@@ -116,3 +116,26 @@ def incremental_read(df: DataFrame, attribute: str, state_store: StateStore,
     prev = load_cdc_state(state_store, input_name)
     pred, new_state = resolve_cdc(df, attribute, prev, backfill, batch_id)
     return df.filter(pred), new_state
+
+
+def store_cdf_read(store, spark, table: str, state_store: StateStore,
+                  input_name: str):
+    """Version-watermark incremental read over TableStore's change feed —
+    the engine's ``delta_cdc_feed`` mode (reference
+    ``delta_source.py:198-250``: start/end = commit versions from history,
+    persisted per input). Returns ``(changes_df, new_state)``; persist the
+    state only after the run succeeds."""
+    from projectone_spark.store import read_changes
+
+    key = f"{input_name}_cdf_version"
+    prev = state_store.get_value(key, folder="sources", default=-1)
+    current = store.version(table)
+    if current <= prev:
+        raise ValueError(f"no new commits for '{table}' (at version {current})")
+    df = read_changes(store, spark, table, prev + 1, current)
+    return df, {"key": key, "version": current}
+
+
+def save_cdf_state(state_store: StateStore, new_state: dict) -> int:
+    return state_store.set(new_state["key"], new_state["version"],
+                           folder="sources")

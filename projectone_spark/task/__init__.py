@@ -191,8 +191,31 @@ class SparkTask:
             self._pending_cdc[inp.name] = new_state
         if row_filter:
             df = df.filter(row_filter)
-        # post-steps: configured features in order (input.py:164-287)
-        return apply_input_features(df, [f.model_dump() for f in inp.features])
+        # post-steps: configured features in order (input.py:164-287);
+        # post_task_execution features don't transform the frame — they
+        # schedule source-file ops for after a successful run (reference
+        # features.py:169-193 + Runtime.atexit)
+        feats = []
+        for f in inp.features:
+            d = f.model_dump()
+            if d["name"] == "post_task_execution":
+                self._cleanup_ops = getattr(self, "_cleanup_ops", [])
+                self._cleanup_ops.append({**d, "source_path": path})
+            else:
+                feats.append(d)
+        return apply_input_features(df, feats)
+
+    def _run_cleanup(self) -> None:
+        """Post-success source-file ops (reference ``file_source.py:622-672``:
+        operation 'delete' removes consumed source files)."""
+        from projectone_spark.sources.file_clients import LocalFileClient
+
+        client = LocalFileClient()
+        for op in getattr(self, "_cleanup_ops", []):
+            if op.get("operation") == "delete":
+                pattern = op.get("path") or op["source_path"]
+                for info in client.list(pattern):
+                    client.delete(info.path)
 
     def _read_stream_input(self, inp: SparkInput) -> DataFrame:
         """Streaming read path (reference stream read + post-steps); CDC is
@@ -286,6 +309,7 @@ class SparkTask:
             save_cdc_state(self.state, name, st)
         self.state.set(f"pipeline_{cfg.refresh_policy.type}_load_timestamp",
                        time.time())
+        self._run_cleanup()
         return self.results
 
     def stream_process(self, *, timeout_seconds: float | None = None) -> list[Result]:

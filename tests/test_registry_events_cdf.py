@@ -1,0 +1,152 @@
+"""Schema-registry parsing, event bus, store change feed, post-task cleanup."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from projectone_spark.events import Event, EventManager, webhook_handler
+from projectone_spark.features.schema_registry import (
+    SchemaRegistryClient,
+    apply_registry_schema,
+    json_schema_to_spark,
+)
+from projectone_spark.cdc import save_cdf_state, store_cdf_read
+from projectone_spark.store import TableStore, read_changes
+from projectone_spark.store.state import StateStore
+
+SCHEMA = "id long, name string, offset long"
+BASE = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+# -- schema registry --------------------------------------------------------
+
+def test_json_schema_to_spark_types():
+    js = {"type": "object", "properties": {
+        "s": {"type": "string"},
+        "n": {"type": "number"},
+        "i": {"type": "integer"},
+        "b": {"type": "boolean"},
+        "ts": {"type": "string", "format": "date-time"},
+        "d": {"type": "string", "format": "date"},
+        "arr": {"type": "array", "items": {"type": "long"}},
+        "nested": {"type": "object", "properties": {"x": {"type": "double"}}},
+    }}
+    st = json_schema_to_spark(js)
+    got = {f.name: f.dataType.simpleString() for f in st.fields}
+    assert got == {"s": "string", "n": "float", "i": "int", "b": "boolean",
+                   "ts": "timestamp", "d": "date", "arr": "array<bigint>",
+                   "nested": "struct<x:double>"}
+
+
+def test_apply_registry_schema_from_json(spark):
+    df = spark.createDataFrame(
+        [(1, '{"user": "u1", "score": 5}')], "id long, payload string")
+    js = {"type": "object", "properties": {
+        "user": {"type": "string"}, "score": {"type": "integer"}}}
+    out = apply_registry_schema(df, "payload", json_schema=js,
+                                target_column="parsed")
+    row = out.select("parsed.user", "parsed.score").collect()[0]
+    assert tuple(row) == ("u1", 5)
+
+
+def test_registry_fetch_offline(spark):
+    js = {"type": "object", "properties": {"k": {"type": "string"}}}
+
+    def transport(url: str) -> bytes:
+        assert url.endswith("/subjects/topic-value/versions/latest")
+        return json.dumps({"schema": json.dumps(js)}).encode()
+
+    reg = SchemaRegistryClient("http://registry", transport)
+    df = spark.createDataFrame([(b'{"k": "v"}',)], "payload binary")
+    out = apply_registry_schema(df, "payload", registry=reg,
+                                subject="topic-value", target_column="p")
+    assert out.select("p.k").collect()[0][0] == "v"
+
+
+# -- event bus --------------------------------------------------------------
+
+def test_event_bus_dispatch_and_webhook():
+    posts = []
+    bus = EventManager(synchronous=True)
+    bus.subscribe("task_failed", webhook_handler(
+        "http://hook", transport=lambda url, body: posts.append((url, body))))
+    seen = []
+    bus.subscribe("*", seen.append)
+    bus.dispatch(Event("task_failed", "FAIL", "boom", {"task": "t1"}))
+    bus.dispatch(Event("other", "CONTINUE"))
+    assert len(posts) == 1 and json.loads(posts[0][1])["severity"] == "FAIL"
+    assert [e.name for e in seen] == ["task_failed", "other"]
+
+
+def test_event_invalid_severity():
+    with pytest.raises(ValueError):
+        Event("x", "WHATEVER")
+
+
+def test_event_handler_errors_recorded():
+    bus = EventManager(synchronous=True)
+    bus.subscribe("x", lambda e: 1 / 0)
+    bus.dispatch(Event("x"))
+    assert len(bus.errors) == 1
+
+
+# -- store change feed ------------------------------------------------------
+
+def test_read_changes_append_and_overwrite(spark, tmp_path):
+    store = TableStore(str(tmp_path / "store"))
+    store.overwrite(spark, spark.createDataFrame(BASE, SCHEMA), "t")       # v0
+    store.append(spark, spark.createDataFrame([(4, "d", 40)], SCHEMA), "t")  # v1
+    store.overwrite(spark, spark.createDataFrame(BASE[:1], SCHEMA), "t")   # v2
+
+    v1 = read_changes(store, spark, "t", 1, 1)
+    assert [(r["id"], r["_change_type"]) for r in v1.collect()] == [(4, "insert")]
+
+    v2 = read_changes(store, spark, "t", 2, 2)
+    got = sorted((r["id"], r["_change_type"]) for r in v2.collect())
+    assert got == [(2, "delete"), (3, "delete"), (4, "delete")]
+
+    whole = read_changes(store, spark, "t", 0)
+    assert whole.filter("_commit_version = 0").count() == 3
+
+
+def test_store_cdf_incremental_cycle(spark, tmp_path):
+    store = TableStore(str(tmp_path / "store"))
+    state = StateStore(str(tmp_path / "state"))
+    store.overwrite(spark, spark.createDataFrame(BASE, SCHEMA), "t")
+    df, st = store_cdf_read(store, spark, "t", state, "inp")
+    assert df.count() == 3
+    save_cdf_state(state, st)
+
+    with pytest.raises(ValueError, match="no new commits"):
+        store_cdf_read(store, spark, "t", state, "inp")
+
+    store.append(spark, spark.createDataFrame([(9, "z", 90)], SCHEMA), "t")
+    df2, st2 = store_cdf_read(store, spark, "t", state, "inp")
+    assert [r["id"] for r in df2.collect()] == [9]
+
+
+# -- post-task cleanup ------------------------------------------------------
+
+def test_post_task_execution_deletes_source(spark, tmp_path):
+    import os
+
+    from projectone_spark.task import SparkTask
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(BASE, SCHEMA).write.parquet(src)
+    task = (SparkTask.builder
+            .setName("cleanup_t")
+            .setInput(name="src", path=src, source="parquet",
+                      features=[{"name": "post_task_execution",
+                                 "operation": "delete",
+                                 "path": f"{src}/*.parquet"}])
+            .setOutput(name="out", table="target", write_type="overwrite")
+            .setStateLocation(str(tmp_path / "state"))
+            .setStoreLocation(str(tmp_path / "store"))
+            .setSession(spark)
+            .create())
+    task.execute()
+    assert TableStore(str(tmp_path / "store")).read(spark, "target").count() == 3
+    assert not [f for f in os.listdir(src) if f.endswith(".parquet")]
