@@ -15,6 +15,8 @@ A ground-up re-expression of the capabilities of the reference engine
                   similarity, multimodal column plumbing
 - ``streaming`` — structured-streaming read/write, foreachBatch writer reuse,
                   watermarked/windowed aggregations
+- ``events``    — severity-tagged event bus with webhook/custom handlers
+- ``observability`` — job groups, plan capture, streaming metrics listener
 - ``queries``   — the registered analytics query library (driver correctness gate)
 
 Everything is DataFrame-first: operators are pure functions

@@ -13,6 +13,13 @@ from typing import Any, Literal
 
 from pydantic import BaseModel, Field, field_validator, model_validator
 
+from projectone_spark.config.data_objects import (  # noqa: F401 (re-export)
+    SchemaObject,
+    Table,
+    TableColumn,
+    View,
+)
+
 WriteType = Literal["append", "overwrite", "selective_overwrite",
                     "scd1", "scd2", "scd3", "custom"]
 SourceType = Literal["table", "file", "stream"]
@@ -141,6 +148,10 @@ class SparkOutput(BaseModel):
     trigger: StreamTrigger = Field(default_factory=StreamTrigger)
     checkpoint_location: str | None = None
     constraints: list[tuple[str, list[str]]] = Field(default_factory=list)
+    #: create-object-if-missing pre-write feature (reference
+    #: ``features.py:223-244``): a Table contract materialized before the
+    #: first write, with generated/identity/default columns applied
+    create_table: "Table | None" = None
 
     @property
     def target(self) -> str:

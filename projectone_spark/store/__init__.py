@@ -212,6 +212,57 @@ class TableStore:
         return self.overwrite(spark, merged, name, part or None)
 
 
+def create_if_not_exists(store: TableStore, spark: SparkSession, table,
+                         ) -> int | None:
+    """Materialize a Table contract if absent (reference
+    ``DeltaTable.createIfNotExists`` feature, ``core/utils/delta.py:84-133``):
+    an empty version-0 snapshot with the declared schema; partition spec,
+    properties, comment, and column metadata recorded in the manifest.
+    Returns the created version, or None when the table already exists."""
+    from projectone_spark.config.data_objects import Table
+    from projectone_spark.features import parse_ddl
+
+    assert isinstance(table, Table)
+    if store.exists(table.name):
+        return None
+    empty = spark.createDataFrame([], parse_ddl(table.ddl()))
+    v = store.overwrite(spark, empty, table.name,
+                        table.partition_by or None)
+    # enrich the freshly written manifest with the contract metadata
+    m = store.manifest(table.name)
+    m["operation"] = "create"
+    m["properties"] = dict(table.properties)
+    m["comment"] = table.comment
+    m["columns"] = [c.model_dump() for c in table.columns]
+    tdir = store._table_dir(table.name)
+    tmp = os.path.join(tdir, f"_manifest.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    shutil.copy(tmp, os.path.join(tdir, f"_manifest_v{v}.json"))
+    os.replace(tmp, store._manifest_path(table.name))
+    return v
+
+
+def last_commit_stats(store: TableStore, name: str) -> dict:
+    """Last-commit operation stats (reference ``get_last_write_stats``,
+    ``core/utils/delta.py:135-168``): operation, version, file count and
+    byte size of the current snapshot — all from metadata, no Spark job."""
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    n_files = 0
+    n_bytes = 0
+    for d in m["dirs"]:
+        for dirpath, _, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(dirpath, fn))
+    return {"operation": m["operation"], "version": m["version"],
+            "committed_at": m["committed_at"], "num_files": n_files,
+            "num_bytes": n_bytes, "partition_by": m["partition_by"]}
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Hard-link a directory tree (fallback: copy). Stands in for the
     manifest-only file re-add a cloud table format would do."""

@@ -256,6 +256,13 @@ class SparkTask:
         return kwargs
 
     def _write_output(self, out: SparkOutput, df: DataFrame) -> None:
+        if out.create_table is not None:
+            # create-object-if-missing pre-step + declared column features
+            from projectone_spark.store import create_if_not_exists
+            from projectone_spark.writers.columns import apply_table_features
+
+            create_if_not_exists(self.store, self.spark, out.create_table)
+            df = apply_table_features(df, out.create_table)
         if out.constraints:
             check_table_constraints(self.spark, self.store, df,
                                     [(t, cols) for t, cols in out.constraints])
