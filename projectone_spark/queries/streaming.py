@@ -155,3 +155,34 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"], "ts", "1 hour")
     return run_to_memory(deduped.select("user_id", "event_type"),
                          output_mode="append")
+
+
+_ST05_SQL = """
+WITH slides AS (SELECT unnest(range(0, 4)) * 15 AS off),
+w AS (
+  SELECT date_trunc('hour', e.ts - INTERVAL (s.off) MINUTE)
+           + INTERVAL (s.off) MINUTE AS window_start,
+         e.event_type, e.value
+  FROM events e CROSS JOIN slides s
+  WHERE e.ts >= date_trunc('hour', e.ts - INTERVAL (s.off) MINUTE)
+                + INTERVAL (s.off) MINUTE)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1, 2, 3
+"""
+
+
+@register("st05_stream_sliding", _ST05_SQL,
+          doc="streaming sliding windows (1h long, 15min slide) per event type",
+          tags=("streaming", "window"))
+def st05_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.streaming import sliding_window_agg
+
+    ev = _stream_events(spark, sf_dir)
+    agg = sliding_window_agg(
+        ev, "ts", "1 hour", "15 minutes",
+        [F.count(F.lit(1)).alias("n_events")],
+        keys=("event_type",), watermark="2 hours")
+    return run_to_memory(agg, output_mode="complete")
