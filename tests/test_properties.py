@@ -1,0 +1,100 @@
+"""Property-based invariants (hypothesis) for the merge library and CDC.
+
+The SCD2 exactly-one-active-row-per-key invariant is the reference's
+hardest correctness property (SURVEY §7.5); here it is checked under
+randomized multi-batch histories instead of hand-picked cases.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from projectone_spark.cdc import CdcState, resolve_cdc
+from projectone_spark.writers.hashing import ACTIVE, VALID_FROM, VALID_TO
+from projectone_spark.writers.merge import scd1_merge, scd2_apply
+
+KEYS = st.integers(min_value=1, max_value=5)
+VALS = st.integers(min_value=0, max_value=3)
+BATCH = st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=6,
+                 unique_by=lambda t: t[0])
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                       HealthCheck.too_slow])
+
+
+def _df(spark, batch):
+    return spark.createDataFrame([(k, v) for k, v in batch], "id long, v long")
+
+
+@given(batches=st.lists(BATCH, min_size=1, max_size=3))
+@SLOW
+def test_scd2_invariants_under_random_histories(spark, batches):
+    ts = ["2024-01-01", "2024-02-01", "2024-03-01"]
+    target = None
+    seen_keys: set[int] = set()
+    for i, batch in enumerate(batches):
+        seen_keys |= {k for k, _ in batch}
+        target = scd2_apply(_df(spark, batch), target, ["id"],
+                            valid_from=F.lit(ts[i]).cast("timestamp"))
+    rows = target.collect()
+
+    # exactly one active row per key ever seen, none for unseen keys
+    active = [r for r in rows if r[ACTIVE] == "Y"]
+    assert sorted(r["id"] for r in active) == sorted(seen_keys)
+
+    # active rows carry each key's LAST written value
+    last = {}
+    for batch in batches:
+        for k, v in batch:
+            last[k] = v
+    assert {r["id"]: r["v"] for r in active} == last
+
+    # closed rows end exactly where a successor begins (no gaps/overlaps)
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["id"], []).append(r)
+    for k, chain in by_key.items():
+        chain.sort(key=lambda r: r[VALID_FROM])
+        for a, b in zip(chain, chain[1:]):
+            assert a[ACTIVE] == "N"
+            assert a[VALID_TO] == b[VALID_FROM]
+        assert chain[-1][ACTIVE] == "Y"
+
+
+@given(batch=BATCH)
+@SLOW
+def test_scd1_idempotent(spark, batch):
+    t0 = F.lit("2024-01-01").cast("timestamp")
+    t1 = F.lit("2024-02-01").cast("timestamp")
+    once = scd1_merge(_df(spark, batch), None, ["id"], now=t0)
+    twice = scd1_merge(_df(spark, batch), once, ["id"], now=t1)
+    got_once = sorted((r["id"], r["v"], r[VALID_FROM]) for r in once.collect())
+    got_twice = sorted((r["id"], r["v"], r[VALID_FROM]) for r in twice.collect())
+    assert got_once == got_twice  # unchanged re-apply keeps valid_from too
+
+
+@given(offsets=st.lists(st.integers(0, 50), min_size=0, max_size=12),
+       split=st.integers(0, 50))
+@SLOW
+def test_cdc_two_runs_partition_the_data(spark, offsets, split):
+    """Run 1 over a prefix snapshot + run 2 after more data arrives must
+    cover every row exactly once (no loss, no double-read)."""
+    first = sorted(set(o for o in offsets if o <= split))
+    all_vals = sorted(set(offsets))
+    df1 = spark.createDataFrame([(i, o) for i, o in enumerate(first)],
+                                "id long, offset long")
+    pred1, st1 = resolve_cdc(df1, "offset")
+    read1 = {r["offset"] for r in df1.filter(pred1).collect()}
+    assert read1 == set(first)
+
+    df2 = spark.createDataFrame([(i, o) for i, o in enumerate(all_vals)],
+                                "id long, offset long")
+    prev = CdcState.from_json(st1.to_json())
+    pred2, _ = resolve_cdc(df2, "offset", prev)
+    read2 = {r["offset"] for r in df2.filter(pred2).collect()}
+    if first:
+        assert read2 == {o for o in all_vals if o > max(first)}
+    assert read1 | read2 == set(all_vals)
+    assert read1 & read2 == set()

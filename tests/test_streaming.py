@@ -95,3 +95,29 @@ def test_session_window_gap_semantics(spark):
     rows = sorted((r["session_start"].isoformat()[:16], r["n"])
                   for r in got.collect())
     assert rows == [("2024-01-01T00:00", 2), ("2024-01-01T01:00", 1)]
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    """Two micro-batches must accumulate per-key state across batches."""
+    from projectone_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "src"
+    b1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    b2 = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = read_stream_parquet(spark, f"{src}/*/", "k long, v double",
+                                 max_files_per_trigger=1)
+    totals = running_totals(stream, "k", "v")
+    q = (totals.writeStream.format("memory").queryName("state_q")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    stream_wait_close([q], timeout_seconds=300)
+    got = spark.table("state_q")
+    # update mode emits per batch; the LAST row per key carries final state
+    final = {r["k"]: (r["n_events"], r["total"])
+             for r in got.orderBy("n_events").collect()}
+    assert final[1] == (2, 15.0)
+    assert final[2] == (1, 20.0)
