@@ -399,3 +399,25 @@ def q28_moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "d",
         F.col("rev_dec").cast("double").alias("day_rev"),
         F.sum("rev_dec").over(w).cast("double").alias("rev_7d_sum"))
+
+
+_Q29_SQL = """
+SELECT o_orderpriority, 'status_o' AS status, CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 'status_f' AS status, CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 'status_p' AS status, CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("q29_unpivot", _Q29_SQL,
+          doc="unpivot/melt: wide status counts back to long (priority, status, n)",
+          tags=("unpivot",))
+def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q24_status_pivot(spark, sf_dir)
+    return wide.unpivot("o_orderpriority",
+                        ["status_o", "status_f", "status_p"],
+                        "status", "n")

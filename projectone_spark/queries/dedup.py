@@ -154,7 +154,9 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
-    b = emb.withColumn("bucket", lsh_bucket(F.col("e")))
+    # checkpoint: the self-join's two branches reuse the computed buckets
+    # instead of re-evaluating the 8 hyperplane aggregations per side
+    b = emb.withColumn("bucket", lsh_bucket(F.col("e"))).localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("c")
     cos = cosine(F.col("a.e"), F.col("c.e"))
     return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))

@@ -328,3 +328,29 @@ def read_changes(store: TableStore, spark: SparkSession, name: str,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def register_catalog(store: TableStore, spark: SparkSession,
+                     tables: Sequence[str] | None = None,
+                     views: Sequence | None = None) -> None:
+    """Expose store tables (and View contracts) to Spark SQL as temp views
+    (reference materializes Schema/Table/View objects into the catalog;
+    ``data_objects.py:99-110``). After this, ``spark.sql`` can address
+    every registered name — the full SQL surface over the store."""
+    for name in tables or []:
+        store.read(spark, name).createOrReplaceTempView(name)
+    for v in views or []:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {v.name} AS {v.query}")
+
+
+def sql(store: TableStore, spark: SparkSession, query: str,
+        tables: Sequence[str] | None = None) -> DataFrame:
+    """Run SQL over store tables, auto-registering them first. When
+    ``tables`` is omitted, every table in the store root is registered."""
+    import os as _os
+
+    if tables is None:
+        tables = [d for d in _os.listdir(store.root)
+                  if store.exists(d)]
+    register_catalog(store, spark, tables)
+    return spark.sql(query)

@@ -110,3 +110,17 @@ def test_create_table_through_task(spark, tmp_path):
     got = TableStore(str(tmp_path / "store")).read(spark, "contracted")
     rows = {r["name"]: r["offset_sq"] for r in got.collect()}
     assert rows == {"a": 4, "b": 9}
+
+
+def test_sql_over_store_catalog(spark, tmp_path):
+    from projectone_spark.config.data_objects import View
+    from projectone_spark.store import register_catalog, sql
+
+    store = TableStore(str(tmp_path / "store"))
+    store.overwrite(spark, spark.createDataFrame(BASE, SCHEMA), "base_t")
+    out = sql(store, spark, "SELECT count(*) AS n FROM base_t")
+    assert out.collect()[0]["n"] == 3
+
+    register_catalog(store, spark, ["base_t"],
+                     [View(name="big_t", query="SELECT * FROM base_t WHERE offset >= 20")])
+    assert spark.sql("SELECT count(*) AS n FROM big_t").collect()[0]["n"] == 2
