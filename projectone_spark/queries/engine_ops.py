@@ -139,3 +139,20 @@ def s04_cdc_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("first_end"),
         F.max(F.when(gt, F.col("l_shipdate"))).alias("incr_next"),
         F.sum(F.when(gt, 1).otherwise(0)).cast("bigint").alias("incr_rows"))
+
+
+@register("s05_scd1_xxhash64", _S01_SQL,  # identical output to s01 by design
+          doc="SCD1 upsert on the xxhash64 fast path: 8-byte long shuffle "
+              "keys instead of 32-char md5 hex (same output, ~4x less "
+              "shuffle bytes per key)",
+          tags=("scd", "merge", "perf"))
+def s05_scd1_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    source = (orders.filter(F.col("o_orderdate") >= _ts(_CUT))
+              .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
+    merged = scd1_merge(source, orders, ["o_orderkey"], now=_ts(_T0),
+                        algo="xxhash64")
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("order_date"))
