@@ -421,3 +421,15 @@ def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot("o_orderpriority",
                         ["status_o", "status_f", "status_p"],
                         "status", "n")
+
+
+@register("a01_approx_sketches", None, bench=True,
+          doc="approximate aggregates: HLL distinct + approx percentile per "
+              "event type (no SQL oracle — sketch algorithms differ across "
+              "engines; accuracy asserted in tests/test_skew_prune.py)",
+          tags=("agg", "approx"))
+def a01_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+                 F.percentile_approx("value", 0.5, 1000).alias("approx_median")))

@@ -70,3 +70,21 @@ def test_scd1_partition_prune_relinks_untouched(spark, tmp_path):
             if fn.endswith(".parquet") and "grp=p2" in dirpath:
                 linked.append(os.stat(os.path.join(dirpath, fn)).st_nlink)
     assert linked and max(linked) > 1
+
+
+def test_approx_sketches_accuracy(spark):
+    """a01 has no SQL oracle (sketches are engine-specific); assert the
+    approximations land within tolerance of exact answers instead."""
+    from projectone_spark.queries import REGISTRY, queries
+
+    queries()
+    df = REGISTRY["a01_approx_sketches"].fn(spark, "/root/testdata/sf0.001")
+    approx = {r["event_type"]: r for r in df.collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {r["event_type"]: r for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n"),
+                  F.expr("percentile(value, 0.5)").alias("m")).collect()}
+    for et, ex in exact.items():
+        assert abs(approx[et]["approx_users"] - ex["n"]) <= max(2, 0.05 * ex["n"])
+        assert abs(approx[et]["approx_median"] - ex["m"]) <= 0.1 * max(1.0, abs(ex["m"]))
