@@ -156,3 +156,53 @@ def s05_scd1_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("total_price"),
         F.col("o_orderdate").cast("date").alias("order_date"))
+
+
+# -- data skipping -----------------------------------------------------------
+
+_SKIP_STORES: dict[str, object] = {}
+
+
+def _skipping_store(spark: SparkSession, sf_dir: str):
+    """Materialize orders into a TableStore clustered on o_orderdate, once
+    per (session, sf_dir). The write + optimize cost is part of what s06
+    benchmarks: layout work is what buys the pruned read."""
+    import tempfile
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.skipping import optimize
+
+    st = _SKIP_STORES.get(sf_dir)
+    if st is None:
+        st = TableStore(tempfile.mkdtemp(prefix="pos-skip-"))
+        orders = load(spark, sf_dir, "orders")
+        st.overwrite(spark, orders.repartition(8), "orders",
+                     stats_columns=["o_orderdate"])
+        optimize(st, spark, "orders", zorder_by=["o_orderdate"],
+                 target_files=8)
+        _SKIP_STORES[sf_dir] = st
+    return st
+
+
+_S06_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+"""
+
+
+@register("s06_skipping_read", _S06_SQL,
+          doc="file-level data skipping: store commit records per-file "
+              "min/max from parquet footers (Delta add-action stats "
+              "analogue), OPTIMIZE-style date clustering, then a pruned "
+              "read that hands Spark only files overlapping the predicate",
+          tags=("store", "skipping", "perf"))
+def s06_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.store.skipping import read_where
+
+    st = _skipping_store(spark, sf_dir)
+    df = read_where(st, spark, "orders", [("o_orderdate", ">=", "1997-06-01")])
+    return df.select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("order_date"))

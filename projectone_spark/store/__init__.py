@@ -78,7 +78,9 @@ class TableStore:
         return -1 if m is None else m["version"]
 
     def _commit(self, name: str, dirs: list[str], partition_by: list[str],
-                operation: str, metrics: dict | None = None) -> int:
+                operation: str, metrics: dict | None = None,
+                stats_columns: list[str] | None = None,
+                files: list[dict] | None = None) -> int:
         prev = self.manifest(name)
         version = 0 if prev is None else prev["version"] + 1
         manifest = {
@@ -88,6 +90,8 @@ class TableStore:
             "operation": operation,
             "metrics": metrics or {},
             "committed_at": time.time(),
+            "stats_columns": stats_columns or [],
+            "files": files or [],
         }
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
@@ -144,23 +148,46 @@ class TableStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
+    def _stats_for(self, dirs: list[str],
+                   stats_columns: list[str]) -> list[dict]:
+        if not stats_columns:
+            return []
+        from projectone_spark.store.skipping import file_stats
+
+        return file_stats(dirs, stats_columns)
+
     def overwrite(self, spark: SparkSession, df: DataFrame, name: str,
-                  partition_by: Sequence[str] | None = None) -> int:
+                  partition_by: Sequence[str] | None = None,
+                  stats_columns: Sequence[str] | None = None,
+                  _operation: str = "overwrite") -> int:
+        m = self.manifest(name)
+        cols = list(stats_columns if stats_columns is not None
+                    else (m.get("stats_columns") or []) if m else [])
         d = self._new_data_dir(name)
         self._write_dir(df, d, partition_by)
-        return self._commit(name, [d], list(partition_by or []), "overwrite")
+        return self._commit(name, [d], list(partition_by or []), _operation,
+                            stats_columns=cols,
+                            files=self._stats_for([d], cols))
 
     def append(self, spark: SparkSession, df: DataFrame, name: str,
-               partition_by: Sequence[str] | None = None) -> int:
+               partition_by: Sequence[str] | None = None,
+               stats_columns: Sequence[str] | None = None) -> int:
         m = self.manifest(name)
         if m is not None and partition_by and list(partition_by) != m["partition_by"]:
             raise ValueError(
                 f"append partition_by {list(partition_by)} != table {m['partition_by']}")
         part = list(partition_by or (m["partition_by"] if m else []))
+        cols = list(stats_columns if stats_columns is not None
+                    else (m.get("stats_columns") or []) if m else [])
         d = self._new_data_dir(name)
         self._write_dir(df, d, part)
         dirs = ([*m["dirs"], d] if m is not None else [d])
-        return self._commit(name, dirs, part, "append")
+        # incremental stats: footers of the NEW directory only, carried
+        # alongside the previous commit's file list (Delta add-file style)
+        files = [*(m.get("files") or [] if m else []),
+                 *self._stats_for([d], cols)]
+        return self._commit(name, dirs, part, "append",
+                            stats_columns=cols, files=files)
 
     def selective_overwrite(self, spark: SparkSession, df: DataFrame, name: str,
                             replace_where: str | None = None,
@@ -197,8 +224,11 @@ class TableStore:
                     dst = os.path.join(new_dir, entry)
                     if not os.path.exists(dst):
                         _link_tree(src, dst)
+            cols = m.get("stats_columns") or []
             return self._commit(name, [new_dir], part, "selective_overwrite",
-                                {"replaced_partitions": sorted(replaced)})
+                                {"replaced_partitions": sorted(replaced)},
+                                stats_columns=cols,
+                                files=self._stats_for([new_dir], cols))
 
         if replace_where is None and partition_values:
             replace_where = " AND ".join(

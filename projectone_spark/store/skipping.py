@@ -1,0 +1,340 @@
+"""File-level data skipping for the TableStore — the engine's analogue of
+Delta Lake data skipping + OPTIMIZE ZORDER.
+
+The reference relies on Delta for file pruning (its merge conditions add
+partition-column conjuncts precisely so Delta can skip files —
+``core/execution/write.py:190-213`` and option docs
+``core/schemas/sources.py:141-149``). This container has no delta-spark, so
+the TableStore records the same metadata Delta would:
+
+- **per-file min/max statistics** for declared ``stats_columns``, read from
+  parquet footers at commit time (metadata-only — no data scan; on a real
+  cluster the writer tasks would report these in their commit messages, the
+  way Delta's ``add`` actions carry ``stats`` JSON);
+- **hive partition values** parsed from file paths.
+
+``read_where`` then prunes the file list with interval logic before Spark
+ever plans the scan, and applies the full predicate as a residual filter so
+results are exact even when a predicate can't be used for pruning.
+
+Scale notes: pruning is O(#files) driver-side metadata work — the same cost
+profile as Delta's log replay — and the payoff is proportional to data
+clustered-ness, which is what ``optimize`` (Z-order-style multi-column
+clustering via bit interleaving) restores after many unordered appends.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+import urllib.parse
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: comparison operators usable for pruning; anything else is residual-only
+_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">="}
+
+
+# -- stats collection --------------------------------------------------------
+
+def _norm_stat(v):
+    """Normalize a parquet-footer statistic to a JSON-storable value whose
+    natural ordering matches the column's ordering (ISO strings for
+    date/timestamp — lexicographic == chronological)."""
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return v
+
+
+def file_stats(dirs: Sequence[str], columns: Sequence[str]) -> list[dict]:
+    """Per-file {path, rows, bytes, min, max} for ``columns``, from parquet
+    footers only. A column missing trustworthy stats in any row group is
+    dropped from that file's entry (pruning then keeps the file)."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for d in dirs:
+        for dirpath, _, files in os.walk(d):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(path).metadata
+                mins: dict = {}
+                maxs: dict = {}
+                bad: set[str] = set()
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema
+                        if name not in columns or name in bad:
+                            continue
+                        st = c.statistics
+                        lo = _norm_stat(st.min) if st is not None and st.has_min_max else None
+                        hi = _norm_stat(st.max) if st is not None and st.has_min_max else None
+                        if lo is None or hi is None:
+                            bad.add(name)
+                            mins.pop(name, None)
+                            maxs.pop(name, None)
+                            continue
+                        mins[name] = lo if name not in mins else min(mins[name], lo)
+                        maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                out.append({"path": path, "rows": md.num_rows,
+                            "bytes": os.path.getsize(path),
+                            "min": mins, "max": maxs})
+    return out
+
+
+def partition_values(path: str) -> dict[str, str]:
+    """Hive ``col=value`` components of a file path (unescaped)."""
+    out: dict[str, str] = {}
+    for part in path.split(os.sep):
+        if "=" in part and not part.endswith(".parquet"):
+            col, _, val = part.partition("=")
+            out[col] = urllib.parse.unquote(val)
+    return out
+
+
+# -- pruning -----------------------------------------------------------------
+
+_DATE_RE = __import__("re").compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _pad_temporal(a, b):
+    """Make a date-only string comparable with a timestamp string the way
+    SQL does (DATE 'd' == TIMESTAMP 'd 00:00:00'). Only strings that look
+    exactly like ISO dates are padded — plain text is left alone."""
+    if isinstance(a, str) and isinstance(b, str) and (" " in a) != (" " in b):
+        if _DATE_RE.match(a):
+            a = a + " 00:00:00"
+        if _DATE_RE.match(b):
+            b = b + " 00:00:00"
+    return a, b
+
+
+def _coerced(lo, hi, val):
+    """Coerce (lo, hi, val) to one comparable type, or None when the
+    comparison can't be trusted (→ caller keeps the file)."""
+    if isinstance(val, bool) or isinstance(lo, bool):
+        return None
+    if isinstance(val, (int, float)):
+        try:
+            return float(lo), float(hi), float(val)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(val, str):
+        if isinstance(lo, str):
+            lo, val1 = _pad_temporal(lo, val)
+            hi, val2 = _pad_temporal(hi, val)
+            # lo and hi pad independently against the same val; both pads of
+            # val are identical because val's shape doesn't change per side
+            return lo, hi, val1 if " " in val1 else val2
+        try:  # numeric stats vs numeric-looking string (partition paths)
+            return float(lo), float(hi), float(val)
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def _interval_matches(lo, hi, op: str, val) -> bool:
+    """Could a value in [lo, hi] satisfy ``x <op> val``? Conservative:
+    uncertain comparisons return True (file kept)."""
+    c = _coerced(lo, hi, val)
+    if c is None:
+        return True
+    lo, hi, val = c
+    if op in ("=", "=="):
+        return lo <= val <= hi
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    return True
+
+
+def prune_files(manifest: dict,
+                predicates: Sequence[tuple[str, str, object]]) -> tuple[list[dict], int]:
+    """Apply conjunctive ``(col, op, literal)`` predicates to the manifest's
+    file stats and hive partition paths. Returns (kept_file_entries,
+    total_files). Files lacking stats for a predicate column are kept —
+    pruning is an optimization, never a correctness filter."""
+    files = manifest.get("files") or []
+    kept = []
+    for f in files:
+        parts = partition_values(f["path"])
+        keep = True
+        for col, op, val in predicates:
+            if op not in _PRUNE_OPS:
+                continue
+            if col in parts:
+                lo = hi = parts[col]
+            elif col in f.get("min", {}):
+                lo, hi = f["min"][col], f["max"][col]
+            else:
+                continue
+            if not _interval_matches(lo, hi, op, val):
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept, len(files)
+
+
+def _sql_literal(val) -> str:
+    if isinstance(val, str):
+        return "'" + val.replace("'", "''") + "'"
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    return repr(val)
+
+
+def predicates_to_sql(predicates: Sequence[tuple[str, str, object]]) -> str:
+    return " AND ".join(
+        f"({col} {'=' if op == '==' else op} {_sql_literal(val)})"
+        for col, op, val in predicates)
+
+
+def read_where(store, spark: SparkSession, name: str,
+               predicates: Sequence[tuple[str, str, object]]) -> DataFrame:
+    """Read a store table with file-level skipping: files whose min/max (or
+    partition path) provably exclude every predicate are never given to
+    Spark, and the full predicate still runs as a residual filter.
+
+    Equivalent to a Delta scan with data skipping: the driver consults
+    commit metadata, hands Spark only the surviving files, and Catalyst's
+    own row-group pushdown takes over from there.
+    """
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist in {store.root}")
+    residual = predicates_to_sql(predicates)
+    if not m.get("files"):
+        return store.read(spark, name).filter(residual)
+    kept, _total = prune_files(m, predicates)
+    if not kept:
+        return store.read(spark, name).filter(residual).limit(0)
+    frames = []
+    if m["partition_by"]:
+        # group surviving files under their snapshot dir so partition-column
+        # discovery (basePath) still works per data directory
+        for d in m["dirs"]:
+            paths = [f["path"] for f in kept if f["path"].startswith(d + os.sep)]
+            if paths:
+                frames.append(spark.read.option("basePath", d).parquet(*paths))
+    else:
+        frames.append(spark.read.parquet(*[f["path"] for f in kept]))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.filter(residual)
+
+
+def skipping_report(store, name: str,
+                    predicates: Sequence[tuple[str, str, object]]) -> dict:
+    """Observability: how much a predicate would skip (files/bytes/rows)."""
+    m = store.manifest(name) or {}
+    kept, total = prune_files(m, predicates)
+    files = m.get("files") or []
+    return {
+        "files_total": total,
+        "files_kept": len(kept),
+        "bytes_total": sum(f["bytes"] for f in files),
+        "bytes_kept": sum(f["bytes"] for f in kept),
+        "rows_total": sum(f["rows"] for f in files),
+        "rows_kept": sum(f["rows"] for f in kept),
+    }
+
+
+# -- clustering (OPTIMIZE ZORDER analogue) -----------------------------------
+
+def _as_double(col: str, dtype: T.DataType) -> F.Column:
+    c = F.col(col)
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_timestamp(c).cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    return c.cast("double")
+
+
+def zorder_column(df: DataFrame, columns: Sequence[str],
+                  total_bits: int = 16) -> F.Column:
+    """Z-value expression interleaving per-column bucket bits — the same
+    space-filling-curve clustering Delta's OPTIMIZE ZORDER uses, built from
+    stock expressions (width_bucket + bit ops) so it runs inside
+    whole-stage codegen, no UDF.
+
+    Bounds come from one driver-side min/max agg (same cost class as the
+    reference's CDC bound resolution, ``delta_source.py:263-308``).
+    """
+    bits = max(1, total_bits // len(columns))
+    n_buckets = 2 ** bits
+    aggs = []
+    for c in columns:
+        d = _as_double(c, df.schema[c].dataType)
+        aggs += [F.min(d).alias(f"__lo_{c}"), F.max(d).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).first()
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(columns):
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            continue
+        d = _as_double(c, df.schema[c].dataType)
+        bucket = (F.width_bucket(d, F.lit(float(lo)), F.lit(float(hi)),
+                                 F.lit(n_buckets)) - F.lit(1))
+        bucket = F.coalesce(F.least(F.greatest(bucket, F.lit(0)),
+                                    F.lit(n_buckets - 1)), F.lit(0)).cast("long")
+        for b in range(bits):
+            # bit b of this column lands at interleaved position
+            # b * n_cols + i (column-major round robin, MSB-fair)
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                            b * len(columns) + i))
+    return z
+
+
+def optimize(store, spark: SparkSession, name: str,
+             zorder_by: Sequence[str], target_files: int = 8,
+             stats_columns: Sequence[str] | None = None) -> int:
+    """Rewrite a table clustered on ``zorder_by`` so file min/max ranges
+    become narrow and data skipping bites — Delta ``OPTIMIZE ... ZORDER BY``.
+
+    Single column → range-partition + sort (perfectly disjoint ranges);
+    multiple columns → interleaved-bit z-value, range-partitioned and
+    sorted, giving every column locality. File count is explicit
+    (``target_files``) — the knob that controls task granularity and small-
+    file pressure at scale.
+    """
+    df = store.read(spark, name)
+    if len(zorder_by) == 1:
+        c = zorder_by[0]
+        clustered = (df.repartitionByRange(target_files, F.col(c))
+                     .sortWithinPartitions(c))
+    else:
+        z = zorder_column(df, zorder_by)
+        clustered = (df.withColumn("__z__", z)
+                     .repartitionByRange(target_files, F.col("__z__"))
+                     .sortWithinPartitions("__z__")
+                     .drop("__z__"))
+    cols = list(stats_columns if stats_columns is not None
+                else dict.fromkeys([*(store.manifest(name).get("stats_columns") or []),
+                                    *zorder_by]))
+    return store.overwrite(spark, clustered, name, stats_columns=cols,
+                           _operation="optimize")

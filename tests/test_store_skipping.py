@@ -1,0 +1,152 @@
+"""File-level data skipping + Z-order clustering on the TableStore.
+
+Correctness oracle: read_where must equal a full-scan filter, exactly, for
+every predicate — pruning is an optimization, never a filter. Efficiency is
+asserted via skipping_report (files/bytes actually excluded).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from projectone_spark.store import TableStore
+from projectone_spark.store.skipping import (
+    optimize, prune_files, read_where, skipping_report, zorder_column,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def store(tmp_path):
+    return TableStore(str(tmp_path / "store"))
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def _assert_same(got, want):
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_read_where_equals_full_filter_and_prunes(spark, store):
+    # range-clustered write → disjoint o_orderkey ranges per file
+    df = _orders(spark).repartitionByRange(8, "o_orderkey")
+    store.overwrite(spark, df, "orders", stats_columns=["o_orderkey", "o_orderdate"])
+
+    preds = [("o_orderkey", "<=", 1000)]
+    got = read_where(store, spark, "orders", preds)
+    _assert_same(got, store.read(spark, "orders").filter("o_orderkey <= 1000"))
+
+    rep = skipping_report(store, "orders", preds)
+    assert rep["files_total"] == 8
+    assert rep["files_kept"] < rep["files_total"]
+    assert rep["bytes_kept"] < rep["bytes_total"]
+
+
+def test_skipping_on_date_strings(spark, store):
+    df = _orders(spark).repartitionByRange(8, "o_orderdate")
+    store.overwrite(spark, df, "orders", stats_columns=["o_orderdate"])
+    preds = [("o_orderdate", ">=", "1997-01-01")]
+    got = read_where(store, spark, "orders", preds)
+    _assert_same(got, store.read(spark, "orders")
+                 .filter("o_orderdate >= '1997-01-01'"))
+    rep = skipping_report(store, "orders", preds)
+    assert rep["files_kept"] < rep["files_total"]
+
+    # boundary probe both directions: a file whose min is midnight of the cut
+    # date must NOT be pruned by '<=' on the bare date
+    got_le = read_where(store, spark, "orders", [("o_orderdate", "<=", "1997-01-01")])
+    _assert_same(got_le, store.read(spark, "orders")
+                 .filter("o_orderdate <= '1997-01-01'"))
+
+
+def test_partition_path_pruning_without_footer_stats(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders", partition_by=["o_orderpriority"],
+                    stats_columns=["o_orderkey"])
+    preds = [("o_orderpriority", "=", "1-URGENT"), ("o_orderkey", ">", 0)]
+    got = read_where(store, spark, "orders", preds)
+    _assert_same(got, store.read(spark, "orders")
+                 .filter("o_orderpriority = '1-URGENT' AND o_orderkey > 0"))
+    kept, total = prune_files(store.manifest("orders"), preds)
+    assert 0 < len(kept) < total
+    # partition column survives into the result (basePath discovery)
+    assert "o_orderpriority" in got.columns
+
+
+def test_append_extends_stats_incrementally(spark, store):
+    df = _orders(spark)
+    old = df.filter("o_orderdate < '1996-01-01'").repartition(2)
+    new = df.filter("o_orderdate >= '1996-01-01'").repartition(2)
+    store.overwrite(spark, old, "orders", stats_columns=["o_orderdate"])
+    files_v0 = [f["path"] for f in store.manifest("orders")["files"]]
+    store.append(spark, new, "orders")  # stats_columns inherited
+    m = store.manifest("orders")
+    assert len(m["files"]) == 4
+    # v0 entries are carried, not recomputed
+    assert set(files_v0) <= {f["path"] for f in m["files"]}
+    preds = [("o_orderdate", ">=", "1996-01-01")]
+    rep = skipping_report(store, "orders", preds)
+    assert rep["files_kept"] == 2  # the whole first snapshot skipped
+    _assert_same(read_where(store, spark, "orders", preds),
+                 store.read(spark, "orders").filter("o_orderdate >= '1996-01-01'"))
+
+
+def test_unknown_stats_and_weird_ops_keep_files(spark, store):
+    df = _orders(spark).repartition(4)
+    store.overwrite(spark, df, "orders", stats_columns=["o_orderkey"])
+    # column without stats + non-prunable op: nothing pruned, result exact
+    preds = [("o_orderstatus", "=", "F"), ("o_comment", "!=", "x")]
+    kept, total = prune_files(store.manifest("orders"), preds)
+    assert len(kept) == total
+    got = read_where(store, spark, "orders",
+                     [("o_orderstatus", "=", "F")])
+    _assert_same(got, store.read(spark, "orders").filter("o_orderstatus = 'F'"))
+
+
+def test_optimize_zorder_improves_skipping(spark, store):
+    # deliberately shuffle so every file spans the full key range
+    ev = _orders(spark).repartition(8)
+    store.overwrite(spark, ev, "orders",
+                    stats_columns=["o_orderkey", "o_totalprice"])
+    preds = [("o_orderkey", "<", 500), ("o_totalprice", "<", 50000.0)]
+    before = skipping_report(store, "orders", preds)
+    assert before["files_kept"] == before["files_total"]  # random layout: no skip
+
+    optimize(store, spark, "orders",
+             zorder_by=["o_orderkey", "o_totalprice"], target_files=8)
+    after = skipping_report(store, "orders", preds)
+    assert after["files_kept"] < after["files_total"]
+    assert store.manifest("orders")["operation"] == "optimize"
+
+    _assert_same(read_where(store, spark, "orders", preds),
+                 store.read(spark, "orders")
+                 .filter("o_orderkey < 500 AND o_totalprice < 50000.0"))
+
+
+def test_zorder_column_is_codegen_expression(spark):
+    import contextlib
+    import io
+
+    df = _orders(spark)
+    z = zorder_column(df, ["o_orderkey", "o_totalprice"], total_bits=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.select(z.alias("z")).filter("z >= 0").explain("formatted")
+    plan = buf.getvalue()
+    # no Python eval stage: the z-value runs JVM-side inside codegen
+    # (formatted mode marks codegen stages with a leading '*')
+    assert "EvalPython" not in plan
+    assert "* Project" in plan
+
+
+def test_single_column_optimize_disjoint_ranges(spark, store):
+    store.overwrite(spark, _orders(spark).repartition(6), "orders",
+                    stats_columns=["o_orderdate"])
+    optimize(store, spark, "orders", zorder_by=["o_orderdate"], target_files=6)
+    m = store.manifest("orders")
+    spans = sorted((f["min"]["o_orderdate"], f["max"]["o_orderdate"])
+                   for f in m["files"] if "o_orderdate" in f["min"])
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # range partitioning → non-overlapping files
