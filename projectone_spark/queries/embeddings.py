@@ -108,3 +108,20 @@ def e03_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return (knn_lsh(emb, queries, k=5)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+@register("e04_knn_ivf", None, bench=True,
+          doc="IVF approximate nearest neighbor: driver-trained spherical "
+              "k-means coarse quantizer (deterministic sample), corpus "
+              "binned to nearest centroid, queries probe 3 of 8 cells — "
+              "the index shape that scales ANN past brute force (no SQL "
+              "oracle: k-means is iterative; recall floor asserted in "
+              "tests/test_embeddings_ivf.py)",
+          tags=("embeddings", "knn", "ann"))
+def e04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.embeddings import knn_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (knn_ivf(emb, queries, k=5, n_clusters=8, nprobe=3)
+            .select("query_id", "neighbor_id", "score", "rank"))

@@ -1,0 +1,73 @@
+"""IVF ANN: determinism, recall floor vs exact brute force, and the
+JVM-only plan claim (no Python eval in the search path)."""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from projectone_spark.functions.embeddings import (
+    ivf_probes, ivf_train, knn_bruteforce, knn_ivf,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ivf_train_deterministic_unit_norm(spark):
+    emb = _emb(spark)
+    c1 = ivf_train(emb, n_clusters=8, sample_size=400)
+    c2 = ivf_train(emb, n_clusters=8, sample_size=400)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == 64
+    for c in c1:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_ivf_probes_orders_by_similarity(spark):
+    emb = _emb(spark)
+    centroids = ivf_train(emb, n_clusters=8, sample_size=400)
+    row = (emb.limit(1)
+           .select(ivf_probes(F.col("embedding"), centroids, 8).alias("p"))
+           .first())
+    assert sorted(row["p"]) == list(range(8))  # all cells, each once
+
+
+def test_ivf_recall_floor_vs_bruteforce(spark):
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = knn_ivf(emb, qs, k=5, n_clusters=8, nprobe=3)
+    exact = knn_bruteforce(emb, qs, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.5
+    # approximate scores are exact cosines — only the candidate set shrinks
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"]
+                    for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    # nprobe = n_clusters → every cell searched → exact results
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    full = knn_ivf(emb, qs, k=5, n_clusters=4, nprobe=4)
+    exact = knn_bruteforce(emb, qs, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_search_plan_is_jvm_only(spark):
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        knn_ivf(emb, qs, k=5, n_clusters=4, nprobe=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan          # training collects; search doesn't
+    assert "BroadcastHashJoin" in plan       # probe side broadcast on cell id
