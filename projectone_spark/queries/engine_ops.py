@@ -206,3 +206,47 @@ def s06_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey",
         F.round("o_totalprice", 2).alias("total_price"),
         F.col("o_orderdate").cast("date").alias("order_date"))
+
+
+# -- incremental aggregate maintenance ---------------------------------------
+
+_S07_SQL = """
+SELECT o_custkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS sum_price,
+       count(*) AS n_rows
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("s07_incremental_agg", _S07_SQL,
+          doc="incremental aggregate maintenance: batch-1 full materialize, "
+              "then fold ONLY the change feed of an append commit into the "
+              "maintained per-customer aggregate (exact decimal sums, so "
+              "fold order never shifts the result); equals a full recompute "
+              "by construction",
+          tags=("store", "cdf", "incremental", "perf"))
+def s07_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from projectone_spark.functions.incremental import agg_view, refresh_agg
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.state import StateStore
+
+    orders = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="pos-incr-")
+    st = TableStore(root)
+    state = StateStore(root + "_state")
+    st.overwrite(spark, orders.filter(F.col("o_orderdate") < _ts(_CUT)),
+                 "orders")
+    refresh_agg(st, spark, "orders", "orders_agg",
+                ["o_custkey"], ["o_totalprice"], state)
+    st.append(spark, orders.filter(F.col("o_orderdate") >= _ts(_CUT)),
+              "orders")
+    refresh_agg(st, spark, "orders", "orders_agg",
+                ["o_custkey"], ["o_totalprice"], state)
+    return (agg_view(st, spark, "orders_agg")
+            .select("o_custkey",
+                    F.round("sum_o_totalprice", 2).cast("double")
+                    .alias("sum_price"),
+                    F.col("n_rows")))
