@@ -433,3 +433,32 @@ def a01_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
                  F.percentile_approx("value", 0.5, 1000).alias("approx_median")))
+
+
+_Q30_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+@register("q30_grouping_sets", _Q30_SQL, bench=True,
+          doc="explicit GROUPING SETS (status / priority / both) in one "
+              "pass — one Expand + one aggregation exchange, not three "
+              "scans (exact decimal money sums)",
+          tags=("agg", "grouping"))
+def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q30_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM __q30_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)

@@ -186,3 +186,43 @@ def st05_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count(F.lit(1)).alias("n_events")],
         keys=("event_type",), watermark="2 hours")
     return run_to_memory(agg, output_mode="complete")
+
+
+_ST06_SQL = """
+SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts,
+       round(p.value - v.value, 2) AS value_delta
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("st06_stream_interval_join", _ST06_SQL,
+          doc="stream-stream watermarked interval join: views joined to the "
+              "purchases that follow within 1h; the time-range conjunct + "
+              "watermarks bound the buffered join state (append mode)",
+          tags=("streaming", "join"))
+def st06_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.streaming.joins import interval_join
+
+    views = (_stream_events(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("value").alias("view_value")))
+    purchases = (_stream_events(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"), "value"))
+    joined = interval_join(
+        views, purchases.withColumnRenamed("p_user_id", "user_id"),
+        on="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        within="1 HOUR", watermark="2 hours")
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"), "view_id", "purchase_id",
+        "view_ts", "purchase_ts",
+        F.round(F.col("value") - F.col("view_value"), 2).alias("value_delta"))
+    return run_to_memory(out, output_mode="append")
