@@ -462,3 +462,91 @@ def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
     """)
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY),
+flagged AS (
+  SELECT DISTINCT lt.l_orderkey, lt.l_suppkey
+  FROM late lt
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = lt.l_orderkey
+                  AND l2.l_suppkey <> lt.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = lt.l_orderkey
+                      AND l3.l_suppkey <> lt.l_suppkey))
+SELECT s.s_name, n.n_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flagged f
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_waiting_suppliers", _Q21_SQL, bench=True,
+          doc="TPC-H Q21 shape (adapted: late = shipped >90d after order "
+              "date): sole-blame suppliers on finished multi-supplier "
+              "orders via semi + anti self-joins, dims broadcast",
+          tags=("join", "semi", "anti", "tpch"))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+            .select("l_orderkey", "l_suppkey"))
+    other = li.select(F.col("l_orderkey").alias("k"),
+                      F.col("l_suppkey").alias("s"))
+    other_late = late.select(F.col("l_orderkey").alias("k"),
+                             F.col("l_suppkey").alias("s"))
+    flagged = (late
+               .join(other, (late.l_orderkey == other.k)
+                     & (late.l_suppkey != other.s), "semi")
+               .join(other_late, (late.l_orderkey == other_late.k)
+                     & (late.l_suppkey != other_late.s), "anti")
+               .distinct())
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (flagged
+            .join(F.broadcast(supplier),
+                  flagged.l_suppkey == supplier.s_suppkey)
+            .join(F.broadcast(nation),
+                  supplier.s_nationkey == nation.n_nationkey)
+            .groupBy("s_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(100))
+
+
+_Q31_SQL = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q31_variant_json", _Q31_SQL, bench=True,
+          doc="semi-structured analytics: events.props parsed with Spark 4 "
+              "VARIANT (parse_json + variant_get — binary-encoded, no "
+              "per-query string re-parse) and aggregated by extracted field",
+          tags=("json", "variant", "events"))
+def q31_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.withColumn("__v", F.parse_json("props"))
+    k = F.try_variant_get(F.col("__v"), "$.k", "bigint")
+    return (v.select("event_type", (k % 10).alias("k_bucket"), k.alias("__k"))
+            .groupBy("event_type", "k_bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("__k").alias("max_k")))
