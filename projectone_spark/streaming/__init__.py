@@ -126,7 +126,7 @@ def write_stream(df: DataFrame, *,
 
 
 def stream_wait_close(queries: Sequence[StreamingQuery], *,
-                      poll_seconds: float = 0.5,
+                      poll_seconds: float = 0.1,
                       timeout_seconds: float | None = None) -> None:
     """Wait for all queries to finish (reference ``stream_wait_close``,
     ``task.py:547-556``), then surface any exception."""
@@ -144,15 +144,35 @@ def stream_wait_close(queries: Sequence[StreamingQuery], *,
 
 def run_to_memory(df: DataFrame, *, output_mode: str = "complete",
                   trigger: StreamTrigger | None = None,
-                  timeout_seconds: float = 300.0) -> DataFrame:
+                  timeout_seconds: float = 300.0,
+                  state_partitions: int | None = 8) -> DataFrame:
     """Run a finite (availableNow) stream into a memory sink and return the
     result as a batch DataFrame. The memory sink holds results driver-side,
-    so this is a TEST/small-result surface, not a production sink."""
+    so this is a TEST/small-result surface, not a production sink.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored after): streaming state-store partition
+    count is frozen at the first checkpoint anyway, and every micro-batch
+    pays per-partition task + state-commit overhead, so size it to the
+    stream's rate — not to the batch-analytics default. Locally 8 halves
+    stateful-query wall time; at production rates pick rate-appropriate
+    values. Pass None to leave the session setting untouched.
+    """
+    spark = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = write_stream(df, query_name=name, output_mode=output_mode,
-                     trigger=trigger or StreamTrigger(), sink_format="memory")
-    stream_wait_close([q], timeout_seconds=timeout_seconds)
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = write_stream(df, query_name=name, output_mode=output_mode,
+                         trigger=trigger or StreamTrigger(),
+                         sink_format="memory")
+        stream_wait_close([q], timeout_seconds=timeout_seconds,
+                          poll_seconds=0.1)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema_ddl: str,
