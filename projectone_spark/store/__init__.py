@@ -121,12 +121,18 @@ class TableStore:
         m = self.manifest(name)
         if m is None:
             raise FileNotFoundError(f"table '{name}' does not exist in {self.root}")
-        reader = spark.read
         if m["partition_by"]:
-            # hive-partitioned dirs: basePath keeps partition column discovery
-            reader = reader.option("basePath", m["dirs"][0])
-            return reader.parquet(*m["dirs"])
-        return reader.parquet(*m["dirs"])
+            # hive-partitioned dirs: each data directory needs ITS OWN
+            # basePath for partition-column discovery (one basePath cannot
+            # cover sibling commit dirs), so multi-commit snapshots are a
+            # union of per-dir scans — collapsed back to one by compaction
+            frames = [spark.read.option("basePath", d).parquet(d)
+                      for d in m["dirs"]]
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
+        return spark.read.parquet(*m["dirs"])
 
     def read_version(self, spark: SparkSession, name: str, version: int) -> DataFrame:
         """Time travel to an historical version."""

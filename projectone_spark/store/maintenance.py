@@ -1,0 +1,137 @@
+"""Table maintenance: small-file compaction, old-version vacuum, and
+schema-evolving appends — the Delta OPTIMIZE / VACUUM / mergeSchema trio.
+
+At scale these are what keep a continuously-appended table queryable: every
+micro-batch or incremental run adds a commit directory, and after a few
+thousand commits the scan pays per-file open/footers/tasks costs that dwarf
+the data read. The reference inherits all three from Delta Lake; the
+TableStore implements them directly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.store import TableStore
+
+
+def table_files(store: TableStore, name: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file in the current snapshot."""
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    out = []
+    for d in m["dirs"]:
+        for dirpath, _, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dirpath, fn)
+                    out.append((p, os.path.getsize(p)))
+    return out
+
+
+def compact(store: TableStore, spark: SparkSession, name: str,
+            target_file_bytes: int = 128 * 1024 * 1024,
+            small_file_bytes: int | None = None) -> int | None:
+    """Bin-pack the snapshot into ~``target_file_bytes`` files (Delta
+    OPTIMIZE). No-op (returns None) when nothing is fragmented: fewer than
+    2 files under ``small_file_bytes`` (default target/2).
+
+    The rewrite is a single job: scan → repartition to
+    ceil(total_bytes / target) → write. Partitioned tables keep their
+    partition spec (files coalesce within partitions). At 100 TB this runs
+    per-partition-predicate in practice; the store-level primitive is the
+    same plan.
+    """
+    small = small_file_bytes if small_file_bytes is not None else target_file_bytes // 2
+    files = table_files(store, name)
+    if sum(1 for _, b in files if b < small) < 2:
+        return None
+    m = store.manifest(name)
+    total = sum(b for _, b in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = store.read(spark, name)
+    part = m["partition_by"]
+    if part:
+        # coalesce within hive partitions: shuffle on the partition cols
+        compacted = df.repartition(n_out, *[F.col(c) for c in part])
+    else:
+        compacted = df.repartition(n_out)
+    return store.overwrite(spark, compacted, name,
+                           partition_by=part or None,
+                           _operation="compact")
+
+
+def vacuum(store: TableStore, name: str, keep_versions: int = 2) -> list[str]:
+    """Delete data directories referenced ONLY by manifests older than the
+    newest ``keep_versions`` (Delta VACUUM with version- rather than
+    time-based retention — deterministic for tests; a deployment would key
+    on ``committed_at`` the same way). Time travel to vacuumed versions
+    stops working, exactly like Delta. Returns the removed directories."""
+    history = store.history(name)
+    if not history:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    keep = {d for m in history[:keep_versions] for d in m["dirs"]}
+    dropped: list[str] = []
+    tdir = store._table_dir(name)
+    for entry in sorted(os.listdir(tdir)):
+        p = os.path.join(tdir, entry)
+        if os.path.isdir(p) and p not in keep:
+            shutil.rmtree(p)
+            dropped.append(p)
+    return dropped
+
+
+def append_evolve(store: TableStore, spark: SparkSession, df: DataFrame,
+                  name: str,
+                  stats_columns: Sequence[str] | None = None) -> int:
+    """Schema-evolving append (Delta ``mergeSchema``): new columns in ``df``
+    are added to the table (old files read them as NULL via parquet schema
+    merging); columns missing from ``df`` are appended as NULL. Type
+    conflicts on a shared column raise rather than corrupt."""
+    if not store.exists(name):
+        return store.append(spark, df, name, stats_columns=stats_columns)
+    current = store.read(spark, name)
+    cur_types = dict(zip(current.schema.names,
+                         [f.dataType for f in current.schema.fields]))
+    new_types = dict(zip(df.schema.names,
+                         [f.dataType for f in df.schema.fields]))
+    for col in set(cur_types) & set(new_types):
+        if cur_types[col] != new_types[col]:
+            raise TypeError(
+                f"append_evolve: column '{col}' is {cur_types[col].simpleString()} "
+                f"in table '{name}' but {new_types[col].simpleString()} in the "
+                f"incoming frame")
+    for col, dtype in cur_types.items():
+        if col not in new_types:
+            df = df.withColumn(col, F.lit(None).cast(dtype))
+    v = store.append(spark, df, name, stats_columns=stats_columns)
+    m = store.manifest(name)
+    m["schema_merged"] = True
+    import json
+    import uuid
+
+    tdir = store._table_dir(name)
+    tmp = os.path.join(tdir, f"_manifest.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    shutil.copy(tmp, os.path.join(tdir, f"_manifest_v{m['version']}.json"))
+    os.replace(tmp, store._manifest_path(name))
+    return v
+
+
+def read_merged(store: TableStore, spark: SparkSession, name: str) -> DataFrame:
+    """Read with parquet schema merging on (needed after append_evolve —
+    plain reads take the schema of the first file listed)."""
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    reader = spark.read.option("mergeSchema", "true")
+    if m["partition_by"]:
+        reader = reader.option("basePath", m["dirs"][0])
+    return reader.parquet(*m["dirs"])

@@ -1,0 +1,104 @@
+"""Table maintenance: compaction preserves data and collapses fragments,
+vacuum enforces retention without touching live versions, schema-evolving
+appends widen the table safely."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from projectone_spark.store import TableStore, read_changes
+from projectone_spark.store.maintenance import (
+    append_evolve, compact, read_merged, table_files, vacuum,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def store(tmp_path):
+    return TableStore(str(tmp_path / "store"))
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_compact_collapses_fragmented_appends(spark, store):
+    df = _orders(spark)
+    # 6 tiny append commits → 6+ small files across 6 dirs
+    for i in range(6):
+        store.append(spark, df.filter(F.col("o_orderkey") % 6 == i)
+                     .repartition(2), "orders")
+    before = table_files(store, "orders")
+    assert len(before) >= 12
+    v = compact(store, spark, "orders", target_file_bytes=64 * 1024 * 1024)
+    assert v is not None
+    after = table_files(store, "orders")
+    assert len(after) < len(before)
+    assert len(store.manifest("orders")["dirs"]) == 1
+    got = sorted(map(tuple, store.read(spark, "orders").collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # already compact → no-op
+    assert compact(store, spark, "orders",
+                   target_file_bytes=64 * 1024 * 1024) is None
+
+
+def test_compact_keeps_partition_spec(spark, store):
+    df = _orders(spark)
+    for i in range(3):
+        store.append(spark, df.filter(F.col("o_orderkey") % 3 == i), "orders",
+                     partition_by=["o_orderstatus"])
+    compact(store, spark, "orders", target_file_bytes=64 * 1024 * 1024)
+    m = store.manifest("orders")
+    assert m["partition_by"] == ["o_orderstatus"]
+    assert store.read(spark, "orders").count() == df.count()
+    # partition dirs exist in the compacted snapshot
+    sub = os.listdir(m["dirs"][0])
+    assert any(e.startswith("o_orderstatus=") for e in sub)
+
+
+def test_vacuum_retention(spark, store):
+    df = _orders(spark).limit(50)
+    store.overwrite(spark, df, "orders")                # v0 → dir A
+    store.append(spark, df, "orders")                   # v1 → dirs A+B
+    store.overwrite(spark, df.limit(10), "orders")      # v2 → dir C
+    # keep_versions=2 keeps v2+v1, and v1 still references v0's dir: no-op
+    assert vacuum(store, "orders", keep_versions=2) == []
+    assert store.read_version(spark, "orders", 0).count() == 50
+    # keep_versions=1 drops A and B (only v2's dir survives)
+    dropped = vacuum(store, "orders", keep_versions=1)
+    assert len(dropped) == 2
+    assert store.read(spark, "orders").count() == 10
+    with pytest.raises(Exception):
+        store.read_version(spark, "orders", 0).collect()
+    with pytest.raises(Exception):
+        # change feed needing vacuumed files is gone too (Delta-identical)
+        read_changes(store, spark, "orders", 2, 2).collect()
+
+
+def test_append_evolve_new_and_missing_columns(spark, store):
+    df = _orders(spark).select("o_orderkey", "o_totalprice").limit(20)
+    append_evolve(store, spark, df, "orders")
+    widened = (_orders(spark)
+               .select("o_orderkey", "o_totalprice")
+               .withColumn("channel", F.lit("web")).limit(20))
+    append_evolve(store, spark, widened, "orders")
+    got = read_merged(store, spark, "orders")
+    assert set(got.columns) == {"o_orderkey", "o_totalprice", "channel"}
+    assert got.count() == 40
+    assert got.filter(F.col("channel").isNull()).count() == 20
+    # narrower-than-table frame: missing column null-filled
+    narrow = _orders(spark).select("o_orderkey", "o_totalprice").limit(5)
+    append_evolve(store, spark, narrow, "orders")
+    got = read_merged(store, spark, "orders")
+    assert got.count() == 45
+    assert got.filter(F.col("channel").isNull()).count() == 25
+
+
+def test_append_evolve_type_conflict_raises(spark, store):
+    df = _orders(spark).select("o_orderkey", "o_totalprice").limit(5)
+    append_evolve(store, spark, df, "orders")
+    bad = df.withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    with pytest.raises(TypeError, match="o_totalprice"):
+        append_evolve(store, spark, bad, "orders")
