@@ -131,3 +131,32 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents")
                   .select("doc_id", normalize("text").alias("__norm")))
     return docs.select("doc_id", fingerprint_of_norm("__norm").alias("fp"))
+
+
+_C01_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM documents),
+starts AS (
+  SELECT doc_id, t, CAST(unnest(range(0, len(t), 40)) AS INT) AS start
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(start / 40 AS INT) AS chunk_ix,
+       array_to_string(t[start + 1 : start + 50], ' ') AS chunk,
+       CAST(least(50, len(t) - start) AS INT) AS n_tokens
+FROM starts
+"""
+
+
+@register("c01_doc_chunks", _C01_SQL, bench=True,
+          doc="document chunking (50-token chunks, stride 40): split → "
+              "sequence-of-starts → slice/concat + posexplode, all "
+              "JVM-side expressions; the Python-UDTF twin is equivalence- "
+              "tested in tests/test_chunking.py",
+          tags=("text", "chunking", "llm"))
+def c01_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.chunking import chunk_docs
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_docs(docs, size=50, stride=40)
