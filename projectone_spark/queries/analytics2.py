@@ -550,3 +550,29 @@ def q31_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type", "k_bucket")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.max("__k").alias("max_k")))
+
+
+_Q32_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("q32_rank_family", _Q32_SQL, bench=True,
+          doc="distribution-rank window family (ntile / percent_rank / "
+              "cume_dist) per customer, total-ordered for determinism",
+          tags=("window", "rank"))
+def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
+    return (load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume")))

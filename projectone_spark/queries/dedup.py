@@ -13,10 +13,12 @@ from projectone_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_frame,
 )
+from projectone_spark.functions.text import STOPWORDS
 from projectone_spark.queries import load, register
 
 _NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
          " ' +', ' ', 'g'))")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 _TOKS = (f"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
          f"ELSE string_split({_NORM}, ' ') END")
 # char 5-gram shingles over normalized text (>=1 shingle even for short text)
@@ -165,3 +167,55 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.vec_id").alias("vec_id_a"),
                     F.col("c.vec_id").alias("vec_id_b"),
                     F.round(cos, 6).alias("cosine")))
+
+
+_D07_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, md5({_mh_sql(0)} || '|' || {_mh_sql(1)}) AS bucket
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         round(least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0) * 0.4
+               + (1.0 - least(abs(CASE WHEN len({_TOKS}) > 0
+                     THEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+                          / len({_TOKS}) ELSE 0.0 END - 0.3) * 2, 1.0)) * 0.3
+               + (1.0 - least((CASE WHEN length(text) > 0
+                     THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                          / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 4, 1.0)) * 0.3,
+               4) AS quality
+  FROM documents),
+ranked AS (
+  SELECT sig.bucket, sig.doc_id, q.quality,
+         row_number() OVER (PARTITION BY sig.bucket
+                            ORDER BY q.quality DESC, sig.doc_id) AS rn,
+         count(*) OVER (PARTITION BY sig.bucket) AS n_members
+  FROM sig JOIN q USING (doc_id))
+SELECT bucket, doc_id AS kept_doc, quality, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("d07_keep_best_neardup", _D07_SQL,
+          doc="near-dup canonicalization: LSH band bucket (minhash pair) "
+              "keeps its highest-quality member (tie: lowest doc_id) — the "
+              "'which copy survives' half of dedup that d01-d06 leave to "
+              "the caller",
+          tags=("dedup", "quality", "llm"))
+def d07_keep_best_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from projectone_spark.functions.text import text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).select(
+        "doc_id", F.md5(F.concat_ws("|", "mh0", "mh1")).alias("bucket"))
+    quality = text_stats(docs).select("doc_id", "quality")
+    joined = sigs.join(quality, "doc_id")
+    w = Window.partitionBy("bucket").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (joined
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members", F.count(F.lit(1))
+                        .over(Window.partitionBy("bucket")))
+            .filter(F.col("rn") == 1)
+            .select("bucket", F.col("doc_id").alias("kept_doc"),
+                    "quality", F.col("n_members").cast("bigint")))
