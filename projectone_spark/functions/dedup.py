@@ -151,3 +151,45 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                          F.col(f"b.{id_col}").alias("doc_id_b"),
                          F.round(jac, 4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def connected_components(edges: DataFrame, src: str = "doc_id_a",
+                         dst: str = "doc_id_b", id_out: str = "doc_id",
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components over a pair list by hash-min label propagation:
+    every node starts labeled with its own id; each round takes the min of
+    its own and its neighbors' labels; converged when no label changes.
+    Deterministic, O(graph diameter) rounds — the standard big-graph CC
+    (each round = one shuffle-join, no driver-side graph).
+
+    Near-dup grouping is its use here: LSH pairs are edges, a component is
+    the transitive closure "these documents are all copies of one thing",
+    and downstream keeps one representative per component (cf. d07's
+    per-bucket keep-best). ``localCheckpoint`` each round truncates the
+    lineage the loop would otherwise stack (the reference's
+    ``stage_results`` knob, sources.py:161-169).
+    """
+    sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .unionByName(edges.select(F.col(dst).alias("s"),
+                                     F.col(src).alias("d"))))
+    labels = (sym.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iters):
+        neighbor_min = (sym.join(labels, sym["d"] == labels["node"])
+                        .groupBy("s").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["node"] == neighbor_min["s"], "left")
+                      .select(labels["node"],
+                              F.least(labels["label"],
+                                      F.coalesce(F.col("nmin"),
+                                                 labels["label"]))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_out),
+                         F.col("label").alias("component"))

@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.functions.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -219,3 +220,32 @@ def d07_keep_best_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("bucket", F.col("doc_id").alias("kept_doc"),
                     "quality", F.col("n_members").cast("bigint")))
+
+
+_D08_SQL = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id, {_mh_sql(0)} AS mh0 FROM documents),
+banded AS (SELECT doc_id, substr(mh0, 1, 2) AS band FROM sigs),
+pairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id),
+edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+reach(node, lab) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.node = e.d)
+SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+"""
+
+
+@register("d08_connected_neardups", _D08_SQL,
+          doc="near-dup components: LSH candidate pairs as edges, hash-min "
+              "label propagation to a fixpoint (one shuffle-join per round, "
+              "O(diameter) rounds) — the transitive-closure grouping that "
+              "bucket-local dedup (d07) can't see across buckets; oracle = "
+              "recursive-CTE reachability",
+          tags=("dedup", "graph", "llm"))
+def d08_connected_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+    return connected_components(pairs)

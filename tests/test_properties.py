@@ -98,3 +98,16 @@ def test_cdc_two_runs_partition_the_data(spark, offsets, split):
         assert read2 == {o for o in all_vals if o > max(first)}
     assert read1 | read2 == set(all_vals)
     assert read1 & read2 == set()
+
+
+def test_connected_components_known_graph(spark):
+    from projectone_spark.functions.dedup import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
