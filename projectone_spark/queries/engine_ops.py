@@ -250,3 +250,47 @@ def s07_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("sum_o_totalprice", 2).cast("double")
                     .alias("sum_price"),
                     F.col("n_rows")))
+
+
+# -- bucketed co-located join ------------------------------------------------
+
+_BUCKET_STORES: dict[str, object] = {}
+
+
+_S08_SQL = """
+SELECT c.c_custkey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS revenue
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("s08_bucketed_join", _S08_SQL,
+          doc="co-bucketed join + aggregation on the bucket key: both "
+              "tables written bucketed on the customer key, so the join "
+              "AND the groupBy plan with zero Exchange (layout decided at "
+              "write time, reused by every later query)",
+          tags=("store", "bucketing", "join", "perf"))
+def s08_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.bucketing import read_bucketed, write_bucketed
+
+    st = _BUCKET_STORES.get(sf_dir)
+    if st is None:
+        st = TableStore(tempfile.mkdtemp(prefix="pos-bkt-"))
+        write_bucketed(st, spark, load(spark, sf_dir, "orders"),
+                       "orders", ["o_custkey"], 8, sort_by=["o_custkey"])
+        write_bucketed(st, spark, load(spark, sf_dir, "customer"),
+                       "customer", ["c_custkey"], 8, sort_by=["c_custkey"])
+        _BUCKET_STORES[sf_dir] = st
+    o = read_bucketed(st, spark, "orders")
+    c = read_bucketed(st, spark, "customer")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+                 .cast("double").alias("revenue")))
