@@ -234,3 +234,30 @@ def st06_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts", "purchase_ts",
         F.round(F.col("value") - F.col("view_value"), 2).alias("value_delta"))
     return run_to_memory(out, output_mode="append")
+
+
+_ST07_SQL = """
+SELECT o.o_orderkey, c.c_name,
+       round(o.o_totalprice, 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+"""
+
+
+@register("st07_stream_static_join", _ST07_SQL,
+          doc="stream-static enrichment join: streaming orders join the "
+              "batch customer dimension per micro-batch (dimension is "
+              "re-read each batch — picks up dim updates; broadcast under "
+              "the threshold, no stream state at all)",
+          tags=("streaming", "join"))
+def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = (read_stream_parquet(spark, f"{sf_dir}/orders.parquet",
+                                  _ORDERS_DDL)
+              .filter(F.col("o_orderdate")
+                      >= F.lit("1997-01-01").cast("timestamp")))
+    joined = (orders.join(customer,
+                          orders.o_custkey == customer.c_custkey)
+              .select("o_orderkey", "c_name",
+                      F.round("o_totalprice", 2).alias("total_price")))
+    return run_to_memory(joined, output_mode="append")
