@@ -322,6 +322,10 @@ def optimize(store, spark: SparkSession, name: str,
     (``target_files``) — the knob that controls task granularity and small-
     file pressure at scale.
     """
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    part = m["partition_by"]
     df = store.read(spark, name)
     if len(zorder_by) == 1:
         c = zorder_by[0]
@@ -334,7 +338,10 @@ def optimize(store, spark: SparkSession, name: str,
                      .sortWithinPartitions("__z__")
                      .drop("__z__"))
     cols = list(stats_columns if stats_columns is not None
-                else dict.fromkeys([*(store.manifest(name).get("stats_columns") or []),
+                else dict.fromkeys([*(m.get("stats_columns") or []),
                                     *zorder_by]))
-    return store.overwrite(spark, clustered, name, stats_columns=cols,
+    # hive partitioning survives the rewrite: clustering orders rows WITHIN
+    # each partition directory
+    return store.overwrite(spark, clustered, name,
+                           partition_by=part or None, stats_columns=cols,
                            _operation="optimize")

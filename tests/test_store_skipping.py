@@ -150,3 +150,26 @@ def test_single_column_optimize_disjoint_ranges(spark, store):
                    for f in m["files"] if "o_orderdate" in f["min"])
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next  # range partitioning → non-overlapping files
+
+
+def test_optimize_preserves_partitioning(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders", partition_by=["o_orderstatus"],
+                    stats_columns=["o_orderdate"])
+    optimize(store, spark, "orders", zorder_by=["o_orderdate"],
+             target_files=4)
+    m = store.manifest("orders")
+    assert m["partition_by"] == ["o_orderstatus"]
+    import os
+
+    assert any(e.startswith("o_orderstatus=")
+               for e in os.listdir(m["dirs"][0]))
+    got = store.read(spark, "orders")
+    assert got.count() == df.count()
+    assert "o_orderstatus" in got.columns
+    # skipping still works on the clustered column within partitions
+    preds = [("o_orderdate", ">=", "1997-01-01"),
+             ("o_orderstatus", "=", "F")]
+    _assert_same(read_where(store, spark, "orders", preds),
+                 store.read(spark, "orders")
+                 .filter("o_orderdate >= '1997-01-01' AND o_orderstatus = 'F'"))
