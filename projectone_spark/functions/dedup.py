@@ -174,6 +174,7 @@ def connected_components(edges: DataFrame, src: str = "doc_id_a",
                                      F.col(src).alias("d"))))
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node")))
+    changed = -1
     for _ in range(max_iters):
         neighbor_min = (sym.join(labels, sym["d"] == labels["node"])
                         .groupBy("s").agg(F.min("label").alias("nmin")))
@@ -191,5 +192,11 @@ def connected_components(edges: DataFrame, src: str = "doc_id_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning partial labels would silently split components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — rounds "
+            f"needed grow with the graph diameter")
     return labels.select(F.col("node").alias(id_out),
                          F.col("label").alias("component"))

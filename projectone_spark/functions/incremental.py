@@ -33,14 +33,6 @@ from projectone_spark.store.state import StateStore
 _CNT = "__agg_count__"
 
 
-def empty_agg(spark: SparkSession, template: DataFrame,
-              keys: Sequence[str], sum_cols: Sequence[str]) -> DataFrame:
-    proj = template.select(
-        *keys, *[F.col(c).cast("decimal(38,6)").alias(f"sum_{c}") for c in sum_cols],
-        F.lit(0).cast("long").alias(_CNT))
-    return proj.limit(0)
-
-
 def delta_agg(changes: DataFrame, keys: Sequence[str],
               sum_cols: Sequence[str]) -> DataFrame:
     """Signed partial aggregate of a change-feed frame (map-side combinable:

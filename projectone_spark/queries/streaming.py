@@ -103,9 +103,9 @@ def st02_stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.round(F.col("o_totalprice"), 2) + 1000.0).alias("total_price")))
     # micro-batches are small slices of the source: size the merge shuffle
     # to the batch, not to the session's batch-analytics default
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from projectone_spark.streaming import shuffle_partitions
+
+    with shuffle_partitions(spark, 8):
         q = write_stream(
             changed,
             foreach_batch=foreach_batch_writer(
@@ -113,8 +113,6 @@ def st02_stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key_cols=["o_orderkey"],
                 now=F.lit("2024-02-01").cast("timestamp")))
         stream_wait_close([q], timeout_seconds=300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return store.read(spark, "orders_scd1").select("o_orderkey", "total_price")
 
 

@@ -103,6 +103,22 @@ class TableStore:
         os.replace(tmp, self._manifest_path(name))
         return version
 
+    def amend_manifest(self, name: str, mutator) -> dict:
+        """Apply ``mutator(manifest_dict)`` to the current manifest and
+        atomically republish it (current pointer + its ``_v{n}`` history
+        copy) — the single place manifest-rewrite atomicity lives."""
+        m = self.manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"table '{name}' does not exist")
+        mutator(m)
+        tdir = self._table_dir(name)
+        tmp = os.path.join(tdir, f"_manifest.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        shutil.copy(tmp, os.path.join(tdir, f"_manifest_v{m['version']}.json"))
+        os.replace(tmp, self._manifest_path(name))
+        return m
+
     def history(self, name: str) -> list[dict]:
         """All committed manifests, newest first (cf. DeltaTable.history)."""
         tdir = self._table_dir(name)
@@ -264,18 +280,14 @@ def create_if_not_exists(store: TableStore, spark: SparkSession, table,
     empty = spark.createDataFrame([], parse_ddl(table.ddl()))
     v = store.overwrite(spark, empty, table.name,
                         table.partition_by or None)
-    # enrich the freshly written manifest with the contract metadata
-    m = store.manifest(table.name)
-    m["operation"] = "create"
-    m["properties"] = dict(table.properties)
-    m["comment"] = table.comment
-    m["columns"] = [c.model_dump() for c in table.columns]
-    tdir = store._table_dir(table.name)
-    tmp = os.path.join(tdir, f"_manifest.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1)
-    shutil.copy(tmp, os.path.join(tdir, f"_manifest_v{v}.json"))
-    os.replace(tmp, store._manifest_path(table.name))
+
+    def _enrich(m: dict) -> None:
+        m["operation"] = "create"
+        m["properties"] = dict(table.properties)
+        m["comment"] = table.comment
+        m["columns"] = [c.model_dump() for c in table.columns]
+
+    store.amend_manifest(table.name, _enrich)
     return v
 
 

@@ -53,9 +53,16 @@ def compact(store: TableStore, spark: SparkSession, name: str,
     if sum(1 for _, b in files if b < small) < 2:
         return None
     m = store.manifest(name)
+    if m.get("metrics", {}).get("bucket_by"):
+        raise ValueError(
+            f"table '{name}' is bucketed; re-bucket with "
+            f"store.bucketing.write_bucketed instead of compact() — a plain "
+            f"rewrite would silently discard the bucket layout")
     total = sum(b for _, b in files)
     n_out = max(1, -(-total // target_file_bytes))
-    df = store.read(spark, name)
+    # mergeSchema read: a table widened by append_evolve must keep its
+    # evolved columns through the rewrite (plain read takes one file's schema)
+    df = read_merged(store, spark, name)
     part = m["partition_by"]
     if part:
         # coalesce within hive partitions: shuffle on the partition cols
@@ -111,27 +118,24 @@ def append_evolve(store: TableStore, spark: SparkSession, df: DataFrame,
         if col not in new_types:
             df = df.withColumn(col, F.lit(None).cast(dtype))
     v = store.append(spark, df, name, stats_columns=stats_columns)
-    m = store.manifest(name)
-    m["schema_merged"] = True
-    import json
-    import uuid
-
-    tdir = store._table_dir(name)
-    tmp = os.path.join(tdir, f"_manifest.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1)
-    shutil.copy(tmp, os.path.join(tdir, f"_manifest_v{m['version']}.json"))
-    os.replace(tmp, store._manifest_path(name))
+    store.amend_manifest(name, lambda m: m.__setitem__("schema_merged", True))
     return v
 
 
 def read_merged(store: TableStore, spark: SparkSession, name: str) -> DataFrame:
     """Read with parquet schema merging on (needed after append_evolve —
-    plain reads take the schema of the first file listed)."""
+    plain reads take the schema of the first file listed). Partitioned
+    multi-commit snapshots read per-directory (each dir its own basePath,
+    like TableStore.read) and union with allowMissingColumns so commits
+    written before a schema evolution still line up."""
     m = store.manifest(name)
     if m is None:
         raise FileNotFoundError(f"table '{name}' does not exist")
-    reader = spark.read.option("mergeSchema", "true")
     if m["partition_by"]:
-        reader = reader.option("basePath", m["dirs"][0])
-    return reader.parquet(*m["dirs"])
+        frames = [spark.read.option("mergeSchema", "true")
+                  .option("basePath", d).parquet(d) for d in m["dirs"]]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+    return spark.read.option("mergeSchema", "true").parquet(*m["dirs"])

@@ -126,9 +126,15 @@ def _pad_temporal(a, b):
     return a, b
 
 
-def _coerced(lo, hi, val):
+def _coerced(lo, hi, val, from_partition_path: bool = False):
     """Coerce (lo, hi, val) to one comparable type, or None when the
-    comparison can't be trusted (→ caller keeps the file)."""
+    comparison can't be trusted (→ caller keeps the file).
+
+    ``from_partition_path`` bounds came from a hive path component, whose
+    type Spark INFERS — a numeric-looking directory value is an int column
+    to Spark, so '9' must order below '10' numerically there. Footer stats
+    of a true string column stay lexicographic (matching Spark's own
+    string comparison in the residual filter)."""
     if isinstance(val, bool) or isinstance(lo, bool):
         return None
     if isinstance(val, (int, float)):
@@ -138,22 +144,28 @@ def _coerced(lo, hi, val):
             return None
     if isinstance(val, str):
         if isinstance(lo, str):
+            if from_partition_path:
+                try:
+                    return float(lo), float(hi), float(val)
+                except (TypeError, ValueError):
+                    pass  # non-numeric partition value → string semantics
             lo, val1 = _pad_temporal(lo, val)
             hi, val2 = _pad_temporal(hi, val)
             # lo and hi pad independently against the same val; both pads of
             # val are identical because val's shape doesn't change per side
             return lo, hi, val1 if " " in val1 else val2
-        try:  # numeric stats vs numeric-looking string (partition paths)
+        try:  # numeric stats vs numeric-looking string literal
             return float(lo), float(hi), float(val)
         except (TypeError, ValueError):
             return None
     return None
 
 
-def _interval_matches(lo, hi, op: str, val) -> bool:
+def _interval_matches(lo, hi, op: str, val,
+                      from_partition_path: bool = False) -> bool:
     """Could a value in [lo, hi] satisfy ``x <op> val``? Conservative:
     uncertain comparisons return True (file kept)."""
-    c = _coerced(lo, hi, val)
+    c = _coerced(lo, hi, val, from_partition_path)
     if c is None:
         return True
     lo, hi, val = c
@@ -186,11 +198,13 @@ def prune_files(manifest: dict,
                 continue
             if col in parts:
                 lo = hi = parts[col]
+                from_path = True
             elif col in f.get("min", {}):
                 lo, hi = f["min"][col], f["max"][col]
+                from_path = False
             else:
                 continue
-            if not _interval_matches(lo, hi, op, val):
+            if not _interval_matches(lo, hi, op, val, from_path):
                 keep = False
                 break
         if keep:
@@ -203,7 +217,14 @@ def _sql_literal(val) -> str:
         return "'" + val.replace("'", "''") + "'"
     if isinstance(val, bool):
         return "true" if val else "false"
-    return repr(val)
+    if isinstance(val, (datetime.datetime, datetime.date)):
+        return "'" + val.isoformat(sep=" ") + "'" \
+            if isinstance(val, datetime.datetime) \
+            else "'" + val.isoformat() + "'"
+    if isinstance(val, (int, float)):
+        return repr(val)
+    raise TypeError(f"unsupported predicate literal {val!r} "
+                    f"({type(val).__name__})")
 
 
 def predicates_to_sql(predicates: Sequence[tuple[str, str, object]]) -> str:
@@ -225,22 +246,36 @@ def read_where(store, spark: SparkSession, name: str,
     m = store.manifest(name)
     if m is None:
         raise FileNotFoundError(f"table '{name}' does not exist in {store.root}")
+    if not predicates:
+        return store.read(spark, name)
     residual = predicates_to_sql(predicates)
     if not m.get("files"):
         return store.read(spark, name).filter(residual)
+    # A commit written without stats_columns recorded no file entries for
+    # its directory; those directories MUST be scanned unpruned — a stats
+    # gap is never license to drop data.
+    covered = {d for d in m["dirs"]
+               if any(f["path"].startswith(d + os.sep) for f in m["files"])}
+    uncovered = [d for d in m["dirs"] if d not in covered]
     kept, _total = prune_files(m, predicates)
-    if not kept:
-        return store.read(spark, name).filter(residual).limit(0)
     frames = []
     if m["partition_by"]:
         # group surviving files under their snapshot dir so partition-column
         # discovery (basePath) still works per data directory
-        for d in m["dirs"]:
+        for d in covered:
             paths = [f["path"] for f in kept if f["path"].startswith(d + os.sep)]
             if paths:
                 frames.append(spark.read.option("basePath", d).parquet(*paths))
+        for d in uncovered:
+            frames.append(spark.read.option("basePath", d).parquet(d))
     else:
-        frames.append(spark.read.parquet(*[f["path"] for f in kept]))
+        paths = [f["path"] for f in kept]
+        if paths:
+            frames.append(spark.read.parquet(*paths))
+        if uncovered:
+            frames.append(spark.read.parquet(*uncovered))
+    if not frames:
+        return store.read(spark, name).filter(residual).limit(0)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
@@ -271,6 +306,13 @@ def _as_double(col: str, dtype: T.DataType) -> F.Column:
         return F.unix_timestamp(c).cast("double")
     if isinstance(dtype, T.DateType):
         return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if not isinstance(dtype, T.NumericType):
+        # a silent cast-to-null would drop the column from the z-value and
+        # the caller would believe it got clustered
+        raise TypeError(
+            f"zorder column '{col}' has type {dtype.simpleString()}; only "
+            f"numeric/date/timestamp columns can be z-ordered (hash or "
+            f"dictionary-encode strings upstream)")
     return c.cast("double")
 
 

@@ -32,6 +32,7 @@ import tempfile
 import time
 import uuid
 from collections.abc import Callable, Sequence
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Any
 
@@ -160,19 +161,29 @@ def run_to_memory(df: DataFrame, *, output_mode: str = "complete",
     """
     spark = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with shuffle_partitions(spark, state_partitions):
         q = write_stream(df, query_name=name, output_mode=output_mode,
                          trigger=trigger or StreamTrigger(),
                          sink_format="memory")
         stream_wait_close([q], timeout_seconds=timeout_seconds,
                           poll_seconds=0.1)
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@contextmanager
+def shuffle_partitions(spark: SparkSession, n: int | None):
+    """Pin ``spark.sql.shuffle.partitions`` for the block (restored after);
+    no-op when ``n`` is None. Streams must run to completion INSIDE the
+    block — micro-batch planning reads the conf per batch."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema_ddl: str,

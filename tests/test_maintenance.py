@@ -102,3 +102,41 @@ def test_append_evolve_type_conflict_raises(spark, store):
     bad = df.withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
     with pytest.raises(TypeError, match="o_totalprice"):
         append_evolve(store, spark, bad, "orders")
+
+
+def test_compact_preserves_evolved_columns(spark, store):
+    """Regression: compact() read with one file's schema and could rewrite
+    the table without columns added by append_evolve."""
+    base = _orders(spark).select("o_orderkey", "o_totalprice").limit(30)
+    append_evolve(store, spark, base.repartition(2), "orders")
+    widened = (_orders(spark).select("o_orderkey", "o_totalprice")
+               .withColumn("channel", F.lit("web")).limit(30))
+    append_evolve(store, spark, widened.repartition(2), "orders")
+    v = compact(store, spark, "orders", target_file_bytes=64 * 1024 * 1024)
+    assert v is not None
+    got = read_merged(store, spark, "orders")
+    assert "channel" in got.columns
+    assert got.count() == 60
+    assert got.filter(F.col("channel") == "web").count() == 30
+
+
+def test_read_merged_partitioned_multicommit(spark, store):
+    """Regression: read_merged used one basePath across sibling commit
+    dirs and crashed on partitioned multi-commit tables."""
+    df = _orders(spark)
+    store.overwrite(spark, df.limit(40), "orders",
+                    partition_by=["o_orderstatus"])
+    store.append(spark, df.limit(80).exceptAll(df.limit(40)), "orders")
+    got = read_merged(store, spark, "orders")
+    assert got.count() == 80
+    assert "o_orderstatus" in got.columns
+
+
+def test_compact_refuses_bucketed_table(spark, store):
+    from projectone_spark.store.bucketing import write_bucketed
+
+    write_bucketed(store, spark, _orders(spark).repartition(4), "orders",
+                   ["o_custkey"], 4)
+    # make it look fragmented enough to trigger the rewrite path
+    with pytest.raises(ValueError, match="bucketed"):
+        compact(store, spark, "orders", target_file_bytes=10**9)

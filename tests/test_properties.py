@@ -111,3 +111,16 @@ def test_connected_components_known_graph(spark):
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from projectone_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_id_a long, doc_id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iters=2)
+    got = connected_components(chain, max_iters=15).collect()
+    assert {r["component"] for r in got} == {0}

@@ -173,3 +173,51 @@ def test_optimize_preserves_partitioning(spark, store):
     _assert_same(read_where(store, spark, "orders", preds),
                  store.read(spark, "orders")
                  .filter("o_orderdate >= '1997-01-01' AND o_orderstatus = 'F'"))
+
+
+def test_stats_gap_never_drops_files(spark, store):
+    """A commit written without stats must still be scanned by read_where
+    (regression: stats-less dirs were excluded from the pruned scan)."""
+    df = _orders(spark)
+    old = df.filter("o_orderdate < '1996-01-01'")
+    new = df.filter("o_orderdate >= '1996-01-01'")
+    store.overwrite(spark, old, "orders")                 # NO stats recorded
+    store.append(spark, new, "orders",
+                 stats_columns=["o_orderdate"])           # stats for v1 only
+    preds = [("o_orderdate", "<", "1996-01-01")]          # lives in v0!
+    got = read_where(store, spark, "orders", preds)
+    _assert_same(got, store.read(spark, "orders")
+                 .filter("o_orderdate < '1996-01-01'"))
+    assert got.count() == old.count() > 0
+
+
+def test_numeric_partition_path_pruning(spark, store):
+    """Partition dirs like bucket=9 vs bucket=10 must compare numerically
+    (regression: lexicographic '9' < '10' pruned matching files)."""
+    df = _orders(spark).withColumn(
+        "bucket", (F.col("o_orderkey") % 12).cast("int"))
+    store.overwrite(spark, df, "orders", partition_by=["bucket"],
+                    stats_columns=["o_orderkey"])
+    preds = [("bucket", "<", "10")]
+    got = read_where(store, spark, "orders", preds)
+    _assert_same(got, store.read(spark, "orders").filter("bucket < '10'"))
+    assert got.filter("bucket = 9").count() > 0  # the lexicographic victim
+
+
+def test_read_where_empty_predicates_and_date_literal(spark, store):
+    import datetime
+
+    df = _orders(spark).repartitionByRange(4, "o_orderdate")
+    store.overwrite(spark, df, "orders", stats_columns=["o_orderdate"])
+    assert read_where(store, spark, "orders", []).count() == df.count()
+    got = read_where(store, spark, "orders",
+                     [("o_orderdate", ">=", datetime.date(1997, 1, 1))])
+    _assert_same(got, store.read(spark, "orders")
+                 .filter("o_orderdate >= '1997-01-01'"))
+
+
+def test_zorder_string_column_raises(spark, store):
+    store.overwrite(spark, _orders(spark), "orders")
+    with pytest.raises(TypeError, match="o_orderstatus"):
+        optimize(store, spark, "orders",
+                 zorder_by=["o_orderstatus", "o_orderkey"])
