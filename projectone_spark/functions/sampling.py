@@ -1,0 +1,154 @@
+"""Dataset-assembly operators for training-data pipelines: deterministic
+splits, language-balanced quota sampling, sequence packing, benchmark
+contamination detection.
+
+These are the steps between "corpus" and "training set": assign every
+document to train/val/test reproducibly, cap each language/source at a
+quota, pack variable-length documents into fixed token budgets, and check
+the training split for benchmark leakage.
+
+Design for 100 TB:
+- the split is a pure scan-side expression (md5 bucket) — no shuffle, no
+  state, and stable under re-runs, re-partitioning, and appends (a given
+  id always lands in the same split, so yesterday's train doc never leaks
+  into tomorrow's test set);
+- quota sampling is TWO-PHASE top-k: a local top-k inside each (group,
+  input-partition) slice first, so the global per-group window only ranks
+  ``k × num_partitions`` survivors instead of every row of a hot language
+  (a one-phase window puts all of `en` — possibly 40% of the corpus — in
+  a single task);
+- packing is windowed prefix-sum per (group, shard): packing is inherently
+  sequential, so parallelism comes from sharding the id space, not from
+  splitting one sequence;
+- contamination joins the corpus against a *broadcast* set of benchmark
+  shingles — the corpus never shuffles, only its exploded shingles
+  aggregate back by doc_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from projectone_spark.functions.dedup import shingles_of_norm
+from projectone_spark.functions.text import normalize, spread
+
+
+def md5_bucket(col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from the first 4 hex digits of
+    md5(value) — engine-portable (any md5 produces the same bucket, cf.
+    DuckDB ``CAST('0x'||substr(md5(v),1,4) AS INT)``), unlike
+    ``hash()``/``xxhash64`` whose seeds differ per engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+            .cast("int") % n_buckets)
+
+
+def deterministic_split(df: DataFrame, id_col: str = "doc_id",
+                        splits: Sequence[tuple[str, int]] = (
+                            ("train", 80), ("val", 10), ("test", 10)),
+                        out_col: str = "split") -> DataFrame:
+    """Assign every row to a named split by hashing its id: stable across
+    runs/partitionings/appends, no shuffle, no sampling state. ``splits``
+    is (name, percent) with percents summing to 100."""
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percents must sum to 100, got {total}")
+    b = md5_bucket(id_col, 100)
+    expr = None
+    upper = 0
+    for name, pct in splits[:-1]:
+        upper += pct
+        clause = F.when(b < upper, F.lit(name))
+        expr = clause if expr is None else expr.when(b < upper, F.lit(name))
+    expr = (expr.otherwise(F.lit(splits[-1][0])) if expr is not None
+            else F.lit(splits[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def quota_sample(df: DataFrame, group_col: str, order_col: str,
+                 quota: int, tie_col: str, ascending: bool = False,
+                 rank_col: str = "rk") -> DataFrame:
+    """Top-``quota`` rows per group, ordered by ``order_col`` (desc by
+    default) with ``tie_col`` as the deterministic tie-break.
+
+    Two-phase: rank inside (group, spark_partition_id) first and keep the
+    local top-k, then rank the ≤ k·P survivors globally per group. The
+    result is identical to a one-phase per-group window (any global top-k
+    row is top-k within its own partition), but no single task ever sees
+    more than one input-partition's worth of a hot group.
+    """
+    oc = F.col(order_col) if ascending else F.col(order_col).desc()
+    tc = F.col(tie_col)
+    local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(oc, tc)
+    survivors = (df.withColumn("__lrk", F.row_number().over(local))
+                 .filter(F.col("__lrk") <= quota).drop("__lrk"))
+    w = Window.partitionBy(group_col).orderBy(oc, tc)
+    return (survivors.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= quota))
+
+
+def estimate_tokens(col: Column | str, chars_per_token: float = 4.0) -> Column:
+    """Cheap LLM token-budget estimate from character count (≈4 chars per
+    token for English); swap in a real tokenizer count upstream when one
+    is available."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.ceil(c.cast("double") / F.lit(chars_per_token)).cast("long")
+
+
+def pack_sequences(df: DataFrame, token_col: str, target_tokens: int,
+                   part_cols: Sequence[str], order_col: str,
+                   bin_col: str = "bin") -> DataFrame:
+    """Assign each row to a sequence-packing bin by prefix-sum position:
+    row i goes to bin ``floor(prefix_tokens_before_i / target)``, streaming
+    in ``order_col`` order within each ``part_cols`` partition. Every bin
+    holds < target + its-largest-doc tokens; a bin can UNDER-fill when its
+    predecessor overshot into its span (the price of expressing packing as
+    one window instead of a sequential recurrence — at scale that trade is
+    right, and token waste is bounded by one doc per bin). (part_cols…,
+    bin) is the global bin key; shard the id space via ``part_cols`` for
+    parallelism."""
+    w = (Window.partitionBy(*part_cols).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(token_col).over(w)
+    return df.withColumn(
+        bin_col,
+        F.floor((cum - F.col(token_col)) / F.lit(float(target_tokens)))
+        .cast("long"))
+
+
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 5, parallelism: int | None = None) -> DataFrame:
+    """Per-corpus-document overlap with a benchmark set: the fraction of
+    the document's distinct char-``k``-gram shingles that appear anywhere
+    in the benchmark. 1.0 ⇒ fully contained in the benchmark (leaked).
+
+    The benchmark's distinct shingle set is broadcast (eval suites are
+    tiny next to a training corpus), so the corpus side never shuffles
+    for the join — only its exploded shingles aggregate back by id.
+    """
+
+    def exploded(frame: DataFrame) -> DataFrame:
+        # materialize __norm before the shingle lambda (text.py rule 1:
+        # HOF lambdas re-evaluate embedded chains per element) and spread
+        # the CPU-heavy explode across cores (rule 2)
+        base = spread(frame.select(F.col(id_col),
+                                   normalize(text_col).alias("__norm")),
+                      parallelism)
+        sh = F.array_distinct(shingles_of_norm("__norm", k))
+        return base.select(F.col(id_col), F.explode(sh).alias("__sh"))
+
+    bench_sh = benchmark.transform(exploded).select("__sh").distinct()
+    marked = (corpus.transform(exploded)
+              .join(F.broadcast(bench_sh.withColumn("__hit", F.lit(1))),
+                    "__sh", "left"))
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"))
+            .withColumn("contamination",
+                        # raw IEEE division of two bigints is bit-identical
+                        # across engines; round() tie-breaks are not
+                        F.col("n_overlap") / F.col("n_shingles")))

@@ -85,6 +85,7 @@ def _ensure_loaded() -> None:
         embeddings,
         engine_ops,
         multimodal,
+        sampling,
         streaming,
         text,
     )

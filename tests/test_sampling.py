@@ -1,0 +1,116 @@
+"""Dataset-assembly operators: split stability, two-phase quota
+equivalence, packing invariants, contamination arithmetic."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from projectone_spark.functions.sampling import (
+    contamination_report,
+    deterministic_split,
+    estimate_tokens,
+    md5_bucket,
+    pack_sequences,
+    quota_sample,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_split_stable_under_repartition(spark):
+    """The same doc_id must land in the same split no matter how the data
+    is partitioned — that's the whole point of hashing over sampling."""
+    docs = _docs(spark).select("doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs.repartition(17)).collect()}
+    assert a == b
+    fracs = {s: sum(1 for v in a.values() if v == s) / len(a)
+             for s in ("train", "val", "test")}
+    assert 0.7 < fracs["train"] < 0.9
+    assert fracs["val"] + fracs["test"] == pytest.approx(1 - fracs["train"])
+
+
+def test_split_percent_validation(spark):
+    with pytest.raises(ValueError, match="sum to 100"):
+        deterministic_split(_docs(spark), splits=[("a", 50), ("b", 40)])
+
+
+def test_md5_bucket_range(spark):
+    got = (_docs(spark).select(md5_bucket("doc_id", 7).alias("b"))
+           .agg(F.min("b"), F.max("b")).first())
+    assert 0 <= got[0] and got[1] <= 6
+
+
+def test_quota_two_phase_matches_one_phase(spark):
+    """Two-phase top-k must be row-identical to the naive one-phase window,
+    including under adversarial partitioning."""
+    docs = _docs(spark).select("doc_id", "lang", "n_chars").repartition(13)
+    two = quota_sample(docs, "lang", "n_chars", 25, tie_col="doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    one = (docs.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 25))
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_quota_ascending(spark):
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    got = quota_sample(docs, "lang", "n_chars", 3, tie_col="doc_id",
+                       ascending=True)
+    per_lang_min = {r["lang"]: r["m"] for r in
+                    docs.groupBy("lang").agg(F.min("n_chars").alias("m")).collect()}
+    for r in got.filter(F.col("rk") == 1).collect():
+        assert r["n_chars"] == per_lang_min[r["lang"]]
+
+
+def test_pack_sequences_invariants(spark):
+    """Prefix-sum packing: bins are contiguous in doc order, no bin holds
+    target+largest-doc tokens or more, every token lands in exactly one
+    bin, and bin 0 exists with indices bounded by total/target."""
+    target = 512
+    docs = (_docs(spark)
+            .select("lang", "doc_id", estimate_tokens("n_chars").alias("toks")))
+    packed = pack_sequences(docs, "toks", target, ["lang"], "doc_id").cache()
+    stats = (packed.groupBy("lang", "bin")
+             .agg(F.sum("toks").alias("tot"), F.max("toks").alias("biggest"))
+             .collect())
+    for r in stats:
+        assert r["tot"] < target + r["biggest"], r
+    # conservation: packing reassigns, never drops/duplicates tokens
+    assert (packed.agg(F.sum("toks")).first()[0]
+            == docs.agg(F.sum("toks")).first()[0])
+    per_lang = {r["lang"]: r for r in
+                (packed.groupBy("lang")
+                 .agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"),
+                      F.sum("toks").alias("tot")).collect())}
+    for lang, r in per_lang.items():
+        assert r["lo"] == 0, lang
+        assert r["hi"] <= r["tot"] // target, lang
+    # contiguity: within a lang, bin index never decreases in doc order
+    rows = sorted(packed.select("lang", "doc_id", "bin").collect(),
+                  key=lambda r: (r["lang"], r["doc_id"]))
+    prev: dict[str, int] = {}
+    for r in rows:
+        assert prev.get(r["lang"], 0) <= r["bin"]
+        prev[r["lang"]] = r["bin"]
+    packed.unpersist()
+
+
+def test_contamination_extremes(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "zzz qqq completely disjoint content xyzzy")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["contamination"]
+           for r in contamination_report(corpus, bench).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.0
