@@ -169,27 +169,32 @@ def connected_components(edges: DataFrame, src: str = "doc_id_a",
     lineage the loop would otherwise stack (the reference's
     ``stage_results`` knob, sources.py:161-169).
     """
+    # checkpoint the edge list ONCE: its lineage is typically the whole
+    # LSH/minhash pipeline, which would otherwise recompute in every
+    # round's neighbor join
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .unionByName(edges.select(F.col(dst).alias("s"),
-                                     F.col(src).alias("d"))))
+                                     F.col(src).alias("d")))
+           .localCheckpoint(eager=False))
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     changed = -1
     for _ in range(max_iters):
         neighbor_min = (sym.join(labels, sym["d"] == labels["node"])
                         .groupBy("s").agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["node"] == neighbor_min["s"], "left")
-                      .select(labels["node"],
-                              F.least(labels["label"],
-                                      F.coalesce(F.col("nmin"),
-                                                 labels["label"]))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        # new label + changed flag in ONE checkpointed pass; the
+        # convergence count is then a scan of the checkpoint, not a join
+        stepped = (labels.join(neighbor_min,
+                               labels["node"] == neighbor_min["s"], "left")
+                   .select(labels["node"],
+                           F.least(labels["label"],
+                                   F.coalesce(F.col("nmin"), labels["label"]))
+                           .alias("label"),
+                           (F.coalesce(F.col("nmin"), labels["label"])
+                            < labels["label"]).alias("__chg"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.filter(F.col("__chg")).count()
+        labels = stepped.drop("__chg")
         if changed == 0:
             break
     if changed != 0:

@@ -224,13 +224,17 @@ def d07_keep_best_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D08_SQL = f"""
 WITH RECURSIVE sigs AS (
-  SELECT doc_id, {_mh_sql(0)} AS mh0 FROM documents),
-banded AS (SELECT doc_id, substr(mh0, 1, 2) AS band FROM sigs),
-pairs AS (
-  SELECT a.doc_id AS s, b.doc_id AS d
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.doc_id < b.doc_id),
-edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+  SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1 FROM documents),
+bands AS (
+  SELECT doc_id, '0' || substr(mh0, 1, 2) AS band FROM sigs
+  UNION ALL
+  SELECT doc_id, '1' || substr(mh1, 1, 2) AS band FROM sigs),
+hubs AS (SELECT band, min(doc_id) AS hub FROM bands GROUP BY band),
+star AS (
+  SELECT h.hub AS s, b.doc_id AS d
+  FROM bands b JOIN hubs h USING (band)
+  WHERE b.doc_id <> h.hub),
+edges AS (SELECT s, d FROM star UNION SELECT d, s FROM star),
 reach(node, lab) AS (
   SELECT s, s FROM edges
   UNION
@@ -240,12 +244,69 @@ SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
 
 
 @register("d08_connected_neardups", _D08_SQL,
-          doc="near-dup components: LSH candidate pairs as edges, hash-min "
-              "label propagation to a fixpoint (one shuffle-join per round, "
-              "O(diameter) rounds) — the transitive-closure grouping that "
-              "bucket-local dedup (d07) can't see across buckets; oracle = "
-              "recursive-CTE reachability",
+          doc="near-dup components across overlapping LSH bands via GRAPH "
+              "CONTRACTION: docs sharing a band are transitively one "
+              "component, so the doc graph contracts to the band graph "
+              "(node = band, edge = a doc in two bands). The band space is "
+              "bounded by the band-key domain (2·16^w keys), so distinct "
+              "band-edges + per-band (hub, size) stats collect to the "
+              "driver for a union-find, and one broadcast join labels "
+              "every doc — two small jobs instead of O(diameter) "
+              "label-propagation shuffle rounds (the generic scale path "
+              "for unbounded edge lists stays in "
+              "functions.dedup.connected_components); oracle = "
+              "recursive-CTE reachability over the equivalent star edges",
           tags=("dedup", "graph", "llm"))
 def d08_connected_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = lsh_candidate_pairs(load(spark, sf_dir, "documents"))
-    return connected_components(pairs)
+    # checkpoint before the band self-aggregation joins: without it Catalyst
+    # pushes the join's isnotnull(band) into the scan, inlining the minhash
+    # chain into a pre-spread Filter where the normalize regexes re-run per
+    # shingle element
+    sigs = (minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=2)
+            .select("doc_id",
+                    F.concat(F.lit("0"), F.substring("mh0", 1, 2)).alias("b0"),
+                    F.concat(F.lit("1"), F.substring("mh1", 1, 2)).alias("b1"))
+            .localCheckpoint(eager=False))
+    bands = (sigs.select("doc_id", F.col("b0").alias("band"))
+             .unionByName(sigs.select("doc_id", F.col("b1").alias("band"))))
+    # per-band hub (min doc) and size; the component's min doc is always a
+    # hub (it is <= every member of its own buckets), so min-over-hubs ==
+    # min-over-docs per component
+    stats = (bands.groupBy("band")
+             .agg(F.min("doc_id").alias("hub"),
+                  F.count(F.lit(1)).alias("n")).collect())
+    band_edges = sigs.select("b0", "b1").distinct().collect()
+
+    parent: dict[str, str] = {r["band"]: r["band"] for r in stats}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in band_edges:
+        ra, rb = find(r["b0"]), find(r["b1"])
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[str, int] = {}
+    hub_of = {r["band"]: r["hub"] for r in stats}
+    for b in parent:
+        root = find(b)
+        h = hub_of[b]
+        if root not in comp_min or h < comp_min[root]:
+            comp_min[root] = h
+    label = [(b, comp_min[find(b)], int(n))
+             for b, n in ((r["band"], r["n"]) for r in stats)]
+    lab_df = sigs.sparkSession.createDataFrame(
+        label, "band string, component bigint, n bigint")
+    # a doc appears in the oracle's edge list iff either of its buckets has
+    # >= 2 members (singleton buckets emit no star edges)
+    return (sigs
+            .join(F.broadcast(lab_df.select(F.col("band").alias("b0"),
+                                            "component",
+                                            F.col("n").alias("n0"))), "b0")
+            .join(F.broadcast(lab_df.select(F.col("band").alias("b1"),
+                                            F.col("n").alias("n1"))), "b1")
+            .filter((F.col("n0") >= 2) | (F.col("n1") >= 2))
+            .select("doc_id", "component"))

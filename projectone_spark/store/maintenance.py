@@ -94,6 +94,65 @@ def vacuum(store: TableStore, name: str, keep_versions: int = 2) -> list[str]:
     return dropped
 
 
+def restore(store: TableStore, name: str, version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF``: publish a NEW commit
+    whose data directories are exactly those of the historical version —
+    a metadata-only rollback (nothing is copied; restore-of-restore and
+    time travel past the restore both keep working). The restored dirs
+    become referenced by the current manifest again, so a later
+    ``vacuum`` keeps them."""
+    target = None
+    for m in store.history(name):
+        if m["version"] == version:
+            target = m
+            break
+    if target is None:
+        raise FileNotFoundError(f"table '{name}' has no version {version}")
+    missing = [d for d in target["dirs"] if not os.path.isdir(d)]
+    if missing:
+        raise FileNotFoundError(
+            f"version {version} of '{name}' was vacuumed; missing {missing}")
+    return store._commit(name, list(target["dirs"]),
+                         list(target["partition_by"]), "restore",
+                         {"restored_from": version},
+                         stats_columns=list(target.get("stats_columns") or []),
+                         files=list(target.get("files") or []))
+
+
+def clone(store: TableStore, name: str, target: str) -> int:
+    """Delta ``CREATE TABLE ... CLONE``: snapshot ``name`` into a new
+    independent table. Data files are HARD-LINKED into the target table's
+    own directory (metadata-only cost on one filesystem, the same trick
+    ``selective_overwrite`` uses for untouched partitions), so vacuuming
+    or dropping the source never breaks the clone — unlike a Delta
+    shallow clone, which this otherwise matches in cost."""
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    if store.manifest(target) is not None:
+        raise FileExistsError(f"table '{target}' already exists")
+    from projectone_spark.store import _link_tree
+
+    new_dirs: list[str] = []
+    remap: dict[str, str] = {}
+    for d in m["dirs"]:
+        nd = os.path.join(store._table_dir(target), os.path.basename(d))
+        os.makedirs(os.path.dirname(nd), exist_ok=True)
+        _link_tree(d, nd)
+        new_dirs.append(nd)
+        remap[d] = nd
+    files = []
+    for f in m.get("files") or []:
+        for old, new in remap.items():
+            if f["path"].startswith(old + os.sep):
+                files.append({**f, "path": new + f["path"][len(old):]})
+                break
+    return store._commit(target, new_dirs, list(m["partition_by"]), "clone",
+                         {"cloned_from": name, "source_version": m["version"]},
+                         stats_columns=list(m.get("stats_columns") or []),
+                         files=files)
+
+
 def append_evolve(store: TableStore, spark: SparkSession, df: DataFrame,
                   name: str,
                   stats_columns: Sequence[str] | None = None) -> int:

@@ -9,7 +9,7 @@ import pytest
 
 from projectone_spark.store import TableStore, read_changes
 from projectone_spark.store.maintenance import (
-    append_evolve, compact, read_merged, table_files, vacuum,
+    append_evolve, clone, compact, read_merged, restore, table_files, vacuum,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -130,6 +130,75 @@ def test_read_merged_partitioned_multicommit(spark, store):
     got = read_merged(store, spark, "orders")
     assert got.count() == 80
     assert "o_orderstatus" in got.columns
+
+
+def test_restore_rolls_back_as_new_commit(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df.limit(50), "orders")            # v0
+    store.overwrite(spark, df.limit(10), "orders")            # v1
+    v = restore(store, "orders", 0)                           # v2 == v0 data
+    assert v == 2
+    assert store.read(spark, "orders").count() == 50
+    # time travel still sees every version, including past the restore
+    assert store.read_version(spark, "orders", 1).count() == 10
+    # restored dirs are live again: vacuum keeping 1 version must not
+    # delete the data the current manifest points at
+    vacuum(store, "orders", keep_versions=1)
+    assert store.read(spark, "orders").count() == 50
+    m = store.manifest("orders")
+    assert m["operation"] == "restore"
+    assert m["metrics"]["restored_from"] == 0
+
+
+def test_restore_vacuumed_version_raises(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df.limit(50), "orders")            # v0
+    store.overwrite(spark, df.limit(10), "orders")            # v1
+    vacuum(store, "orders", keep_versions=1)                  # drops v0 dir
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore(store, "orders", 0)
+    with pytest.raises(FileNotFoundError, match="no version"):
+        restore(store, "orders", 99)
+
+
+def test_clone_is_independent_of_source(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df.limit(40), "orders",
+                    partition_by=["o_orderstatus"])
+    v = clone(store, "orders", "orders_copy")
+    assert v == 0
+    got = store.read(spark, "orders_copy")
+    assert got.count() == 40
+    assert "o_orderstatus" in got.columns
+    assert store.manifest("orders_copy")["partition_by"] == ["o_orderstatus"]
+    # mutate + vacuum the source; the clone must be unaffected
+    store.overwrite(spark, df.limit(5), "orders")
+    vacuum(store, "orders", keep_versions=1)
+    assert store.read(spark, "orders_copy").count() == 40
+    with pytest.raises(FileExistsError):
+        clone(store, "orders", "orders_copy")
+    with pytest.raises(FileNotFoundError):
+        clone(store, "nope", "x")
+
+
+def test_clone_carries_skipping_stats(spark, store):
+    """File-level min/max stats must survive the clone with remapped
+    paths, so read_where pruning works on the clone."""
+    df = _orders(spark)
+    store.overwrite(spark, df.repartition(4), "orders",
+                    stats_columns=["o_orderkey"])
+    clone(store, "orders", "orders_copy")
+    files = store.manifest("orders_copy")["files"]
+    assert files
+    for f in files:
+        assert os.path.isfile(f["path"])
+        assert "/orders_copy/" in f["path"]
+    from projectone_spark.store.skipping import read_where
+
+    lo = store.read(spark, "orders").agg(F.min("o_orderkey")).first()[0]
+    got = read_where(store, spark, "orders_copy",
+                     [("o_orderkey", "==", lo)])
+    assert got.count() >= 1
 
 
 def test_compact_refuses_bucketed_table(spark, store):
