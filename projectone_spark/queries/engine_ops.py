@@ -294,3 +294,49 @@ def s08_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("o_orderkey").alias("n_orders"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
                  .cast("double").alias("revenue")))
+
+
+# -- row-level DML (copy-on-write DELETE / UPDATE) ---------------------------
+
+_S09_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(price AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS revenue
+FROM (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.9
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE NOT (o_orderdate < TIMESTAMP '1996-01-01')
+)
+GROUP BY o_orderstatus
+"""
+
+
+@register("s09_dml_delete_update", _S09_SQL,
+          doc="row-level DML round-trip: DELETE (pre-1996 orders) then "
+              "UPDATE (10% discount on 'F' rows) as copy-on-write commits "
+              "— file stats prune provably-untouched files into hard links "
+              "and only candidates are rewritten — then aggregate the "
+              "surviving snapshot; oracle applies the same delete filter + "
+              "update CASE inline",
+          tags=("store", "dml", "write"))
+def s09_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.dml import delete_where, update_where
+
+    st = TableStore(tempfile.mkdtemp(prefix="pos-dml-"))
+    orders = load(spark, sf_dir, "orders")
+    st.overwrite(spark, orders.repartitionByRange(8, "o_orderdate"),
+                 "orders", stats_columns=["o_orderdate"])
+    delete_where(st, spark, "orders", [("o_orderdate", "<", "1996-01-01")])
+    update_where(st, spark, "orders", [("o_orderstatus", "==", "F")],
+                 {"o_totalprice": "o_totalprice * 0.9"})
+    return (st.read(spark, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+                 .cast("double").alias("revenue")))

@@ -172,8 +172,10 @@ class TableStore:
 
     def _stats_for(self, dirs: list[str],
                    stats_columns: list[str]) -> list[dict]:
-        if not stats_columns:
-            return []
+        # entries are recorded even with no declared stats columns:
+        # path/rows/bytes cost one footer read each, and the hive partition
+        # values embedded in paths make partition pruning (read_where,
+        # dml.delete_where/update_where) work on any partitioned table
         from projectone_spark.store.skipping import file_stats
 
         return file_stats(dirs, stats_columns)

@@ -1,0 +1,173 @@
+"""Row-level DML on the TableStore: DELETE and UPDATE with copy-on-write
+file rewrite — the Delta ``DELETE FROM`` / ``UPDATE`` surface the reference
+gets from Delta Lake (its SCD writers assume it exists underneath;
+``core/execution/write.py`` merges are the row-level path it actually
+exercises).
+
+Scale design: a DELETE that touches 0.1% of a 100 TB table must not rewrite
+100 TB. Both operators prune with the same file-level min/max + hive
+partition statistics ``read_where`` uses (``store/skipping.py``):
+
+- files whose stats provably exclude the predicate are **hard-linked** into
+  the new version (the metadata-only file re-add a cloud table format does);
+- only candidate files are scanned, filtered/transformed, and rewritten —
+  one Spark job over the touched subset;
+- row counts for the commit metrics come from parquet footers, not scans.
+
+Files lacking stats are always treated as candidates — pruning is an
+optimization, never a correctness filter.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.store import TableStore
+from projectone_spark.store.skipping import predicates_to_sql, prune_files
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _split_candidates(m: dict, predicates) -> tuple[set[str], list[str]]:
+    """(candidate file paths, dirs with no stats coverage). Uncovered dirs
+    are scanned whole; covered files not in the candidate set are provably
+    untouched."""
+    files = m.get("files") or []
+    covered = {d for d in m["dirs"]
+               if any(f["path"].startswith(d + os.sep) for f in files)}
+    uncovered = [d for d in m["dirs"] if d not in covered]
+    kept, _ = prune_files(m, predicates)
+    return {f["path"] for f in kept}, uncovered
+
+
+def _all_files(dirs: Sequence[str]) -> list[str]:
+    out = []
+    for d in dirs:
+        for dirpath, _, files in os.walk(d):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(dirpath, fn))
+    return out
+
+
+def _rewrite(store: TableStore, spark: SparkSession, name: str,
+             predicates: Sequence[tuple[str, str, object]],
+             transform, operation: str) -> int | None:
+    """Shared copy-on-write machinery: link untouched files, apply
+    ``transform(candidate_df, residual_sql) -> DataFrame`` to the touched
+    subset, commit. Returns the new version, or None when pruning proves
+    nothing matches."""
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    residual = predicates_to_sql(predicates)
+    part = m["partition_by"]
+
+    candidates, uncovered_dirs = _split_candidates(m, predicates)
+    uncovered_files = _all_files(uncovered_dirs)
+    # a file with no stats entry at all was never examined by pruning:
+    # candidate, not linkable
+    entry_paths = {f["path"] for f in (m.get("files") or [])}
+    unexamined = [p for p in _all_files(m["dirs"])
+                  if p not in entry_paths and p not in uncovered_files]
+    if not candidates and not uncovered_files and not unexamined:
+        return None
+    touched_by_dir: dict[str, list[str]] = {}
+    linked: set[str] = set()
+    nd = store._new_data_dir(name)
+    os.makedirs(nd, exist_ok=True)
+    for d in m["dirs"]:
+        for dirpath, _, files in os.walk(d):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                if p in candidates or p in uncovered_files or p not in entry_paths:
+                    touched_by_dir.setdefault(d, []).append(p)
+                else:
+                    rel = os.path.relpath(p, d)
+                    dst = os.path.join(nd, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    if dst not in linked:
+                        try:
+                            os.link(p, dst)
+                        except OSError:
+                            import shutil
+                            shutil.copy2(p, dst)
+                        linked.add(dst)
+    # one scan of the touched subset; per-dir basePath so hive partition
+    # columns come back as real columns
+    frames = []
+    for d, paths in touched_by_dir.items():
+        r = spark.read
+        if part:
+            r = r.option("basePath", d)
+        frames.append(r.parquet(*paths))
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    out = transform(df, residual)
+    writer = out.write.mode("append")
+    if part:
+        writer = writer.partitionBy(*part)
+    writer.parquet(nd)
+
+    rows_before = sum(_footer_rows(p)
+                      for ps in touched_by_dir.values() for p in ps)
+    rows_after = sum(_footer_rows(p) for p in _all_files([nd])
+                     if p not in linked)
+    cols = m.get("stats_columns") or []
+    return store._commit(
+        name, [nd], part, operation,
+        {"predicate": residual,
+         "files_rewritten": sum(len(v) for v in touched_by_dir.values()),
+         "files_linked": len(linked),
+         "rows_scanned": rows_before,
+         "rows_after_rewrite": rows_after},
+        stats_columns=cols,
+        files=store._stats_for([nd], cols))
+
+
+def delete_where(store: TableStore, spark: SparkSession, name: str,
+                 predicates: Sequence[tuple[str, str, object]]) -> int | None:
+    """``DELETE FROM name WHERE <predicates>`` (conjunctive
+    ``(col, op, literal)`` terms, the same form ``read_where`` takes).
+    Copy-on-write: only files that may contain matching rows are rewritten
+    without them. Returns the committed version, or None when file stats
+    prove no row matches (no commit, exactly like a no-op Delta DELETE
+    that prunes every file)."""
+    return _rewrite(
+        store, spark, name, predicates,
+        lambda df, residual: df.filter(f"NOT ({residual})"),
+        "delete")
+
+
+def update_where(store: TableStore, spark: SparkSession, name: str,
+                 predicates: Sequence[tuple[str, str, object]],
+                 assignments: Mapping[str, str]) -> int | None:
+    """``UPDATE name SET col = expr, ... WHERE <predicates>``. Assignment
+    values are SQL expressions evaluated against the matching row (e.g.
+    ``{"o_comment": "upper(o_comment)"}``). Non-matching rows in touched
+    files are rewritten unchanged; untouched files are hard-linked."""
+    bad = [c for c in assignments if c.startswith("__")]
+    if bad:
+        raise ValueError(f"cannot assign metadata columns: {bad}")
+
+    def apply(df: DataFrame, residual: str) -> DataFrame:
+        missing = [c for c in assignments if c not in df.columns]
+        if missing:
+            raise ValueError(f"unknown columns in SET: {missing}")
+        cond = F.expr(residual)
+        return df.withColumns({
+            c: F.when(cond, F.expr(e)).otherwise(F.col(c))
+            for c, e in assignments.items()})
+
+    return _rewrite(store, spark, name, predicates, apply, "update")

@@ -1,0 +1,138 @@
+"""Row-level DELETE/UPDATE: correctness of the rewrite, and proof that
+stats-pruned files are hard-linked (same inode), never rewritten."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from projectone_spark.store import TableStore
+from projectone_spark.store.dml import delete_where, update_where
+from projectone_spark.store.maintenance import table_files
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def store(tmp_path):
+    return TableStore(str(tmp_path / "store"))
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def _inodes(store, name):
+    return {p: os.stat(p).st_ino for p, _ in table_files(store, name)}
+
+
+def test_delete_where_correct_and_versioned(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df.repartition(4), "orders",
+                    stats_columns=["o_orderkey"])
+    total = df.count()
+    hi = df.agg(F.expr("percentile(o_orderkey, 0.9)")).first()[0]
+    v = delete_where(store, spark, "orders", [("o_orderkey", ">", int(hi))])
+    assert v == 1
+    expect = df.filter(F.col("o_orderkey") <= int(hi)).count()
+    assert store.read(spark, "orders").count() == expect
+    assert store.read(spark, "orders").filter(
+        F.col("o_orderkey") > int(hi)).count() == 0
+    # time travel still shows the pre-delete snapshot
+    assert store.read_version(spark, "orders", 0).count() == total
+    m = store.manifest("orders")
+    assert m["operation"] == "delete"
+    assert m["metrics"]["rows_scanned"] >= m["metrics"]["rows_after_rewrite"]
+
+
+def test_delete_links_pruned_files(spark, store):
+    """Files whose o_orderkey range excludes the predicate keep their
+    inode — they are re-linked, not rewritten."""
+    df = _orders(spark).orderBy("o_orderkey")  # range-clustered files
+    store.overwrite(spark, df.repartitionByRange(4, "o_orderkey"), "orders",
+                    stats_columns=["o_orderkey"])
+    before = _inodes(store, "orders")
+    lo = df.agg(F.min("o_orderkey")).first()[0]
+    v = delete_where(store, spark, "orders", [("o_orderkey", "==", int(lo))])
+    assert v == 1
+    m = store.manifest("orders")
+    assert m["metrics"]["files_linked"] >= 2
+    assert m["metrics"]["files_rewritten"] <= 2
+    after = _inodes(store, "orders")
+    shared = set(before.values()) & set(after.values())
+    assert len(shared) == m["metrics"]["files_linked"]
+    assert store.read(spark, "orders").filter(
+        F.col("o_orderkey") == int(lo)).count() == 0
+
+
+def test_delete_nothing_matches_is_noop(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders", stats_columns=["o_orderkey"])
+    hi = df.agg(F.max("o_orderkey")).first()[0]
+    assert delete_where(store, spark, "orders",
+                        [("o_orderkey", ">", int(hi) + 1000)]) is None
+    assert store.version("orders") == 0
+
+
+def test_update_where_assignments(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df.repartition(3), "orders",
+                    stats_columns=["o_orderkey"])
+    mid = int(df.agg(F.expr("percentile(o_orderkey, 0.5)")).first()[0])
+    v = update_where(store, spark, "orders",
+                     [("o_orderkey", "<=", mid)],
+                     {"o_totalprice": "o_totalprice * 2",
+                      "o_orderstatus": "'X'"})
+    assert v == 1
+    got = store.read(spark, "orders")
+    assert got.count() == df.count()  # UPDATE never changes row count
+    changed = got.filter(F.col("o_orderkey") <= mid)
+    untouched = got.filter(F.col("o_orderkey") > mid)
+    assert changed.filter(F.col("o_orderstatus") != "X").count() == 0
+    assert untouched.filter(F.col("o_orderstatus") == "X").count() == 0
+    exp_sum = (df.filter(F.col("o_orderkey") <= mid)
+               .agg(F.sum(F.col("o_totalprice") * 2)).first()[0])
+    got_sum = changed.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(exp_sum - got_sum) < 1e-6
+
+
+def test_update_partitioned_table(spark, store):
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders", partition_by=["o_orderstatus"])
+    v = update_where(store, spark, "orders",
+                     [("o_orderstatus", "==", "F")],
+                     {"o_orderpriority": "'redacted'"})
+    assert v == 1
+    got = store.read(spark, "orders")
+    assert got.count() == df.count()
+    assert "o_orderstatus" in got.columns
+    assert (got.filter((F.col("o_orderstatus") == "F")
+                       & (F.col("o_orderpriority") != "redacted")).count() == 0)
+    assert (got.filter(F.col("o_orderstatus") != "F")
+            .filter(F.col("o_orderpriority") == "redacted").count() == 0)
+    # partition pruning via the hive path: only F's files were candidates
+    m = store.manifest("orders")
+    assert m["metrics"]["files_linked"] >= 1
+
+
+def test_update_bad_columns_raise(spark, store):
+    store.overwrite(spark, _orders(spark), "orders")
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(store, spark, "orders",
+                     [("o_orderkey", ">", 0)], {"nope": "1"})
+    with pytest.raises(ValueError, match="metadata"):
+        update_where(store, spark, "orders",
+                     [("o_orderkey", ">", 0)], {"__metadata_active__": "1"})
+
+
+def test_delete_without_stats_rewrites_everything(spark, store):
+    """No stats recorded → every file is a candidate; results still exact."""
+    df = _orders(spark)
+    store.overwrite(spark, df.repartition(3), "orders")
+    hi = int(df.agg(F.expr("percentile(o_orderkey, 0.8)")).first()[0])
+    v = delete_where(store, spark, "orders", [("o_orderkey", ">", hi)])
+    assert v == 1
+    m = store.manifest("orders")
+    assert m["metrics"]["files_linked"] == 0
+    assert (store.read(spark, "orders").count()
+            == df.filter(F.col("o_orderkey") <= hi).count())
