@@ -81,25 +81,53 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 4,
                         k: int = 5, band_chars: int = 2,
+                        blocks: int = 1,
                         parallelism: int | None = None) -> DataFrame:
     """LSH banding: bucket docs by a prefix of the first minhash and emit
     within-bucket pairs with their estimated Jaccard (fraction of equal
     minhashes). Only (band, id, signature) tuples shuffle; the signature
     frame is checkpointed once (lineage truncation — the reference's
     ``stage_results`` knob, sources.py:161-169) so the self-join's two
-    branches don't recompute the shingle/hash pipeline."""
+    branches don't recompute the shingle/hash pipeline.
+
+    ``blocks`` > 1 decomposes the within-bucket self-join into a triangle
+    of block pairs: each doc gets a deterministic block in [0, blocks);
+    the left side is replicated to every block >= its own and the join key
+    becomes (band, block), so a single hot bucket spreads over
+    ~blocks²/2 tasks instead of one. The pair set is identical for any
+    ``blocks`` — at corpus scale, where one popular shingle can put a large
+    fraction of documents into one bucket, this is what keeps the
+    quadratic bucket work off a single reducer."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, parallelism)
     sigs = sigs.localCheckpoint(eager=False)
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
     banded = sigs.withColumn("band", F.substring(F.col("mh0"), 1, band_chars))
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if blocks > 1:
+        banded = banded.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)))
+        left = banded.withColumn(
+            "__tgt", F.explode(F.sequence(F.col("__blk"),
+                                          F.lit(blocks - 1)))).alias("a")
+        right = banded.withColumnRenamed("__blk", "__tgt").alias("b")
+        same_block = F.col("a.__blk") == F.col("b.__tgt")
+        pairs = left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.__tgt") == F.col("b.__tgt"))
+            & (~same_block | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        id_a = F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+        id_b = F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        id_a, id_b = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     eq_terms = [F.when(F.col(f"a.{c}") == F.col(f"b.{c}"), 1).otherwise(0)
                 for c in mh_cols]
     est = sum(eq_terms[1:], eq_terms[0]).cast("double") / F.lit(float(num_hashes))
-    return pairs.select(F.col(f"a.{id_col}").alias("doc_id_a"),
-                        F.col(f"b.{id_col}").alias("doc_id_b"),
+    return pairs.select(id_a.alias("doc_id_a"),
+                        id_b.alias("doc_id_b"),
                         F.round(est, 4).alias("est_jaccard"))
 
 

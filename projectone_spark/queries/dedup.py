@@ -84,10 +84,13 @@ FROM banded a JOIN banded b
 
 
 @register("d03_lsh_candidate_pairs", _D03_SQL,
-          doc="LSH banding on minhash prefix → candidate pairs + estimated Jaccard",
+          doc="LSH banding on minhash prefix → candidate pairs + estimated "
+              "Jaccard; the within-bucket self-join is triangle-blocked "
+              "(blocks=8) so one popular-shingle mega-bucket spreads its "
+              "quadratic pair work over ~32 tasks instead of one reducer",
           tags=("dedup", "minhash", "lsh"))
 def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"), blocks=8)
 
 
 def _simhash_sql() -> str:

@@ -88,3 +88,16 @@ def test_approx_sketches_accuracy(spark):
     for et, ex in exact.items():
         assert abs(approx[et]["approx_users"] - ex["n"]) <= max(2, 0.05 * ex["n"])
         assert abs(approx[et]["approx_median"] - ex["m"]) <= 0.1 * max(1.0, abs(ex["m"]))
+
+
+def test_blocked_lsh_pairs_identical_to_plain(spark):
+    """Triangle-block decomposition changes the physical distribution of
+    within-bucket pair generation, never the pair set."""
+    from projectone_spark.functions.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = lsh_candidate_pairs(docs)
+    for n in (2, 8):
+        blocked = lsh_candidate_pairs(docs, blocks=n)
+        assert sorted(map(tuple, blocked.collect())) \
+            == sorted(map(tuple, plain.collect()))
