@@ -121,3 +121,36 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
              for r in got.orderBy("n_events").collect()}
     assert final[1] == (2, 15.0)
     assert final[2] == (1, 20.0)
+
+
+def test_transform_with_state_first_seen(spark, tmp_path):
+    """Keys emit only on first occurrence, across micro-batch boundaries."""
+    from projectone_spark.streaming import read_stream_parquet, stream_wait_close
+    from projectone_spark.streaming.stateful import (
+        first_seen, has_transform_with_state,
+    )
+
+    if not has_transform_with_state():
+        with pytest.raises(ImportError, match="protobuf"):
+            first_seen(spark.readStream.format("rate").load(), "value")
+        pytest.skip("protobuf absent: transformWithState runtime unavailable")
+
+    src = tmp_path / "src"
+    b1 = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")],
+                               "k long, payload string")
+    b2 = spark.createDataFrame([(1, "dup"), (3, "new")],
+                               "k long, payload string")
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = read_stream_parquet(spark, f"{src}/*/", "k long, payload string",
+                                 max_files_per_trigger=1)
+    firsts = first_seen(stream, "k")
+    q = (firsts.writeStream.format("memory").queryName("tws_q")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    stream_wait_close([q], timeout_seconds=300)
+    got = {r["k"]: r["n_rows"] for r in spark.table("tws_q").collect()}
+    # key 1 emitted once (first batch, 2 rows); its batch-2 dup suppressed
+    assert got == {1: 2, 2: 1, 3: 1}
