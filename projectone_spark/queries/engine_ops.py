@@ -340,3 +340,54 @@ def s09_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
                  .cast("double").alias("revenue")))
+
+
+# -- general MERGE INTO ------------------------------------------------------
+
+_S10_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 0.5 AS new_price
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'),
+merged AS (
+  SELECT o.o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+              ELSE o.o_totalprice END AS price,
+         (s.o_orderkey IS NOT NULL AND s.new_price < 50000) AS deleted
+  FROM orders o LEFT JOIN src s USING (o_orderkey))
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(price AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM merged WHERE NOT deleted
+GROUP BY o_orderstatus
+"""
+
+
+@register("s10_merge_into", _S10_SQL,
+          doc="general MERGE INTO (Delta DeltaTable.merge surface): halve "
+              "the price of recent orders, delete matched rows that fall "
+              "under 50k, via one full-outer merge with source-bounds file "
+              "pruning; oracle emulates the merge with a LEFT JOIN + CASE "
+              "(0.5x is FP-exact, so both engines agree bit-for-bit)",
+          tags=("store", "dml", "merge", "write"))
+def s10_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.dml import merge_into
+
+    st = TableStore(tempfile.mkdtemp(prefix="pos-mrg-"))
+    orders = load(spark, sf_dir, "orders")
+    st.overwrite(spark, orders.repartitionByRange(8, "o_orderkey"),
+                 "orders", stats_columns=["o_orderkey"])
+    src = (orders.filter(F.col("o_orderdate") >= _ts("1997-06-01"))
+           .select("o_orderkey",
+                   (F.col("o_totalprice") * 0.5).alias("o_totalprice")))
+    merge_into(st, spark, "orders", src, ["o_orderkey"],
+               when_matched_update={"o_totalprice": "source.o_totalprice"},
+               when_matched_delete="source.o_totalprice < 50000",
+               when_not_matched_insert=False)
+    return (st.read(spark, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+                 .cast("double").alias("revenue")))

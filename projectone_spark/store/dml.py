@@ -171,3 +171,140 @@ def update_where(store: TableStore, spark: SparkSession, name: str,
             for c, e in assignments.items()})
 
     return _rewrite(store, spark, name, predicates, apply, "update")
+
+
+def merge_into(store: TableStore, spark: SparkSession, name: str,
+               source: DataFrame, keys: Sequence[str], *,
+               when_matched_update: Mapping[str, str] | None = None,
+               matched_condition: str | None = None,
+               when_matched_delete: str | bool = False,
+               when_not_matched_insert: bool = True,
+               not_matched_condition: str | None = None,
+               when_not_matched_by_source_delete: str | bool = False,
+               ) -> int | None:
+    """General ``MERGE INTO`` (Delta ``DeltaTable.merge`` surface — the
+    reference's SCD writers are specializations of this; ``scd1/2/3`` in
+    ``writers.merge`` stay the metadata-stamped forms).
+
+    Equi-merge on ``keys``. Clause semantics match Delta:
+
+    - matched + ``when_matched_delete`` condition true → row removed;
+    - matched + ``matched_condition`` true → assignments in
+      ``when_matched_update`` applied (``source.col`` / ``target.col``
+      qualifiers available in expressions; default updates every common
+      column to the source value);
+    - source-only + ``not_matched_condition`` true → inserted when
+      ``when_not_matched_insert``;
+    - target-only → kept, unless ``when_not_matched_by_source_delete``
+      (condition or True) says delete;
+    - a target row matching MULTIPLE source rows raises, exactly like
+      Delta's duplicate-match error.
+
+    Scale: when no not-matched-by-source clause is present, target files
+    whose key-range stats provably exclude every source key are
+    hard-linked untouched (Delta MERGE's file pruning); only candidate
+    files join the source. The source is scanned twice (bounds + join) —
+    checkpoint upstream if its lineage is expensive.
+    """
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    keys = list(keys)
+    tgt_probe = store.read(spark, name)
+    missing = [k for k in keys if k not in tgt_probe.columns or k not in source.columns]
+    if missing:
+        raise ValueError(f"merge keys missing from source or target: {missing}")
+
+    nmbs = when_not_matched_by_source_delete
+    predicates: list[tuple[str, str, object]] = []
+    if not nmbs:
+        # file pruning: [min, max] of each source key bounds the target
+        # rows that can possibly match; everything outside is untouched
+        bounds = source.agg(*[f for k in keys
+                              for f in (F.min(k).alias(f"lo_{k}"),
+                                        F.max(k).alias(f"hi_{k}"))]).first()
+        if bounds[0] is None:  # empty source: nothing matches, nothing inserts
+            return None
+        for k in keys:
+            predicates.append((k, ">=", bounds[f"lo_{k}"]))
+            predicates.append((k, "<=", bounds[f"hi_{k}"]))
+
+    def apply(tgt: DataFrame, _residual: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        cols = tgt.columns
+        extra = [c for c in source.columns if c not in cols]
+        if extra:
+            raise ValueError(f"source has columns absent from target: {extra}")
+        # per-source-key row count, computed on the source BEFORE the join
+        # (same key partitioning the join needs, no post-join window): a
+        # matched pair whose source key occurs >1 times means one target
+        # row would take two updates — Delta's duplicate-match error
+        s = (source
+             .withColumn("__scnt",
+                         F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+             .withColumn("__s_exists", F.lit(True)).alias("source"))
+        # presence flags, not key-null checks: merge keys may themselves be
+        # NULL and eqNullSafe matches them
+        t = tgt.withColumn("__t_exists", F.lit(True)).alias("target")
+        cond = None
+        for k in keys:
+            term = F.col(f"source.{k}").eqNullSafe(F.col(f"target.{k}"))
+            cond = term if cond is None else cond & term
+        joined = t.join(s, cond, "full_outer")
+
+        is_matched = (F.col("source.__s_exists").isNotNull()
+                      & F.col("target.__t_exists").isNotNull())
+        source_only = F.col("target.__t_exists").isNull()
+        target_only = F.col("source.__s_exists").isNull()
+
+        upd = dict(when_matched_update) if when_matched_update is not None \
+            else {c: f"source.{c}" for c in cols if c in source.columns}
+        m_cond = F.expr(matched_condition) if matched_condition else F.lit(True)
+        del_cond = (F.lit(False) if when_matched_delete is False
+                    else F.lit(True) if when_matched_delete is True
+                    else F.expr(when_matched_delete))
+        ins_cond = F.expr(not_matched_condition) if not_matched_condition \
+            else F.lit(True)
+        nmbs_cond = (F.lit(False) if nmbs is False
+                     else F.lit(True) if nmbs is True else F.expr(nmbs))
+
+        keep = ~(
+            (is_matched & del_cond)
+            | (source_only & ~(F.lit(when_not_matched_insert) & ins_cond))
+            | (target_only & nmbs_cond))
+
+        dup = is_matched & (F.col("source.__scnt") > 1)
+        guard_msg = ("MERGE: a target row matched multiple source rows; "
+                     "deduplicate the source on the merge keys")
+        out_cols = []
+        for i, c in enumerate(cols):
+            if c in upd:
+                val = (F.when(is_matched & ~del_cond & m_cond, F.expr(upd[c]))
+                       .when(source_only, F.col(f"source.{c}"))
+                       .otherwise(F.col(f"target.{c}")))
+            elif c in source.columns:
+                val = (F.when(source_only, F.col(f"source.{c}"))
+                       .otherwise(F.col(f"target.{c}")))
+            else:
+                val = F.col(f"target.{c}")
+            if i == 0:
+                # folded into an OUTPUT column so column pruning can never
+                # elide the check; raises only for rows that violate it
+                val = F.when(dup, F.raise_error(F.lit(guard_msg))).otherwise(val)
+            out_cols.append(val.alias(c))
+        return joined.filter(keep).select(*out_cols)
+
+    v = _rewrite(store, spark, name, predicates, apply, "merge")
+    if v is None and when_not_matched_insert:
+        # every target file pruned, but source-only rows still insert
+        ins = source.alias("source")
+        if not_matched_condition:
+            ins = ins.filter(F.expr(not_matched_condition))
+        if ins.limit(1).count() > 0:
+            aligned = ins.select(*[
+                F.col(f.name) if f.name in source.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in tgt_probe.schema.fields])
+            return store.append(spark, aligned, name)
+    return v

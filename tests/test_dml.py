@@ -136,3 +136,99 @@ def test_delete_without_stats_rewrites_everything(spark, store):
     assert m["metrics"]["files_linked"] == 0
     assert (store.read(spark, "orders").count()
             == df.filter(F.col("o_orderkey") <= hi).count())
+
+
+def test_merge_into_upsert(spark, store):
+    from projectone_spark.store.dml import merge_into
+
+    df = _orders(spark)
+    store.overwrite(spark, df.repartitionByRange(4, "o_orderkey"), "orders",
+                    stats_columns=["o_orderkey"])
+    keys = [r[0] for r in df.select("o_orderkey").limit(3).collect()]
+    src = (df.filter(F.col("o_orderkey").isin(keys))
+           .withColumn("o_totalprice", F.lit(1.0))
+           .unionByName(df.limit(1).withColumn("o_orderkey",
+                                               F.lit(10**9))))
+    v = merge_into(store, spark, "orders", src, ["o_orderkey"])
+    assert v == 1
+    got = store.read(spark, "orders")
+    assert got.count() == df.count() + 1          # 3 updated, 1 inserted
+    assert got.filter(F.col("o_totalprice") == 1.0).count() == 3
+    assert got.filter(F.col("o_orderkey") == 10**9).count() == 1
+
+
+def test_merge_into_matched_delete_and_conditions(spark, store):
+    from projectone_spark.store.dml import merge_into
+
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders")
+    n = df.count()
+    some = df.limit(10).select("o_orderkey", "o_totalprice")
+    v = merge_into(store, spark, "orders", some, ["o_orderkey"],
+                   when_matched_delete="source.o_totalprice > 0",
+                   when_not_matched_insert=False)
+    assert v == 1
+    assert store.read(spark, "orders").count() == n - 10
+
+
+def test_merge_into_not_matched_by_source_delete(spark, store):
+    from projectone_spark.store.dml import merge_into
+
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders")
+    keep = df.limit(50).select("o_orderkey")
+    # target rows absent from source are deleted: merge acts as "sync to
+    # source key set" — every file is a candidate (no pruning possible)
+    v = merge_into(store, spark, "orders", keep, ["o_orderkey"],
+                   when_matched_update={},
+                   when_not_matched_insert=False,
+                   when_not_matched_by_source_delete=True)
+    assert v == 1
+    got = store.read(spark, "orders")
+    assert got.count() == 50
+    assert (sorted(r[0] for r in got.select("o_orderkey").collect())
+            == sorted(r[0] for r in keep.collect()))
+
+
+def test_merge_into_duplicate_source_keys_raise(spark, store):
+    from projectone_spark.store.dml import merge_into
+
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders")
+    dup = df.limit(1).unionByName(df.limit(1))   # same key twice
+    with pytest.raises(Exception, match="matched multiple source rows"):
+        merge_into(store, spark, "orders", dup, ["o_orderkey"])
+
+
+def test_merge_into_prunes_files_outside_source_bounds(spark, store):
+    from projectone_spark.store.dml import merge_into
+
+    df = _orders(spark)
+    store.overwrite(spark, df.repartitionByRange(4, "o_orderkey"), "orders",
+                    stats_columns=["o_orderkey"])
+    lo_keys = [r[0] for r in df.orderBy("o_orderkey").limit(2).collect()]
+    src = (df.filter(F.col("o_orderkey").isin(lo_keys))
+           .withColumn("o_orderpriority", F.lit("MERGED")))
+    v = merge_into(store, spark, "orders", src, ["o_orderkey"])
+    assert v == 1
+    m = store.manifest("orders")
+    assert m["metrics"]["files_linked"] >= 2      # high-range files untouched
+    assert store.read(spark, "orders").filter(
+        F.col("o_orderpriority") == "MERGED").count() == 2
+    assert store.read(spark, "orders").count() == df.count()
+
+
+def test_merge_into_insert_only_outside_all_files(spark, store):
+    from projectone_spark.store.dml import merge_into
+
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders", stats_columns=["o_orderkey"])
+    newrows = (df.limit(2)
+               .withColumn("o_orderkey", F.col("o_orderkey") + 10**9))
+    v = merge_into(store, spark, "orders", newrows, ["o_orderkey"])
+    assert v is not None
+    got = store.read(spark, "orders")
+    assert got.count() == df.count() + 2
+    # and an empty source is a complete no-op
+    assert merge_into(store, spark, "orders", df.limit(0),
+                      ["o_orderkey"]) is None
