@@ -29,6 +29,7 @@ import shutil
 import time
 import uuid
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,6 +39,14 @@ try:  # pragma: no cover - delta not present in this environment
     _delta_available = True
 except ImportError:
     _delta_available = False
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this write's snapshot read and its
+    commit (Delta's ConcurrentAppend/ConcurrentModification family).
+    Appends retry internally; rewrites (compact, DML, merge) surface it —
+    retrying those without re-reading would silently drop the other
+    writer's rows."""
 
 
 class TableStore:
@@ -77,31 +86,78 @@ class TableStore:
         m = self.manifest(name)
         return -1 if m is None else m["version"]
 
+    @contextmanager
+    def _commit_lock(self, name: str, timeout: float = 30.0):
+        """Filesystem mutex for the check-and-swap window (O_CREAT|O_EXCL is
+        atomic on one filesystem — the same primitive Delta's log store
+        uses for 'put-if-absent' on non-transactional storage)."""
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        lock = os.path.join(tdir, "_commit.lock")
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {lock} held too long; remove it if the "
+                        f"holding process died")
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
     def _commit(self, name: str, dirs: list[str], partition_by: list[str],
                 operation: str, metrics: dict | None = None,
                 stats_columns: list[str] | None = None,
-                files: list[dict] | None = None) -> int:
-        prev = self.manifest(name)
-        version = 0 if prev is None else prev["version"] + 1
-        manifest = {
-            "version": version,
-            "dirs": dirs,
-            "partition_by": partition_by,
-            "operation": operation,
-            "metrics": metrics or {},
-            "committed_at": time.time(),
-            "stats_columns": stats_columns or [],
-            "files": files or [],
-        }
-        tdir = self._table_dir(name)
-        os.makedirs(tdir, exist_ok=True)
-        tmp = os.path.join(tdir, f"_manifest.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        # keep history, then atomically swap the current pointer
-        shutil.copy(tmp, os.path.join(tdir, f"_manifest_v{version}.json"))
-        os.replace(tmp, self._manifest_path(name))
-        return version
+                files: list[dict] | None = None,
+                txn: tuple[str, int] | None = None,
+                expected_base: int | None = None) -> int:
+        with self._commit_lock(name):
+            prev = self.manifest(name)
+            prev_version = -1 if prev is None else prev["version"]
+            if expected_base is not None and prev_version != expected_base:
+                raise ConcurrentWriteError(
+                    f"table '{name}' is at version {prev_version}, but this "
+                    f"write was prepared against version {expected_base}; "
+                    f"re-read and retry")
+            version = prev_version + 1
+            # streaming transaction watermarks carry forward Delta-style
+            txns = dict((prev or {}).get("txns") or {})
+            if txn is not None:
+                txns[txn[0]] = max(int(txn[1]), int(txns.get(txn[0], -1)))
+            manifest = {
+                "version": version,
+                "dirs": dirs,
+                "partition_by": partition_by,
+                "operation": operation,
+                "metrics": metrics or {},
+                "committed_at": time.time(),
+                "stats_columns": stats_columns or [],
+                "files": files or [],
+                "txns": txns,
+            }
+            tdir = self._table_dir(name)
+            tmp = os.path.join(tdir, f"_manifest.tmp.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            # keep history, then atomically swap the current pointer
+            shutil.copy(tmp, os.path.join(tdir, f"_manifest_v{version}.json"))
+            os.replace(tmp, self._manifest_path(name))
+            return version
+
+    def txn_version(self, name: str, app_id: str) -> int:
+        """Highest transaction version committed for ``app_id`` (-1 if
+        none) — Delta's ``txnAppId``/``txnVersion`` idempotent-write
+        watermark."""
+        m = self.manifest(name)
+        if m is None:
+            return -1
+        return int((m.get("txns") or {}).get(app_id, -1))
 
     def amend_manifest(self, name: str, mutator) -> dict:
         """Apply ``mutator(manifest_dict)`` to the current manifest and
@@ -183,7 +239,12 @@ class TableStore:
     def overwrite(self, spark: SparkSession, df: DataFrame, name: str,
                   partition_by: Sequence[str] | None = None,
                   stats_columns: Sequence[str] | None = None,
-                  _operation: str = "overwrite") -> int:
+                  _operation: str = "overwrite",
+                  _expected_base: int | None = None) -> int:
+        """Full snapshot replace. A plain overwrite is blind (last writer
+        wins, like Delta overwrite); snapshot-derived rewrites (compact,
+        optimize) pass ``_expected_base`` so a concurrent append makes
+        them raise instead of silently dropping its rows."""
         m = self.manifest(name)
         cols = list(stats_columns if stats_columns is not None
                     else (m.get("stats_columns") or []) if m else [])
@@ -191,27 +252,43 @@ class TableStore:
         self._write_dir(df, d, partition_by)
         return self._commit(name, [d], list(partition_by or []), _operation,
                             stats_columns=cols,
-                            files=self._stats_for([d], cols))
+                            files=self._stats_for([d], cols),
+                            expected_base=_expected_base)
 
     def append(self, spark: SparkSession, df: DataFrame, name: str,
                partition_by: Sequence[str] | None = None,
-               stats_columns: Sequence[str] | None = None) -> int:
-        m = self.manifest(name)
-        if m is not None and partition_by and list(partition_by) != m["partition_by"]:
-            raise ValueError(
-                f"append partition_by {list(partition_by)} != table {m['partition_by']}")
-        part = list(partition_by or (m["partition_by"] if m else []))
-        cols = list(stats_columns if stats_columns is not None
-                    else (m.get("stats_columns") or []) if m else [])
-        d = self._new_data_dir(name)
-        self._write_dir(df, d, part)
-        dirs = ([*m["dirs"], d] if m is not None else [d])
-        # incremental stats: footers of the NEW directory only, carried
-        # alongside the previous commit's file list (Delta add-file style)
-        files = [*(m.get("files") or [] if m else []),
-                 *self._stats_for([d], cols)]
-        return self._commit(name, dirs, part, "append",
-                            stats_columns=cols, files=files)
+               stats_columns: Sequence[str] | None = None,
+               txn: tuple[str, int] | None = None) -> int:
+        # optimistic concurrency: the data directory written once is valid
+        # under ANY concurrent commit (append never touches other dirs), so
+        # on conflict only the manifest read-merge-commit retries — Delta's
+        # ConcurrentAppend semantics, without rewriting data
+        d = None
+        new_files: list[dict] | None = None
+        for _ in range(20):
+            m = self.manifest(name)
+            if m is not None and partition_by and list(partition_by) != m["partition_by"]:
+                raise ValueError(
+                    f"append partition_by {list(partition_by)} != table {m['partition_by']}")
+            part = list(partition_by or (m["partition_by"] if m else []))
+            cols = list(stats_columns if stats_columns is not None
+                        else (m.get("stats_columns") or []) if m else [])
+            if d is None:
+                d = self._new_data_dir(name)
+                self._write_dir(df, d, part)
+                new_files = self._stats_for([d], cols)
+            dirs = ([*m["dirs"], d] if m is not None else [d])
+            # incremental stats: footers of the NEW directory only, carried
+            # alongside the previous commit's file list (Delta add-file style)
+            files = [*(m.get("files") or [] if m else []), *new_files]
+            try:
+                return self._commit(name, dirs, part, "append",
+                                    stats_columns=cols, files=files, txn=txn,
+                                    expected_base=m["version"] if m else -1)
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"append to '{name}' lost the commit race 20 times")
 
     def selective_overwrite(self, spark: SparkSession, df: DataFrame, name: str,
                             replace_where: str | None = None,

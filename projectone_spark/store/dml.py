@@ -133,7 +133,11 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
          "rows_scanned": rows_before,
          "rows_after_rewrite": rows_after},
         stats_columns=cols,
-        files=store._stats_for([nd], cols))
+        files=store._stats_for([nd], cols),
+        # a concurrent commit since our snapshot read means this rewrite
+        # would drop its rows — fail, don't clobber (Delta's
+        # ConcurrentAppendException for DELETE/UPDATE/MERGE)
+        expected_base=m["version"])
 
 
 def delete_where(store: TableStore, spark: SparkSession, name: str,

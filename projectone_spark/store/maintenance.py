@@ -71,7 +71,8 @@ def compact(store: TableStore, spark: SparkSession, name: str,
         compacted = df.repartition(n_out)
     return store.overwrite(spark, compacted, name,
                            partition_by=part or None,
-                           _operation="compact")
+                           _operation="compact",
+                           _expected_base=m["version"])
 
 
 def vacuum(store: TableStore, name: str, keep_versions: int = 2) -> list[str]:

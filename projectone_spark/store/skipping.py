@@ -386,4 +386,5 @@ def optimize(store, spark: SparkSession, name: str,
     # each partition directory
     return store.overwrite(spark, clustered, name,
                            partition_by=part or None, stats_columns=cols,
-                           _operation="optimize")
+                           _operation="optimize",
+                           _expected_base=m["version"])

@@ -95,6 +95,26 @@ def foreach_batch_writer(spark: SparkSession, store: TableStore, table: str,
     return _write
 
 
+def exactly_once_appender(store: TableStore, table: str, app_id: str,
+                          **append_kwargs: Any) -> Callable[[DataFrame, int], None]:
+    """foreachBatch append that is idempotent under micro-batch replay.
+
+    Structured Streaming guarantees at-least-once delivery to foreachBatch:
+    after a crash between sink write and checkpoint commit, the batch is
+    re-delivered. The store records the highest (app_id, batch_id) inside
+    the SAME atomic manifest commit as the data (Delta's
+    ``txnAppId``/``txnVersion`` pattern), so a replayed batch is detected
+    and skipped — append + checkpoint become effectively exactly-once.
+    """
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.txn_version(table, app_id):
+            return
+        store.append(batch_df.sparkSession, batch_df, table,
+                     txn=(app_id, batch_id), **append_kwargs)
+
+    return _write
+
+
 def write_stream(df: DataFrame, *,
                  query_name: str | None = None,
                  checkpoint: str | None = None,
@@ -207,6 +227,7 @@ def read_stream_parquet(spark: SparkSession, path: str, schema_ddl: str,
 
 __all__ = [
     "StreamTrigger", "checkpoint_location", "foreach_batch_writer",
+    "exactly_once_appender",
     "write_stream", "stream_wait_close", "run_to_memory",
     "read_stream_parquet", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "dedup_within_watermark",
