@@ -413,15 +413,34 @@ def read_changes(store: TableStore, spark: SparkSession, name: str,
 
     Append commits are metadata-only: the delta is exactly the data
     directories the commit added, so reading changes costs one scan of the
-    new files. Snapshot-rewriting commits (overwrite / scd merges) don't
-    materialize change files in this store, so the delta is computed as
-    exceptAll both ways — correct, but a full compare; a production
-    deployment on Delta gets those change files for free at write time.
+    new files. DML commits (delete/update/merge) record their exact
+    read/write file sets, so the delta diffs only the touched files —
+    cost ∝ files changed, not table size. Other snapshot-rewriting commits
+    (overwrite / scd merges) don't materialize change files in this store,
+    so the delta is computed as exceptAll both ways — correct, but a full
+    compare; a production deployment on Delta gets those change files for
+    free at write time.
 
     Output adds ``_change_type`` ('insert' | 'delete') and
     ``_commit_version`` columns, mirroring CDF's shape.
     """
     import pyspark.sql.functions as F
+
+    def _read_paths(by_dir: dict, part: list) -> DataFrame | None:
+        frames = []
+        for d, ps in by_dir.items():
+            if not ps:
+                continue
+            r = spark.read
+            if part:
+                r = r.option("basePath", d)
+            frames.append(r.parquet(*ps))
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     history = {m["version"]: m for m in store.history(name)}
     if not history:
@@ -440,9 +459,20 @@ def read_changes(store: TableStore, spark: SparkSession, name: str,
                               .withColumn("_change_type", F.lit("insert"))
                               .withColumn("_commit_version", F.lit(v)))
             continue
-        new = spark.read.parquet(*m["dirs"])
-        old = (spark.read.parquet(*prev["dirs"]) if prev is not None
-               else new.limit(0))
+        changed_old = (m.get("metrics") or {}).get("changed_old")
+        if changed_old is not None and prev is not None:
+            part = m["partition_by"]
+            nd = m["dirs"][0]
+            old = _read_paths(changed_old, part)
+            new = _read_paths({nd: (m["metrics"].get("changed_new") or [])},
+                              part)
+            empty = store.read(spark, name).limit(0)
+            old = old if old is not None else empty
+            new = new if new is not None else empty
+        else:
+            new = spark.read.parquet(*m["dirs"])
+            old = (spark.read.parquet(*prev["dirs"]) if prev is not None
+                   else new.limit(0))
         frames.append(new.exceptAll(old)
                       .withColumn("_change_type", F.lit("insert"))
                       .withColumn("_commit_version", F.lit(v)))

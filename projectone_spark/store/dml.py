@@ -125,13 +125,18 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
     rows_after = sum(_footer_rows(p) for p in _all_files([nd])
                      if p not in linked)
     cols = m.get("stats_columns") or []
+    new_paths = [p for p in _all_files([nd]) if p not in linked]
     return store._commit(
         name, [nd], part, operation,
         {"predicate": residual,
          "files_rewritten": sum(len(v) for v in touched_by_dir.values()),
          "files_linked": len(linked),
          "rows_scanned": rows_before,
-         "rows_after_rewrite": rows_after},
+         "rows_after_rewrite": rows_after,
+         # the commit's exact read/write set: the change feed diffs ONLY
+         # these files instead of comparing whole snapshots
+         "changed_old": {d: ps for d, ps in touched_by_dir.items()},
+         "changed_new": new_paths},
         stats_columns=cols,
         files=store._stats_for([nd], cols),
         # a concurrent commit since our snapshot read means this rewrite

@@ -232,3 +232,32 @@ def test_merge_into_insert_only_outside_all_files(spark, store):
     # and an empty source is a complete no-op
     assert merge_into(store, spark, "orders", df.limit(0),
                       ["o_orderkey"]) is None
+
+
+def test_change_feed_after_dml(spark, store):
+    """DML commits diff only their recorded read/write file sets; the
+    change feed still equals the full-snapshot difference."""
+    from projectone_spark.store import read_changes
+    from projectone_spark.store.dml import delete_where, update_where
+
+    df = _orders(spark)
+    store.overwrite(spark, df.repartitionByRange(4, "o_orderkey"), "orders",
+                    stats_columns=["o_orderkey"])
+    lo = int(df.agg(F.min("o_orderkey")).first()[0])
+    delete_where(store, spark, "orders", [("o_orderkey", "==", lo)])   # v1
+    update_where(store, spark, "orders", [("o_orderkey", "==", lo + 1)],
+                 {"o_orderpriority": "'X'"})                           # v2
+    ch1 = read_changes(store, spark, "orders", 1, 1)
+    assert ch1.count() == 1
+    r = ch1.first()
+    assert (r["_change_type"], r["o_orderkey"]) == ("delete", lo)
+    ch2 = read_changes(store, spark, "orders", 2, 2)
+    got = sorted((r["_change_type"], r["o_orderkey"], r["o_orderpriority"])
+                 for r in ch2.collect())
+    assert [t for t, *_ in got] == ["delete", "insert"]
+    assert got[0][1] == got[1][1] == lo + 1
+    assert got[1][2] == "X"
+    # the v1 manifest proves only a subset of files was diffed
+    m1 = [m for m in store.history("orders") if m["version"] == 1][0]
+    n_old = sum(len(v) for v in m1["metrics"]["changed_old"].values())
+    assert n_old < 4
