@@ -576,3 +576,61 @@ def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.ntile(4).over(w).alias("quartile"),
                     F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
                     F.round(F.cume_dist().over(w), 6).alias("cume")))
+
+
+_Q33_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 3 DAY
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL 3 DAY
+  GROUP BY e.user_id)
+SELECT stage, n_users FROM (
+  SELECT ' 1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+  UNION ALL
+  SELECT ' 2_click', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT ' 3_purchase', CAST(count(*) AS BIGINT) FROM p)
+"""
+
+
+@register("q33_event_funnel", _Q33_SQL,
+          doc="ordered conversion funnel over the event stream: first view, "
+              "first click within 3 days after it, first purchase within "
+              "3 days after that — three user-keyed aggregations whose "
+              "exchanges reuse one hash partitioning; joins stay on the "
+              "user key so no event row ever shuffles twice",
+          tags=("events", "funnel", "window"))
+def q33_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((F.col("ts") > F.col("t1"))
+                 & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 3 DAY")))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") > F.col("t2"))
+                 & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 3 DAY")))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    counts = [v.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit(" 1_view").alias("stage"), "n_users"),
+              c.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit(" 2_click").alias("stage"), "n_users"),
+              p.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit(" 3_purchase").alias("stage"), "n_users")]
+    out = counts[0]
+    for f in counts[1:]:
+        out = out.unionByName(f)
+    return out
