@@ -26,7 +26,10 @@ def main() -> None:
     # so timings measure the queries, not process spin-up: chained
     # mapInPandas stages each fork a pyspark worker per core on first use
     # (~5-15 s across 32 cores), reused afterwards.
-    for warm_name in ("q01_pricing_summary", "m02_image_pixel_stats"):
+    # st08 additionally warms the Python DataSource worker pool (a
+    # separate pool from the mapInPandas workers m02 warms)
+    for warm_name in ("q01_pricing_summary", "m02_image_pixel_stats",
+                      "st08_stream_from_table"):
         all_queries[warm_name](spark, "/root/testdata/sf0.001") \
             .write.format("noop").mode("overwrite").save()
 

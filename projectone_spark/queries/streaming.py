@@ -259,3 +259,38 @@ def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey", "c_name",
                       F.round("o_totalprice", 2).alias("total_price")))
     return run_to_memory(joined, output_mode="append")
+
+
+_ST08_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("st08_stream_from_table", _ST08_SQL,
+          doc="the store itself as a streaming source (Delta readStream "
+              "parity, Spark 4 Python DataSource): offsets are manifest "
+              "versions, each micro-batch plans one partition per file the "
+              "commit added, executors read them with pyarrow; two append "
+              "commits stream in and aggregate to the same totals as a "
+              "batch scan",
+          tags=("streaming", "store", "source"))
+def st08_stream_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.sources.store_stream import stream_from_store
+    from projectone_spark.store import TableStore
+
+    orders = load(spark, sf_dir, "orders")
+    st = TableStore(tempfile.mkdtemp(prefix="pos-ssrc-"))
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    st.overwrite(spark, half.repartition(4), "orders")
+    st.append(spark, orders.exceptAll(half).repartition(4), "orders")
+    stream = stream_from_store(spark, st, "orders")
+    agg = (stream.groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+                .cast("double").alias("revenue")))
+    return run_to_memory(agg, output_mode="complete")

@@ -154,3 +154,65 @@ def test_transform_with_state_first_seen(spark, tmp_path):
     got = {r["k"]: r["n_rows"] for r in spark.table("tws_q").collect()}
     # key 1 emitted once (first batch, 2 rows); its batch-2 dup suppressed
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_stream_from_store_appends(spark, tmp_path):
+    """The store is a streaming source: offsets are manifest versions, a
+    restarted stream resumes from its checkpoint, appends stream in."""
+    from projectone_spark.store import TableStore
+    from projectone_spark.sources.store_stream import stream_from_store
+    from projectone_spark.streaming import stream_wait_close
+
+    store = TableStore(str(tmp_path / "store"))
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(30)
+    store.overwrite(spark, df.limit(10), "orders")
+    store.append(spark, df.limit(20).exceptAll(df.limit(10)), "orders")
+
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (stream_from_store(spark, store, "orders")
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        stream_wait_close([q], timeout_seconds=300)
+        return spark.read.parquet(out)
+
+    assert run().count() == 20
+    # new append lands; restarting from the checkpoint picks up ONLY the delta
+    store.append(spark, df.exceptAll(df.limit(20)), "orders")
+    assert run().count() == 30
+    got = sorted(r[0] for r in run().select("o_orderkey").collect())
+    assert got == sorted(r[0] for r in df.select("o_orderkey").collect())
+
+
+def test_stream_from_store_change_commit_contract(spark, tmp_path):
+    """Delta contract: a data-changing commit fails the stream unless
+    skipChangeCommits is set, in which case it is ignored."""
+    import pyspark.sql.functions as F
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.dml import delete_where
+    from projectone_spark.sources.store_stream import stream_from_store
+    from projectone_spark.streaming import stream_wait_close
+
+    store = TableStore(str(tmp_path / "store"))
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(20)
+    store.overwrite(spark, df, "orders")
+    lo = df.agg(F.min("o_orderkey")).first()[0]
+    delete_where(store, spark, "orders", [("o_orderkey", "==", int(lo))])
+
+    def run(name, skip):
+        q = (stream_from_store(spark, store, "orders",
+                               skip_change_commits=skip)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+             .trigger(availableNow=True).start())
+        stream_wait_close([q], timeout_seconds=300)
+        return spark.table(name)
+
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        run("fail_q", False)
+    got = run("skip_q", True)
+    assert got.count() == 20  # v0 snapshot only; the delete commit skipped
