@@ -33,8 +33,17 @@ from projectone_spark.task import SparkTask
 @dataclass
 class TaskNode:
     name: str
-    config: TaskConfig
+    config: TaskConfig | None = None
     depends_on: list[str] = field(default_factory=list)
+    #: pipeline-of-pipelines (reference ``spark_pipeline_task``,
+    #: ``core/schemas/deploy.py:158-183``): a node may BE a nested
+    #: pipeline; it runs as one unit and succeeds iff every inner task does
+    subtasks: list["TaskNode"] | None = None
+
+    def __post_init__(self):
+        if (self.config is None) == (self.subtasks is None):
+            raise ValueError(
+                f"task '{self.name}' needs exactly one of config/subtasks")
 
 
 @dataclass
@@ -44,6 +53,7 @@ class TaskRun:
     error: str | None = None
     start_time: float = 0.0
     end_time: float = 0.0
+    children: dict[str, "TaskRun"] | None = None
 
 
 class CycleError(ValueError):
@@ -93,7 +103,17 @@ class PipelineRunner:
         def execute(t: TaskNode) -> TaskRun:
             run = TaskRun(t.name, "SUCCESS", start_time=time.time())
             try:
-                SparkTask(t.config, self.spark).execute()
+                if t.subtasks is not None:
+                    inner = PipelineRunner(self.spark,
+                                           self.max_workers).run(t.subtasks)
+                    run.children = inner
+                    failed = [n for n, r in inner.items()
+                              if r.status != "SUCCESS"]
+                    if failed:
+                        run.status = "FAILED"
+                        run.error = f"nested tasks failed: {sorted(failed)}"
+                else:
+                    SparkTask(t.config, self.spark).execute()
             except Exception as e:  # noqa: BLE001 - recorded, not swallowed
                 run.status = "FAILED"
                 run.error = f"{type(e).__name__}: {e}"
@@ -166,8 +186,18 @@ def load_pipeline(contract: dict[str, Any],
     ctx = {**contract, **(context or {})}
     nodes = []
     for name, spec in contract["tasks"].items():
+        deps = list(spec.get("depends_on", []))
+        if "pipeline" in spec:
+            # pipeline-of-pipelines: the value is a nested pipeline
+            # contract (usually via ``${pipelines.<name>}``); it becomes
+            # one composite node
+            sub_contract = resolve_references(spec["pipeline"], ctx)
+            nodes.append(TaskNode(name=name, depends_on=deps,
+                                  subtasks=load_pipeline(sub_contract,
+                                                         context=ctx)))
+            continue
         raw = resolve_references(spec.get("task", {}), ctx)
         raw.setdefault("name", name)
         nodes.append(TaskNode(name=name, config=TaskConfig(**raw),
-                              depends_on=list(spec.get("depends_on", []))))
+                              depends_on=deps))
     return nodes

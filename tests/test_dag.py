@@ -169,3 +169,64 @@ def test_stream_metrics_listener(spark, tmp_path):
             break
         time.sleep(0.5)
     assert keys, "listener persisted no stream state"
+
+
+def test_pipeline_of_pipelines(spark, tmp_path, source_dir):
+    """A nested pipeline runs as one composite node: downstream tasks wait
+    for the WHOLE child pipeline, and a child failure skips them."""
+    def task_json(name, body=None):
+        cfg = {
+            "name": name,
+            "inputs": [{"name": "src", "path": source_dir,
+                        "source": "parquet"}],
+            "outputs": [{"name": "out", "table": name,
+                         "write_type": "overwrite"}],
+            "state_location": str(tmp_path / "state" / name),
+            "store_location": str(tmp_path / "store"),
+        }
+        if body:
+            cfg["execution"] = {"name": "fn", "body": body}
+        return cfg
+
+    contract = {
+        "pipelines": {
+            "child": {"tasks": {
+                "c1": {"task": task_json("c1")},
+                "c2": {"task": task_json("c2"), "depends_on": ["c1"]},
+            }},
+        },
+        "tasks": {
+            "ingest": {"task": task_json("ingest")},
+            "nested": {"pipeline": "${pipelines.child}",
+                       "depends_on": ["ingest"]},
+            "final": {"task": task_json("final"), "depends_on": ["nested"]},
+        },
+    }
+    nodes = load_pipeline(contract)
+    runs = PipelineRunner(spark).run(nodes)
+    assert {r.status for r in runs.values()} == {"SUCCESS"}
+    assert set(runs["nested"].children) == {"c1", "c2"}
+    store = TableStore(str(tmp_path / "store"))
+    for t in ("ingest", "c1", "c2", "final"):
+        assert store.read(spark, t).count() == 3
+
+    # failing child → composite FAILED → downstream SKIPPED
+    bad = {
+        "pipelines": {"child": {"tasks": {
+            "c1": {"task": task_json(
+                "c1b", body="def fn(src):\n    raise RuntimeError('boom')")},
+        }}},
+        "tasks": {
+            "nested": {"pipeline": "${pipelines.child}"},
+            "final": {"task": task_json("final2"), "depends_on": ["nested"]},
+        },
+    }
+    runs = PipelineRunner(spark).run(load_pipeline(bad))
+    assert runs["nested"].status == "FAILED"
+    assert "c1" in runs["nested"].error
+    assert runs["final"].status == "SKIPPED"
+
+
+def test_tasknode_validation():
+    with pytest.raises(ValueError, match="exactly one"):
+        TaskNode(name="x")
