@@ -124,3 +124,62 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(chain, max_iters=2)
     got = connected_components(chain, max_iters=15).collect()
     assert {r["component"] for r in got} == {0}
+
+
+MERGE_ROWS = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=6,
+                      unique_by=lambda t: t[0])
+
+
+@given(target=MERGE_ROWS, source=MERGE_ROWS,
+       del_thresh=st.integers(min_value=0, max_value=4))
+@SLOW
+def test_merge_into_matches_python_model(spark, tmp_path_factory, target,
+                                         source, del_thresh):
+    """merge_into (update + conditional delete + insert) must equal the
+    trivially-correct dict model for any (target, source) pair."""
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.dml import merge_into
+
+    store = TableStore(str(tmp_path_factory.mktemp("mrg")))
+    store.overwrite(spark, _df(spark, target or [(999, 0)]), "t")
+    if not target:
+        from projectone_spark.store.dml import delete_where
+        delete_where(store, spark, "t", [("id", "==", 999)])
+    merge_into(store, spark, "t", _df(spark, source), ["id"],
+               when_matched_update={"v": "source.v + 100"},
+               when_matched_delete=f"source.v < {del_thresh}",
+               when_not_matched_insert=True)
+
+    model = dict(target)
+    for k, v in source:
+        if k in model:
+            if v < del_thresh:
+                del model[k]
+            else:
+                model[k] = v + 100
+        else:
+            model[k] = v
+    got = {r["id"]: r["v"] for r in store.read(spark, "t").collect()}
+    assert got == model
+
+
+@given(rows=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8),
+       cut=st.integers(min_value=0, max_value=3))
+@SLOW
+def test_delete_update_match_filter_model(spark, tmp_path_factory, rows, cut):
+    """delete_where + update_where equal plain filter/map models, with
+    duplicate ids and arbitrary predicates (multiset semantics)."""
+    from collections import Counter
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.dml import delete_where, update_where
+
+    store = TableStore(str(tmp_path_factory.mktemp("dml")))
+    store.overwrite(spark, _df(spark, rows).repartition(3), "t",
+                    stats_columns=["v"])
+    delete_where(store, spark, "t", [("v", "<", cut)])
+    kept = [(k, v) for k, v in rows if not v < cut]
+    update_where(store, spark, "t", [("v", ">=", cut)], {"v": "v * 10"})
+    expect = Counter((k, v * 10) for k, v in kept)
+    got = Counter((r["id"], r["v"]) for r in store.read(spark, "t").collect())
+    assert got == expect
