@@ -17,9 +17,10 @@ reader:
   mutated table.
 
 Scale: the per-batch planning cost is O(files added), read cost is the new
-files only, and rate is boundable upstream via the trigger. Partitioned
-tables would need path-derived partition columns attached per file; that
-is not wired yet, so they are rejected loudly.
+files only, and rate is boundable upstream via the trigger. Hive-
+partitioned tables stream with their partition columns reattached per file
+as typed constants (pyarrow's hive inference — the same types a batch read
+discovers).
 """
 
 from __future__ import annotations
@@ -67,9 +68,27 @@ def _files_of(m: dict) -> list[str]:
 
 
 class StoreFilePartition(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(self, path: str, version: int, base_dir: str):
         self.path = path
         self.version = version
+        self.base_dir = base_dir
+
+
+def _arrow_schema(m: dict):
+    """Arrow schema of a snapshot, hive partition columns included and
+    TYPED (pyarrow's hive partitioning inference — the same types a batch
+    ``spark.read.parquet(dir)`` discovers)."""
+    import pyarrow.dataset as pads
+
+    if not m["partition_by"]:
+        import pyarrow.parquet as pq
+
+        files = _files_of(m)
+        if not files:
+            raise ValueError("no data files to infer a schema from")
+        return pq.ParquetFile(files[0]).schema_arrow
+    return pads.dataset(m["dirs"][0], format="parquet",
+                        partitioning="hive").schema
 
 
 class StoreChangesStreamReader(DataSourceStreamReader):
@@ -81,6 +100,10 @@ class StoreChangesStreamReader(DataSourceStreamReader):
             str(opts.get("skipchangecommits", "false")).lower() == "true")
         start = opts.get("startingversion")
         self._initial = int(start) if start is not None else -1
+        ms = _manifests(self.root, self.table)
+        if not ms:
+            raise FileNotFoundError(f"table '{self.table}' does not exist")
+        self._schema = _arrow_schema(ms[max(ms)])  # pickled to executors
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
@@ -97,10 +120,6 @@ class StoreChangesStreamReader(DataSourceStreamReader):
             m = ms.get(v)
             if m is None:
                 continue
-            if m["partition_by"]:
-                raise ValueError(
-                    f"streaming from hive-partitioned table "
-                    f"'{self.table}' is not supported")
             prev = ms.get(v - 1)
             if m["operation"] != "append" and prev is not None:
                 if self.skip_change_commits:
@@ -113,15 +132,37 @@ class StoreChangesStreamReader(DataSourceStreamReader):
             seen = set(_files_of(prev)) if prev is not None else set()
             for p in _files_of(m):
                 if p not in seen:
-                    parts.append(StoreFilePartition(p, v))
+                    base = next(d for d in m["dirs"]
+                                if p.startswith(d + os.sep))
+                    parts.append(StoreFilePartition(p, v, base))
         return parts
 
     def read(self, partition: StoreFilePartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from projectone_spark.store.skipping import partition_values
 
         # Arrow RecordBatches, not per-row tuples: the reader stays
         # zero-copy from parquet decode to Spark ingestion
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        rel = os.path.relpath(partition.path, partition.base_dir)
+        pvals = partition_values(rel)
+        for batch in pq.ParquetFile(partition.path).iter_batches():
+            if not pvals:
+                yield batch
+                continue
+            # attach hive partition columns as typed constants, emitting
+            # columns in the declared schema's order
+            arrays, names = [], []
+            for f in self._schema:
+                if f.name in pvals:
+                    sc = pa.scalar(pvals[f.name]).cast(f.type)
+                    arrays.append(pa.repeat(sc, batch.num_rows))
+                    names.append(f.name)
+                elif f.name in batch.schema.names:
+                    arrays.append(batch.column(f.name))
+                    names.append(f.name)
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     def commit(self, end: dict) -> None:
         pass
@@ -136,8 +177,6 @@ class StoreChangesDataSource(DataSource):
         return "store_changes"
 
     def schema(self) -> StructType:
-        import pyarrow.parquet as pq
-
         from pyspark.sql.pandas.types import from_arrow_schema
 
         ms = _manifests(self.options["root"], self.options["table"])
@@ -145,12 +184,7 @@ class StoreChangesDataSource(DataSource):
             raise FileNotFoundError(
                 f"table '{self.options['table']}' does not exist under "
                 f"{self.options['root']}")
-        files = _files_of(ms[max(ms)])
-        if not files:
-            raise ValueError(
-                f"table '{self.options['table']}' has no data files to "
-                f"infer a schema from")
-        return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow,
+        return from_arrow_schema(_arrow_schema(ms[max(ms)]),
                                  prefer_timestamp_ntz=True)
 
     def streamReader(self, schema: StructType) -> StoreChangesStreamReader:

@@ -216,3 +216,31 @@ def test_stream_from_store_change_commit_contract(spark, tmp_path):
         run("fail_q", False)
     got = run("skip_q", True)
     assert got.count() == 20  # v0 snapshot only; the delete commit skipped
+
+
+def test_stream_from_store_partitioned(spark, tmp_path):
+    """Hive-partitioned tables stream with typed partition columns
+    reattached per file (pyarrow hive inference = batch-read types)."""
+    import pyspark.sql.functions as F
+    from projectone_spark.store import TableStore
+    from projectone_spark.sources.store_stream import stream_from_store
+    from projectone_spark.streaming import stream_wait_close
+
+    store = TableStore(str(tmp_path / "store"))
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(40)
+    store.overwrite(spark, df.limit(25), "orders",
+                    partition_by=["o_orderstatus"])
+    store.append(spark, df.exceptAll(df.limit(25)), "orders")
+
+    q = (stream_from_store(spark, store, "orders")
+         .writeStream.format("memory").queryName("part_src")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    stream_wait_close([q], timeout_seconds=300)
+    got = spark.table("part_src")
+    assert got.count() == 40
+    assert "o_orderstatus" in got.columns
+    exp = {(r["o_orderkey"], r["o_orderstatus"]) for r in df.collect()}
+    assert {(r["o_orderkey"], r["o_orderstatus"])
+            for r in got.collect()} == exp
