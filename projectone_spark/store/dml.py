@@ -190,6 +190,7 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
                when_not_matched_insert: bool = True,
                not_matched_condition: str | None = None,
                when_not_matched_by_source_delete: str | bool = False,
+               schema_evolution: bool = False,
                ) -> int | None:
     """General ``MERGE INTO`` (Delta ``DeltaTable.merge`` surface — the
     reference's SCD writers are specializations of this; ``scd1/2/3`` in
@@ -207,7 +208,12 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
     - target-only → kept, unless ``when_not_matched_by_source_delete``
       (condition or True) says delete;
     - a target row matching MULTIPLE source rows raises, exactly like
-      Delta's duplicate-match error.
+      Delta's duplicate-match error;
+    - source columns absent from the target raise unless
+      ``schema_evolution`` (Delta autoMerge): then they are appended to
+      the table schema (null for rows the source doesn't supply), and the
+      whole snapshot is rewritten so it stays schema-uniform — file
+      pruning is disabled for that one commit.
 
     Scale: when no not-matched-by-source clause is present, target files
     whose key-range stats provably exclude every source key are
@@ -224,9 +230,15 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
     if missing:
         raise ValueError(f"merge keys missing from source or target: {missing}")
 
+    evolving = [c for c in source.columns if c not in tgt_probe.columns]
+    if evolving and not schema_evolution:
+        raise ValueError(
+            f"source has columns absent from target: {evolving}; pass "
+            f"schema_evolution=True to add them (Delta autoMerge)")
+
     nmbs = when_not_matched_by_source_delete
     predicates: list[tuple[str, str, object]] = []
-    if not nmbs:
+    if not nmbs and not evolving:
         # file pruning: [min, max] of each source key bounds the target
         # rows that can possibly match; everything outside is untouched
         bounds = source.agg(*[f for k in keys
@@ -241,10 +253,13 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
     def apply(tgt: DataFrame, _residual: str) -> DataFrame:
         from pyspark.sql import Window
 
+        if evolving:
+            # new columns append at the end, null where the source has no
+            # row — then the merge below treats them like any shared column
+            tgt = tgt.withColumns({
+                c: F.lit(None).cast(source.schema[c].dataType)
+                for c in evolving})
         cols = tgt.columns
-        extra = [c for c in source.columns if c not in cols]
-        if extra:
-            raise ValueError(f"source has columns absent from target: {extra}")
         # per-source-key row count, computed on the source BEFORE the join
         # (same key partitioning the join needs, no post-join window): a
         # matched pair whose source key occurs >1 times means one target
@@ -311,9 +326,11 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
         if not_matched_condition:
             ins = ins.filter(F.expr(not_matched_condition))
         if ins.limit(1).count() > 0:
+            fields = list(tgt_probe.schema.fields) + [
+                source.schema[c] for c in evolving]
             aligned = ins.select(*[
                 F.col(f.name) if f.name in source.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in tgt_probe.schema.fields])
+                for f in fields])
             return store.append(spark, aligned, name)
     return v

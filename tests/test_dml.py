@@ -261,3 +261,27 @@ def test_change_feed_after_dml(spark, store):
     m1 = [m for m in store.history("orders") if m["version"] == 1][0]
     n_old = sum(len(v) for v in m1["metrics"]["changed_old"].values())
     assert n_old < 4
+
+
+def test_merge_into_schema_evolution(spark, store):
+    from projectone_spark.store.dml import merge_into
+
+    df = _orders(spark)
+    store.overwrite(spark, df.repartition(3), "orders",
+                    stats_columns=["o_orderkey"])
+    keys = [r[0] for r in df.select("o_orderkey").limit(5).collect()]
+    src = (df.filter(F.col("o_orderkey").isin(keys))
+           .select("o_orderkey")
+           .withColumn("channel", F.lit("web")))
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_into(store, spark, "orders", src, ["o_orderkey"])
+    v = merge_into(store, spark, "orders", src, ["o_orderkey"],
+                   schema_evolution=True)
+    assert v == 1
+    got = store.read(spark, "orders")
+    assert "channel" in got.columns
+    assert got.count() == df.count()
+    assert got.filter(F.col("channel") == "web").count() == 5
+    assert got.filter(F.col("channel").isNull()).count() == df.count() - 5
+    # the snapshot is schema-uniform: no linked files with the old schema
+    assert store.manifest("orders")["metrics"]["files_linked"] == 0
