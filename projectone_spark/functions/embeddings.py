@@ -209,3 +209,174 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.round(dot(F.col("__qvec"), F.col("__vec"))
                               / (F.col("__qn") * F.col("__vn")), 6).alias("score")))
     return _topk(scored, query_id_col, k)
+
+
+# -- product quantization ----------------------------------------------------
+
+def pq_train(df: DataFrame, m: int = 8, n_codes: int = 16,
+             sample_size: int = 2000, iters: int = 5,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Driver-side PQ codebooks: vectors are unit-normalized, split into
+    ``m`` subvectors, and each subspace gets its own ``n_codes``-centroid
+    k-means (same deterministic sample / init / cost class as
+    ``ivf_train``). Returns ``codebooks[s][j]`` = centroid ``j`` of
+    subspace ``s``.
+
+    Why PQ at 100 TB: a 64-dim float corpus is 256 B/vector; with m=8,
+    n_codes=16 it stores as 8 nibble codes — a 64× smaller index whose
+    distance evaluation is ``m`` table lookups instead of a 64-dim dot.
+    """
+    import numpy as np
+
+    rows = (df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col).limit(sample_size).collect())
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        k = min(n_codes, len(Xs))
+        C = Xs[np.linspace(0, len(Xs) - 1, k).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def _unit(vec: Column) -> Column:
+    n = l2_norm(vec)
+    return F.transform(vec, lambda x: x / n)
+
+
+def pq_encode(vec_col: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of ``m`` codes: per subspace, the L2-nearest codebook
+    entry of the unit-normalized vector. Pure codegen expressions (struct
+    sort as argmin, ties to the lowest code id) — encoding is a scan-side
+    map, no UDF, no shuffle."""
+    v = _unit(vec_col)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        xs = F.slice(v, s * sub + 1, sub)
+        entries = []
+        for j, c in enumerate(codebooks[s]):
+            cc = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(xs, cc, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            entries.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
+        codes.append(F.sort_array(F.array(*entries))[0]["j"])
+    return F.array(*codes)
+
+
+def pq_adc_tables(vec_col: Column,
+                  codebooks: list[list[list[float]]]) -> Column:
+    """``array<array<double>>``: ``tables[s][j] = q_s · codebook[s][j]``
+    for the unit-normalized query — the asymmetric-distance lookup tables.
+    Built per query row (queries are few and broadcast)."""
+    v = _unit(vec_col)
+    sub = len(codebooks[0][0])
+    tabs = []
+    for s, book in enumerate(codebooks):
+        xs = F.slice(v, s * sub + 1, sub)
+        tabs.append(F.array(*[
+            dot(xs, F.array(*[F.lit(float(x)) for x in c])) for c in book]))
+    return F.array(*tabs)
+
+
+def knn_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
+           m: int = 8, n_codes: int = 16, shortlist: int = 8,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           query_id_col: str = "query_id", sample_size: int = 2000,
+           parallelism: int | None = None) -> DataFrame:
+    """PQ approximate top-k with exact re-rank: corpus rows are scored via
+    ``m`` table lookups (ADC estimate of the cosine), the top
+    ``k*shortlist`` shortlist per query is re-scored with the exact
+    cosine, and the final top-k comes from the refined scores — the
+    standard two-stage PQ search.
+
+    Scale path: ``pq_encode`` runs once at ingest and the codes column
+    (m small ints) is what the search scans — the raw vectors are touched
+    only for the shortlist re-rank, so the per-query scan is ~64× lighter
+    than brute force at m=8, n_codes=16.
+    """
+    books = pq_train(corpus, m, n_codes, sample_size,
+                     vec_col=vec_col, id_col=id_col)
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__vec")),
+               parallelism)
+    enc = pq_encode_vectorized(books)
+    codes = (c.select(id_col, enc(F.col("__vec")).alias("__codes"))
+             .localCheckpoint(eager=False))  # encode once, reuse both scans
+    q_tabs = queries.select(F.col(id_col).alias(query_id_col),
+                            pq_adc_tables(F.col(vec_col), books)
+                            .alias("__tabs"))
+    est = F.aggregate(
+        F.zip_with(F.col("__codes"), F.col("__tabs"),
+                   lambda code, tab: F.element_at(tab, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    # the shortlist window sees ONLY (query_id, neighbor_id, est) — the
+    # raw vectors never ride through the candidate shuffle
+    scored = (codes.crossJoin(F.broadcast(q_tabs))
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                      est.alias("__est")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__est"), F.asc("neighbor_id"))
+    short = (scored.withColumn("__r", F.row_number().over(w))
+             .filter(F.col("__r") <= k * shortlist)
+             .select(query_id_col, "neighbor_id"))
+    # exact re-rank joins the vectors back for shortlist rows only
+    cv = c.select(F.col(id_col).alias("neighbor_id"), "__vec",
+                  l2_norm(F.col("__vec")).alias("__vn"))
+    qv = queries.select(F.col(id_col).alias(query_id_col),
+                        F.col(vec_col).alias("__qvec"),
+                        l2_norm(F.col(vec_col)).alias("__qn"))
+    exact = (short.join(cv, "neighbor_id")
+             .join(F.broadcast(qv), query_id_col)
+             .select(query_id_col, "neighbor_id",
+                     F.round(dot(F.col("__qvec"), F.col("__vec"))
+                             / (F.col("__qn") * F.col("__vn")), 6)
+                     .alias("score")))
+    return _topk(exact, query_id_col, k)
+
+
+def pq_encode_vectorized(codebooks: list[list[list[float]]]):
+    """Arrow-batched encoder: the expression form above evaluates m×k
+    interpreted higher-order lambdas per row, which dominates runtime once
+    the corpus is non-trivial; this computes all subspace argmins as one
+    numpy matmul per batch (||x_s||² − 2·x_sCᵀ + ||C||², argmin with
+    first-wins ties — identical codes). Returns a callable for
+    ``df.select(fn(col))``."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = B[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(v):
+        import pandas as pd
+
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+        codes = np.empty((len(X), len(B)), dtype=np.int64)
+        for s, C in enumerate(B):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            d2 = ((Xs ** 2).sum(1, keepdims=True)
+                  - 2.0 * (Xs @ C.T)
+                  + (C ** 2).sum(1)[None, :])
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return enc

@@ -125,3 +125,21 @@ def e04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return (knn_ivf(emb, queries, k=5, n_clusters=8, nprobe=3)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+@register("e05_knn_pq", None, bench=True,
+          doc="product-quantization ANN: per-subspace driver-trained "
+              "codebooks compress each vector to m nibble codes (64x "
+              "smaller index), queries score via m ADC table lookups, and "
+              "the shortlist re-ranks with the exact cosine — the storage-"
+              "bound ANN shape for corpora whose raw vectors don't fit "
+              "(no SQL oracle: k-means is iterative; recall floor asserted "
+              "in tests/test_embeddings_ivf.py)",
+          tags=("embeddings", "knn", "ann", "pq"))
+def e05_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.embeddings import knn_pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (knn_pq(emb, queries, k=5, m=8, n_codes=16)
+            .select("query_id", "neighbor_id", "score", "rank"))

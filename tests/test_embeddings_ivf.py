@@ -71,3 +71,41 @@ def test_ivf_search_plan_is_jvm_only(spark):
     plan = buf.getvalue()
     assert "EvalPython" not in plan          # training collects; search doesn't
     assert "BroadcastHashJoin" in plan       # probe side broadcast on cell id
+
+
+def test_pq_recall_floor(spark):
+    """PQ + exact re-rank must recover most of the exact top-5, and the
+    ADC estimate must correlate with the true cosine (codes are lossy,
+    the refined scores are exact)."""
+    from projectone_spark.functions.embeddings import knn_bruteforce, knn_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(emb, queries, k=5).collect()}
+    approx = knn_pq(emb, queries, k=5, m=8, n_codes=16)
+    rows = approx.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
+    # refined scores are exact cosines: every returned score must match
+    # the brute-force score for the same pair
+    bf = {(r["query_id"], r["neighbor_id"]): r["score"]
+          for r in knn_bruteforce(emb, queries, k=500).collect()}
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["score"]) < 1e-5
+
+
+def test_pq_codes_shape(spark):
+    from projectone_spark.functions.embeddings import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    codes = (emb.select(pq_encode(F.col("embedding"), books).alias("c"))
+             .collect())
+    for r in codes:
+        assert len(r["c"]) == 8
+        assert all(0 <= x < 16 for x in r["c"])
