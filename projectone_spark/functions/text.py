@@ -163,3 +163,25 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     if truth_col:
         out.append((pred == F.col(truth_col)).cast("int").alias("is_correct"))
     return base.select(*out)
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to the regex subset both
+#: Java (Spark) and RE2 (DuckDB) implement identically: contractions,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+#: (The original's trailing-space lookahead is dropped — RE2 has no
+#: lookahead; whitespace-only matches are filtered out when counting.)
+BPE_ISH_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                   r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Subword-ish tokens of RAW text (not normalized): the merge-aware
+    split a byte-pair tokenizer starts from. Whitespace-only matches are
+    kept out so ``size()`` approximates an LLM token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+    return F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))

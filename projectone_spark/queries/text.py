@@ -160,3 +160,45 @@ def c01_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return chunk_docs(docs, size=50, stride=40)
+
+
+_T05_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(
+            regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+            t -> NOT regexp_matches(t, '^\s+$'))) AS BIGINT) AS n_bpe,
+       CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(text), '\s+') END)
+            AS BIGINT) AS n_ws,
+       round(CAST(len(list_filter(
+            regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+            t -> NOT regexp_matches(t, '^\s+$'))) AS DOUBLE)
+         / greatest(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\s+') END), 1),
+         4) AS tokens_per_word
+FROM documents
+"""
+
+
+@register("t05_bpe_token_count", _T05_SQL,
+          doc="LLM-style token counting: a GPT-2-shaped pre-tokenizer "
+              "regex (contractions / space-prefixed letter / digit / "
+              "punctuation runs, lookahead-free so Java and RE2 agree) "
+              "next to the whitespace word count, with the tokens-per-word "
+              "budget ratio — all codegen scan-side expressions",
+          tags=("text", "tokens", "llm"))
+def t05_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.text import bpe_ish_token_count
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    ws = F.size(F.when(F.trim("text") == "", F.array().cast("array<string>"))
+                .otherwise(F.split(F.trim("text"), r"\s+")))
+    bpe = bpe_ish_token_count("text")
+    return docs.select(
+        "doc_id",
+        bpe.cast("bigint").alias("n_bpe"),
+        ws.cast("bigint").alias("n_ws"),
+        F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 4)
+        .alias("tokens_per_word"))
