@@ -152,3 +152,37 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
                         # raw IEEE division of two bigints is bit-identical
                         # across engines; round() tie-breaks are not
                         F.col("n_overlap") / F.col("n_shingles")))
+
+
+def temperature_quota_sample(df: DataFrame, group_col: str,
+                             weight_col: str, *, alpha: float = 0.5,
+                             scale: float = 8.0, min_quota: int = 4,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled mixture sampling: each group's quota grows
+    sublinearly with its mass (``floor(mass^alpha / scale)``, floored at
+    ``min_quota``), flattening the source distribution the way
+    LLM-pretraining mixtures down-weight dominant domains; rows inside a
+    group are picked in deterministic md5 order (seedless, reproducible
+    anywhere).
+
+    The quota is a pure function of the group's own EXACT integer mass —
+    deliberately not normalized by the cross-group total, whose
+    floating-point summation order differs between engines (a production
+    variant normalizing to a token budget would use fixed-point decimal
+    sums). Two-phase execution like ``quota_sample``: mass aggregate →
+    broadcast quotas → per-group rank.
+    """
+    mass = (df.groupBy(group_col)
+            .agg(F.sum(weight_col).alias("__mass")))
+    quota = mass.select(
+        group_col,
+        F.greatest(F.lit(min_quota),
+                   F.floor(F.pow(F.col("__mass").cast("double"),
+                                 F.lit(alpha)) / F.lit(scale))
+                   .cast("int")).alias("quota"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (df.join(F.broadcast(quota), group_col)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= F.col("quota"))
+            .drop("__rk"))

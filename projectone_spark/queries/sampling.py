@@ -125,3 +125,37 @@ def p04_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return contamination_report(corpus, bench)
+
+
+_P05_SQL = """
+WITH mass AS (
+  SELECT source, sum(n_chars) AS m FROM documents GROUP BY source),
+quota AS (
+  SELECT source,
+         greatest(4, CAST(floor(pow(CAST(m AS DOUBLE), 0.5) / 8.0) AS INT))
+           AS quota
+  FROM mass),
+ranked AS (
+  SELECT d.doc_id, d.source, q.quota,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS rk
+  FROM documents d JOIN quota q USING (source))
+SELECT doc_id, source, quota FROM ranked WHERE rk <= quota
+"""
+
+
+@register("p05_temperature_mixture", _P05_SQL,
+          doc="temperature-scaled mixture sampling: per-source quota grows "
+              "sublinearly with the source's character mass (mass^0.5, "
+              "per-group-exact so no cross-engine float-total drift), rows "
+              "picked in deterministic md5 order — the domain-flattening "
+              "step of an LLM pretraining mixture",
+          tags=("sampling", "mixture", "llm"))
+def p05_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.sampling import temperature_quota_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source",
+                                                   "n_chars")
+    return (temperature_quota_sample(docs, "source", "n_chars")
+            .select("doc_id", "source", F.col("quota").cast("int")))
