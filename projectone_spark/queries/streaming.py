@@ -294,3 +294,56 @@ def st08_stream_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
                 .cast("double").alias("revenue")))
     return run_to_memory(agg, output_mode="complete")
+
+
+_ST09_SQL = """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+@register("st09_stream_exactly_once_sink", _ST09_SQL,
+          doc="exactly-once streaming sink: micro-batches append to the "
+              "store through the txnAppId/txnVersion watermark (committed "
+              "atomically with the data), and a deliberate REPLAY of the "
+              "whole stream over the same app_id is a no-op — the final "
+              "table still equals the batch oracle",
+          tags=("streaming", "store", "txn", "sink"))
+def st09_stream_exactly_once_sink(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    from projectone_spark.session import configure
+    from projectone_spark.store import TableStore
+    from projectone_spark.streaming import (
+        StreamTrigger, exactly_once_appender, shuffle_partitions,
+        stream_wait_close, write_stream,
+    )
+
+    configure(spark)  # UTC casts regardless of the caller's session tz
+    store = TableStore(tempfile.mkdtemp(prefix="po_st09_"))
+    sel = (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+
+    def run_stream() -> None:
+        orders = (read_stream_parquet(spark, f"{sf_dir}/orders.parquet",
+                                      _ORDERS_DDL, max_files_per_trigger=1)
+                  .filter(sel)
+                  .select("o_orderkey", "o_orderdate", "o_totalprice"))
+        with shuffle_partitions(spark, 8):
+            q = write_stream(
+                orders, trigger=StreamTrigger(),
+                foreach_batch=exactly_once_appender(store, "orders", "st09"))
+            stream_wait_close([q], timeout_seconds=300)
+
+    run_stream()
+    v_after_first = store.version("orders")
+    run_stream()  # full replay, fresh checkpoint: every batch id repeats
+    assert store.version("orders") == v_after_first, "replay must be no-op"
+    return (store.read(spark, "orders")
+            .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+                 .cast("double").alias("revenue")))
