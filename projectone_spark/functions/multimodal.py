@@ -38,8 +38,16 @@ IMAGE_META_DDL = "mime string, width int, height int, channels int, n_bytes long
 # -- fake codec (deterministic; real binary packing/parsing) ----------------
 
 def encode_fake_image(width: int, height: int, channels: int = 3,
-                      fill: int = 0) -> bytes:
-    raster = np.full(width * height * channels, fill % 256, dtype=np.uint8)
+                      fill: int = 0, texture: int = 0) -> bytes:
+    """``texture=0`` keeps the legacy constant raster; nonzero adds a
+    deterministic spatial pattern so content-sensitive operators
+    (perceptual hashing) have structure to see."""
+    n = width * height * channels
+    if texture:
+        idx = np.arange(n, dtype=np.int64)
+        raster = ((fill + texture * ((idx * idx) % 97)) % 256).astype(np.uint8)
+    else:
+        raster = np.full(n, fill % 256, dtype=np.uint8)
     return (IMAGE_MAGIC + struct.pack("<IIB", width, height, channels)
             + raster.tobytes())
 
@@ -75,24 +83,27 @@ def decode_with_real_library(buf: bytes):  # pragma: no cover - swap point
 # -- Spark operators (mapInPandas; Arrow-batched) ---------------------------
 
 def synthesize_images(df: DataFrame, *, width_expr: str, height_expr: str,
-                      fill_expr: str, out_col: str = "media") -> DataFrame:
+                      fill_expr: str, texture_expr: str = "0",
+                      out_col: str = "media") -> DataFrame:
     """Attach a deterministic fake image payload per row. Runs as
     mapInPandas so the binary never exists driver-side."""
     in_cols = df.columns
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + f", {out_col} binary"
-    wd, ht, fl = width_expr, height_expr, fill_expr
+    wd, ht, fl, tx = width_expr, height_expr, fill_expr, texture_expr
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf[out_col] = [
-                encode_fake_image(int(w), int(h), 3, int(f))
-                for w, h, f in zip(pdf["__w"], pdf["__h"], pdf["__f"])
+                encode_fake_image(int(w), int(h), 3, int(f), int(t))
+                for w, h, f, t in zip(pdf["__w"], pdf["__h"],
+                                      pdf["__f"], pdf["__t"])
             ]
-            yield pdf.drop(columns=["__w", "__h", "__f"])
+            yield pdf.drop(columns=["__w", "__h", "__f", "__t"])
 
     staged = (df.withColumn("__w", F.expr(wd))
               .withColumn("__h", F.expr(ht))
-              .withColumn("__f", F.expr(fl)))
+              .withColumn("__f", F.expr(fl))
+              .withColumn("__t", F.expr(tx)))
     return staged.mapInPandas(gen, schema).select(*in_cols, out_col)
 
 
@@ -212,3 +223,37 @@ def audio_features(df: DataFrame, media_col: str = "media",
             yield out
 
     return df.mapInPandas(feats, schema)
+
+
+def image_dhash(df: DataFrame, media_col: str = "media",
+                keep: list[str] | None = None, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash per image: grayscale, nearest-neighbor
+    downsample to (grid+1)×grid, adjacent-column brightness comparisons →
+    a grid²-bit hex string. Near-identical images land on the same (or
+    Hamming-close) hash, so exact dedup on the hash column IS perceptual
+    near-dup grouping — the image-side analogue of d01's content-md5.
+    Vectorized numpy per Arrow batch; with a real decoder swapped in
+    (``decode_with_real_library``) the operator is unchanged."""
+    keep = keep or [c for c in df.columns if c != media_col]
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes if c in keep) \
+        + ", dhash string"
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            hashes = []
+            for b in pdf[media_col]:
+                w, h, c, raster = _parse_image(b)
+                gray = raster.astype(np.float64).mean(axis=2)
+                ys = np.linspace(0, h - 1, grid).astype(int)
+                xs = np.linspace(0, w - 1, grid + 1).astype(int)
+                small = gray[np.ix_(ys, xs)]
+                bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8).ravel()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                hashes.append(format(val, f"0{grid * grid // 4}x"))
+            out["dhash"] = hashes
+            yield out
+
+    return df.mapInPandas(hsh, schema)

@@ -75,16 +75,25 @@ def compact(store: TableStore, spark: SparkSession, name: str,
                            _expected_base=m["version"])
 
 
-def vacuum(store: TableStore, name: str, keep_versions: int = 2) -> list[str]:
+def vacuum(store: TableStore, name: str, keep_versions: int = 2,
+           retention_seconds: float | None = None) -> list[str]:
     """Delete data directories referenced ONLY by manifests older than the
-    newest ``keep_versions`` (Delta VACUUM with version- rather than
-    time-based retention — deterministic for tests; a deployment would key
-    on ``committed_at`` the same way). Time travel to vacuumed versions
-    stops working, exactly like Delta. Returns the removed directories."""
+    newest ``keep_versions`` AND (when ``retention_seconds`` is given)
+    committed earlier than the retention horizon — Delta VACUUM's
+    time-based retention, with a version floor so the current snapshot is
+    never collectable. Time travel to vacuumed versions stops working,
+    exactly like Delta. Returns the removed directories."""
+    import time as _time
+
     history = store.history(name)
     if not history:
         raise FileNotFoundError(f"table '{name}' does not exist")
-    keep = {d for m in history[:keep_versions] for d in m["dirs"]}
+    cutoff = (_time.time() - retention_seconds
+              if retention_seconds is not None else None)
+    keep = {d for i, m in enumerate(history)
+            if i < keep_versions
+            or (cutoff is not None and m["committed_at"] >= cutoff)
+            for d in m["dirs"]}
     dropped: list[str] = []
     tdir = store._table_dir(name)
     for entry in sorted(os.listdir(tdir)):

@@ -209,3 +209,29 @@ def test_compact_refuses_bucketed_table(spark, store):
     # make it look fragmented enough to trigger the rewrite path
     with pytest.raises(ValueError, match="bucketed"):
         compact(store, spark, "orders", target_file_bytes=10**9)
+
+
+def test_vacuum_time_retention(spark, store):
+    """retention_seconds keeps recently-committed versions alive even past
+    the version floor; aging them out makes them collectable."""
+    import json
+    import os as _os
+
+    df = _orders(spark).limit(30)
+    store.overwrite(spark, df.limit(10), "orders")       # v0
+    store.overwrite(spark, df.limit(20), "orders")       # v1
+    store.overwrite(spark, df.limit(30), "orders")       # v2
+    # everything committed "now": a 1-hour retention keeps all versions
+    assert vacuum(store, "orders", keep_versions=1,
+                  retention_seconds=3600) == []
+    assert store.read_version(spark, "orders", 0).count() == 10
+    # age v0/v1 manifests past the horizon → their dirs become collectable
+    for v in (0, 1):
+        p = _os.path.join(store._table_dir("orders"), f"_manifest_v{v}.json")
+        m = json.load(open(p))
+        m["committed_at"] -= 7200
+        json.dump(m, open(p, "w"))
+    dropped = vacuum(store, "orders", keep_versions=1,
+                     retention_seconds=3600)
+    assert len(dropped) == 2
+    assert store.read(spark, "orders").count() == 30

@@ -82,3 +82,34 @@ def test_audio_rms_nonconstant(spark):
     assert r["sample_rate"] == 8000
     assert abs(r["rms"] - np.sqrt(12.5)) < 1e-12
     assert abs(r["duration_ms"] - 0.25) < 1e-12
+
+
+def test_image_dhash_invariances(spark):
+    """Identical rasters hash identically; different textures diverge;
+    the hash tolerates tiny brightness shifts (difference hash compares
+    neighbors, not absolute values)."""
+    from projectone_spark.functions.multimodal import (
+        encode_fake_image, image_dhash,
+    )
+
+    rows = [
+        (1, encode_fake_image(16, 12, 3, fill=10, texture=3)),
+        (2, encode_fake_image(16, 12, 3, fill=10, texture=3)),   # identical
+        (3, encode_fake_image(16, 12, 3, fill=11, texture=3)),   # brightness+1
+        (4, encode_fake_image(16, 12, 3, fill=10, texture=7)),   # new texture
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] == got[3]  # global brightness shift: same neighbor order
+    assert got[1] != got[4]
+
+
+def test_m05_groups_are_consistent(spark):
+    from projectone_spark.queries import queries
+
+    df = queries()["m05_image_phash_dedup"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert sum(r["n_images"] for r in rows) == 500  # every doc grouped once
+    assert all(r["n_images"] >= 1 for r in rows)
+    assert len(rows) < 500  # the synthetic params do collide
