@@ -112,3 +112,62 @@ def agg_view(store: TableStore, spark: SparkSession, target: str,
         df = df.withColumn(f"avg_{c}",
                            (F.col(f"sum_{c}") / F.col(_CNT)).cast("double"))
     return df.withColumnRenamed(_CNT, "n_rows")
+
+
+def refresh_distinct(store: TableStore, spark: SparkSession, source: str,
+                     target: str, keys: Sequence[str],
+                     distinct_col: str,
+                     state: StateStore | None = None,
+                     lg_k: int = 12) -> int | None:
+    """Maintained approximate DISTINCT count per group via mergeable HLL
+    sketches (Spark's DataSketches ``hll_sketch_agg``/``hll_union_agg``).
+
+    Exact distinct cannot be folded from a change feed without keeping the
+    full key set; a sketch CAN — each refresh sketches ONLY the new rows
+    and unions binary sketches per group, so the refresh cost is O(delta)
+    and the state per group is a fixed-size sketch, never the key set.
+    This is the standard shape for "distinct users per day over 100 TB,
+    updated per commit".
+
+    Sketches cannot subtract: a change feed containing deletes raises (the
+    same append-only contract streaming HLL systems have — rebuild or use
+    the exact path when rows retire).
+    """
+    state = state or StateStore(store.root + "_state")
+    src_version = store.version(source)
+    if src_version < 0:
+        raise FileNotFoundError(f"source table '{source}' does not exist")
+    key = f"{target}_sketch_version"
+    last = state.get_value(key)
+    if last is not None and last >= src_version:
+        return None
+    if last is None:
+        changes = store.read(spark, source)
+    else:
+        feed = read_changes(store, spark, source, last + 1, src_version)
+        if feed.filter(F.col("_change_type") == "delete").limit(1).count():
+            raise ValueError(
+                f"change feed for '{source}' contains deletes; HLL sketches "
+                f"are append-only — rebuild the sketch table instead")
+        changes = feed
+    delta = (changes.groupBy(*keys)
+             .agg(F.hll_sketch_agg(distinct_col, F.lit(lg_k))
+                  .alias("__sketch")))
+    if last is not None:
+        current = store.read(spark, target)
+        delta = (current.unionByName(delta)
+                 .groupBy(*keys)
+                 .agg(F.hll_union_agg("__sketch", F.lit(False))
+                      .alias("__sketch")))
+    v = store.overwrite(spark, delta, target)
+    state.set(key, src_version)
+    return v
+
+
+def distinct_view(store: TableStore, spark: SparkSession, target: str,
+                  keys: Sequence[str]) -> DataFrame:
+    """Per-group approximate distinct counts from the maintained sketch
+    table — one estimate expression, no re-scan of the source."""
+    return (store.read(spark, target)
+            .select(*keys, F.hll_sketch_estimate("__sketch")
+                    .alias("approx_distinct")))

@@ -634,3 +634,38 @@ def q33_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in counts[1:]:
         out = out.unionByName(f)
     return out
+
+
+@register("a02_incremental_distinct_sketch", None, bench=True,
+          doc="maintained approximate distinct customers per order status "
+              "via mergeable HLL sketches: batch 1 sketches half the "
+              "table, batch 2 sketches ONLY the appended commit and unions "
+              "binary sketches per group — O(delta) refresh with "
+              "fixed-size state, the only way distinct folds from a "
+              "change feed (no SQL oracle: sketch estimates; 5% accuracy "
+              "asserted in tests/test_incremental.py)",
+          tags=("sketch", "incremental", "store", "llm"))
+def a02_incremental_distinct_sketch(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from projectone_spark.functions.incremental import (
+        distinct_view, refresh_distinct,
+    )
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.state import StateStore
+
+    root = tempfile.mkdtemp(prefix="pos-hll-")
+    st = TableStore(root)
+    state = StateStore(root + "_state")
+    orders = load(spark, sf_dir, "orders")
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    st.overwrite(spark, half, "orders")
+    refresh_distinct(st, spark, "orders", "sk", ["o_orderstatus"],
+                     "o_custkey", state)
+    st.append(spark, orders.exceptAll(half), "orders")
+    refresh_distinct(st, spark, "orders", "sk", ["o_orderstatus"],
+                     "o_custkey", state)
+    return (distinct_view(st, spark, "sk", ["o_orderstatus"])
+            .select("o_orderstatus",
+                    F.col("approx_distinct").cast("bigint")))

@@ -127,3 +127,44 @@ def test_avg_view(spark, store, state):
            df.groupBy("o_orderstatus").agg(F.avg("o_totalprice").alias("a")).collect()}
     for k, v in exp.items():
         assert abs(got[k] - v) < 1e-6
+
+
+def test_refresh_distinct_sketches(spark, tmp_path):
+    """Sketch maintenance folds only new commits and tracks exact distinct
+    within HLL error; deletes in the feed are refused."""
+    import pyspark.sql.functions as F
+    from projectone_spark.functions.incremental import (
+        distinct_view, refresh_distinct,
+    )
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.dml import delete_where
+    from projectone_spark.store.state import StateStore
+
+    store = TableStore(str(tmp_path / "store"))
+    state = StateStore(str(tmp_path / "state"))
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.exceptAll(a)
+    store.overwrite(spark, a, "orders")
+    refresh_distinct(store, spark, "orders", "cust_sketch",
+                     ["o_orderstatus"], "o_custkey", state)
+    store.append(spark, b, "orders")
+    assert refresh_distinct(store, spark, "orders", "cust_sketch",
+                            ["o_orderstatus"], "o_custkey", state) is not None
+    # already current → no-op
+    assert refresh_distinct(store, spark, "orders", "cust_sketch",
+                            ["o_orderstatus"], "o_custkey", state) is None
+    got = {r["o_orderstatus"]: r["approx_distinct"]
+           for r in distinct_view(store, spark, "cust_sketch",
+                                  ["o_orderstatus"]).collect()}
+    exact = {r["o_orderstatus"]: r["n"]
+             for r in orders.groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n < 0.05, f"{k}: {got[k]} vs exact {n}"
+    # a delete commit poisons the feed for sketches
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    delete_where(store, spark, "orders", [("o_orderkey", "==", int(lo))])
+    with pytest.raises(ValueError, match="append-only"):
+        refresh_distinct(store, spark, "orders", "cust_sketch",
+                         ["o_orderstatus"], "o_custkey", state)
