@@ -46,13 +46,18 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # The driver captures a bounded slice of stdout; round 1's JSON line
+    # (default ", " separators, 3-decimal timings, ~3 KB) got cut mid-line
+    # and never parsed. Keep stdout to EXACTLY one compact line (~2.2 KB):
+    # no-space separators, 2-decimal per-query values (full precision stays
+    # on stderr above), explicit flush.
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf else None,
-    }))
+    }, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

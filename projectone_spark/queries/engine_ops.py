@@ -62,15 +62,18 @@ WITH base AS (
   SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate FROM orders),
 changed AS (SELECT o_orderkey FROM base WHERE o_orderdate >= TIMESTAMP '{_CUT}')
 SELECT o_orderkey, price, 'N' AS active,
-       TIMESTAMP '{_T0}' AS valid_from, TIMESTAMP '{_T1}' AS valid_to
+       CAST(CAST(TIMESTAMP '{_T0}' AS DATE) AS VARCHAR) AS valid_from,
+       CAST(CAST(TIMESTAMP '{_T1}' AS DATE) AS VARCHAR) AS valid_to
 FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
 UNION ALL
 SELECT o_orderkey, price + 1000.0 AS price, 'Y' AS active,
-       TIMESTAMP '{_T1}' AS valid_from, TIMESTAMP '{_SENTINEL}' AS valid_to
+       CAST(CAST(TIMESTAMP '{_T1}' AS DATE) AS VARCHAR) AS valid_from,
+       CAST(CAST(TIMESTAMP '{_SENTINEL}' AS DATE) AS VARCHAR) AS valid_to
 FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
 UNION ALL
 SELECT o_orderkey, price, 'Y' AS active,
-       TIMESTAMP '{_T0}' AS valid_from, TIMESTAMP '{_SENTINEL}' AS valid_to
+       CAST(CAST(TIMESTAMP '{_T0}' AS DATE) AS VARCHAR) AS valid_from,
+       CAST(CAST(TIMESTAMP '{_SENTINEL}' AS DATE) AS VARCHAR) AS valid_to
 FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
 """
 
@@ -86,10 +89,14 @@ def s02_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey",
                       (F.round(F.col("o_totalprice"), 2) + 1000.0).alias("price")))
     t1 = scd2_apply(batch2, t0, ["o_orderkey"], valid_from=_ts(_T1))
+    # The engine keeps the reference's 9999-12-31 timestamp sentinel
+    # internally, but that overflows pyarrow's ns-precision timestamps in
+    # toPandas(); the *query output* surfaces validity as 'yyyy-MM-dd'
+    # strings, which are pandas-safe at any year.
     return t1.select("o_orderkey", "price",
                      F.col("__metadata_active__").alias("active"),
-                     F.col("__metadata_valid_from_ts__").alias("valid_from"),
-                     F.col("__metadata_valid_to_ts__").alias("valid_to"))
+                     F.col("__metadata_valid_from_ts__").cast("date").cast("string").alias("valid_from"),
+                     F.col("__metadata_valid_to_ts__").cast("date").cast("string").alias("valid_to"))
 
 
 _S03_SQL = f"""

@@ -1,0 +1,43 @@
+"""Mirror of the driver's *canonicalization* path.
+
+The driver converts every Spark query result with ``toPandas()`` and every
+DuckDB oracle result with ``.df()`` before hashing. Round 1's harness abort
+lived exactly in the gap between that path and our ``collect()``-based parity
+test: s02's ``9999-12-31`` SCD2 sentinel passed ``collect()`` but overflowed
+pyarrow's ns-precision timestamps inside ``toPandas()``, crashing the harness
+and costing 33 queries their correctness rows. This test runs BOTH pandas
+conversions for every registered query at sf0.001 (Arrow on, fallback off, so
+any conversion problem is a hard failure like the driver's) so that class of
+bug fails here first.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projectone_spark.queries import REGISTRY, queries
+from tests.conftest import SF_DIR
+
+queries()  # force registry load
+
+
+@pytest.fixture(scope="module")
+def strict_arrow(spark):
+    """Arrow conversion with fallback disabled — toPandas() must not silently
+    degrade to the slow row-based path (which masks pyarrow dtype bugs)."""
+    key = "spark.sql.execution.arrow.pyspark.fallback.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    yield spark
+    spark.conf.set(key, prev)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_topandas_safety(name, strict_arrow, duck):
+    spec = REGISTRY[name]
+    pdf = spec.fn(strict_arrow, SF_DIR).toPandas()
+    assert pdf.shape[0] >= 0
+    if spec.oracle is not None:
+        ddf = duck.execute(spec.oracle).df()
+        assert sorted(ddf.columns) == sorted(pdf.columns), (
+            f"column mismatch: spark={sorted(pdf.columns)} duckdb={sorted(ddf.columns)}")
