@@ -41,6 +41,12 @@ class ConstraintViolation(Exception):
     """A referential table constraint failed pre-write."""
 
 
+#: Hard cap on how many distinct partition values a pruned merge/overwrite may
+#: collect to the driver. Real partition columns (day, region, tenant) sit far
+#: below this; blowing past it means someone pointed pruning at a data column.
+MAX_PARTITION_VALUES = 10_000
+
+
 def _now(now: Column | None) -> Column:
     return now if now is not None else F.current_timestamp()
 
@@ -130,9 +136,20 @@ def _partition_prune(spark: SparkSession, store: TableStore, df: DataFrame,
     if not part:
         return store.read(spark, table), None
     # distinct partition values of the source: small by construction
-    # (same cardinality class as a partition listing)
-    values = {p: [r[p] for r in df.select(p).distinct().collect()]
-              for p in part}
+    # (same cardinality class as a partition listing). The collect is capped:
+    # a mistyped/high-cardinality partition column must fail fast, not OOM the
+    # driver at scale.
+    values = {}
+    for p in part:
+        vals = [r[p] for r in
+                df.select(p).distinct().limit(MAX_PARTITION_VALUES + 1).collect()]
+        if len(vals) > MAX_PARTITION_VALUES:
+            raise ValueError(
+                f"partition pruning on {table!r}: source has more than "
+                f"{MAX_PARTITION_VALUES} distinct values for partition column "
+                f"{p!r} — this is not a partition column; write without "
+                f"partition_prune or fix partition_by")
+        values[p] = vals
     tgt = store.read(spark, table)
     for p, vals in values.items():
         tgt = tgt.filter(F.col(p).isin(vals))
