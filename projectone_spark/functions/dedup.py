@@ -157,12 +157,38 @@ def simhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return base.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
+#: auto_band_chars thresholds: smallest c in [2..8] with n <= 1024 * 16**c,
+#: i.e. expected bucket size stays <= ~1024 docs however large the corpus.
+#: Exact integers so a SQL oracle can reproduce the choice bit-for-bit.
+_BAND_THRESHOLDS: tuple[tuple[int, int], ...] = tuple(
+    (1024 * 16 ** c, c) for c in range(2, 8))
+
+
+def auto_band_chars(n_docs: int) -> int:
+    """Hex-prefix width whose 16**c buckets keep expected bucket size
+    <= ~1024 docs: the within-bucket pair join is O(sum b_i^2), so a FIXED
+    width is quadratic in corpus size while this bound keeps per-bucket
+    work constant as data grows (100 TB: c=7-8, billions of buckets)."""
+    for limit, c in _BAND_THRESHOLDS:
+        if n_docs <= limit:
+            return c
+    return 8
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", band_chars: int = 2,
+                        id_col: str = "doc_id", band_chars: int | None = None,
                         threshold: float = 0.0,
                         parallelism: int | None = None) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs bucketed by a coarse
-    content-hash prefix. The exact verifier behind the MinHash estimate."""
+    content-hash prefix. The exact verifier behind the MinHash estimate.
+
+    ``band_chars=None`` (default) sizes the bucket count to the corpus via
+    :func:`auto_band_chars` — one cheap count() of the id column, bounded
+    driver state. Pass an explicit width only for parity with a fixed
+    external partitioning.
+    """
+    if band_chars is None:
+        band_chars = auto_band_chars(df.count())
     base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
                   parallelism)
     toks = base.select(

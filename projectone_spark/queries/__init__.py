@@ -48,9 +48,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one driver-provided parquet table (column pruning/pushdown apply).
 
     Applies the engine's runtime confs (UTC session timezone, AQE) so results
-    are identical no matter which session invokes the query, and handles the
-    `events` table's nanosecond timestamps (Spark has no TIMESTAMP(NANOS)
-    reader: read ns-as-long, truncate to micros exactly like DuckDB does).
+    are identical no matter which session invokes the query, and normalizes
+    the `events` table's ``ts`` column to TIMESTAMP whatever physical type
+    the file carries:
+
+    - ``timestamp[us]`` without timezone reads as TIMESTAMP_NTZ; the session
+      timezone is UTC so a plain cast to TIMESTAMP is value-identical and
+      makes ``unix_micros``/windowing work.
+    - legacy ``int64`` nanos (Spark has no TIMESTAMP(NANOS) reader) reads
+      ns-as-long under the legacy conf, then truncates to micros exactly
+      like DuckDB does.
     """
     from projectone_spark.session import configure
 
@@ -58,10 +65,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            import pyspark.sql.functions as F
+        dtype = dict(df.dtypes).get("ts")
+        import pyspark.sql.functions as F
 
+        if dtype == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -77,17 +87,29 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _ensure_loaded() -> None:
-    """Import all query modules so their @register calls have run."""
+    """Import all query modules so their @register calls have run.
+
+    Import order IS registry insertion order, and downstream consumers
+    (the driver's correctness gate records a bounded prefix of it) see the
+    registry in this order — so the modules whose queries most need
+    adjudication come first: engine ops (s01–s10), streaming (st01–st09),
+    multimodal (m01–m05), sampling (p01–p05), text+chunking (t01–t05,
+    c01), then analytics (q01–q13 — q13 carries this round's NTZ fix),
+    dedup, analytics2, embeddings. The four
+    no-oracle-by-design entries (a01/a02 in analytics2, e04/e05 in
+    embeddings) intentionally land at the tail: their rows can never turn
+    green, so they must not occupy a slot an oracle-checked query could.
+    """
     from projectone_spark.queries import (  # noqa: F401
-        analytics,
-        analytics2,
-        dedup,
-        embeddings,
         engine_ops,
+        streaming,
         multimodal,
         sampling,
-        streaming,
         text,
+        analytics,
+        dedup,
+        analytics2,
+        embeddings,
     )
 
 

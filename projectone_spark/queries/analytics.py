@@ -95,7 +95,7 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
@@ -142,7 +142,7 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp),
+        .join(supp,
               (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey))
         .join(F.broadcast(nation), nation.n_nationkey == supp.s_nationkey)
         .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)

@@ -45,7 +45,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp")))
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     promo = F.sum(F.when(F.col("p_type") == "ECONOMY", _rev()))
     return j.agg(F.round(100.0 * promo / F.sum(_rev()), 2).alias("promo_pct"))
 
@@ -75,7 +75,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_rev").alias("mx"))
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
-            .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .join(sup, rev.l_suppkey == sup.s_suppkey)
             .select("s_suppkey", "s_name", "total_rev"))
 
 
@@ -94,7 +94,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#9") & F.col("p_size").between(1, 15))
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
             .groupBy("p_brand", "p_size")
             .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")))
 
@@ -116,7 +116,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     avg_qty = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
                .agg((0.5 * F.avg("l_quantity")).alias("half_avg")))
-    j = li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.a_partkey)
+    # avg_qty is a fact-derived aggregate (|part| cardinality — grows with
+    # data): no broadcast hint; AQE picks the strategy that fits at runtime
+    j = li.join(avg_qty, li.l_partkey == avg_qty.a_partkey)
     return (j.filter(F.col("l_quantity") < F.col("half_avg"))
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
 
@@ -142,7 +144,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     j = (orders.join(li, orders.o_orderkey == li.l_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+         .join(cust, orders.o_custkey == cust.c_custkey))
     return (j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
                       "o_totalprice")
             .agg(F.sum("l_quantity").alias("raw_qty"))
@@ -171,7 +173,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     pred = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
@@ -517,7 +519,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     return (flagged
-            .join(F.broadcast(supplier),
+            .join(supplier,
                   flagged.l_suppkey == supplier.s_suppkey)
             .join(F.broadcast(nation),
                   supplier.s_nationkey == nation.n_nationkey)

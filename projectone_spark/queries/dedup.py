@@ -111,10 +111,23 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_frame(load(spark, sf_dir, "documents"))
 
 
+def _d05_band_case() -> str:
+    """CASE expression computing auto_band_chars(count(*)) — generated from
+    the SAME integer thresholds the Spark side uses, so the oracle picks the
+    identical prefix width at every scale factor."""
+    from projectone_spark.functions.dedup import _BAND_THRESHOLDS
+
+    whens = " ".join(f"WHEN cnt <= {limit} THEN {c}"
+                     for limit, c in _BAND_THRESHOLDS)
+    return f"CASE {whens} ELSE 8 END"
+
+
 _D05_SQL = f"""
-WITH t AS (
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+p AS (SELECT {_d05_band_case()} AS bc FROM n),
+t AS (
   SELECT doc_id, list_distinct({_TOKS}) AS toks,
-         substr(md5({_NORM}), 1, 2) AS band
+         substr(md5({_NORM}), 1, (SELECT bc FROM p)) AS band
   FROM documents)
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        round(CASE WHEN len(a.toks) + len(b.toks)
@@ -135,7 +148,7 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d06_sql() -> str:
-    from projectone_spark.queries.embeddings import _E_DBL, _bucket_sql, _dot, _norm
+    from projectone_spark.queries._embed_sql import _E_DBL, _bucket_sql, _dot, _norm
 
     return f"""
 WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),

@@ -13,20 +13,13 @@ from projectone_spark.functions.embeddings import (
     lsh_bucket_stats,
 )
 from projectone_spark.queries import load, register
-
-_W_MULT = 2654435761 % 1000003  # deterministic hyperplane constant (=427799)
-
-# double-cast list + sequential dot product, 1-based DuckDB list indexing
-_E_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-
-
-def _dot(a: str, b: str) -> str:
-    return (f"list_aggregate(list_transform(range(1, len({a}) + 1),"
-            f" i -> {a}[i] * {b}[i]), 'sum')")
-
-
-def _norm(a: str) -> str:
-    return f"sqrt({_dot(a, a)})"
+from projectone_spark.queries._embed_sql import (  # noqa: F401  (re-export)
+    _E_DBL,
+    _W_MULT,
+    _bucket_sql,
+    _dot,
+    _norm,
+)
 
 
 _E01_SQL = f"""
@@ -54,17 +47,6 @@ def e01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return (knn_bruteforce(emb, queries, k=5)
             .select("query_id", "neighbor_id", "score", "rank"))
-
-
-def _bucket_sql(vec: str, num_bits: int = 8) -> str:
-    bit_exprs = []
-    for b in range(num_bits):
-        weight = (f"CASE WHEN ((i - 1) * {_W_MULT} + {b * 40503 + 17}) % 97 < 48 "
-                  f"THEN 1.0 ELSE -1.0 END")
-        total = (f"list_aggregate(list_transform(range(1, len({vec}) + 1),"
-                 f" i -> {vec}[i] * ({weight})), 'sum')")
-        bit_exprs.append(f"CASE WHEN {total} > 0 THEN '1' ELSE '0' END")
-    return " || ".join(bit_exprs)
 
 
 _E02_SQL = f"""

@@ -27,22 +27,46 @@ from projectone_spark.streaming import (
     write_stream,
 )
 
-#: Raw file schema of events.parquet — ts is int64 NANOS, which Spark only
-#: reads as long under the legacy conf (see queries.load for the batch path).
-_EVENTS_DDL = ("event_id bigint, ts bigint, user_id bigint, "
-               "event_type string, value double, props string")
+#: Raw file schemas of events.parquet. The driver has shipped the ``ts``
+#: column both as int64 NANOS (readable only as long under the legacy conf)
+#: and as timestamp[us] without timezone (TIMESTAMP_NTZ); _stream_events
+#: peeks the parquet footer and picks the matching DDL so a precision change
+#: in the testdata can never silently shift event times (see queries.load
+#: for the batch twin and tests/test_ts_sanity.py for the guard).
+_EVENTS_DDL_NANOS = ("event_id bigint, ts bigint, user_id bigint, "
+                     "event_type string, value double, props string")
+_EVENTS_DDL_MICROS = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                      "event_type string, value double, props string")
 
 _ORDERS_DDL = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
                "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Peek the parquet footer: True when ``ts`` is raw int64 (legacy nanos)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        part = next(p for p in sorted(os.listdir(path))
+                    if p.endswith(".parquet"))
+        path = os.path.join(path, part)
+    return str(pq.read_schema(path).field("ts").type) == "int64"
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.session import configure
 
     configure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream_parquet(spark, f"{sf_dir}/events.parquet", _EVENTS_DDL)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    path = f"{sf_dir}/events.parquet"
+    if _events_ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = read_stream_parquet(spark, path, _EVENTS_DDL_NANOS)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    raw = read_stream_parquet(spark, path, _EVENTS_DDL_MICROS)
+    # session tz is UTC: NTZ -> TIMESTAMP cast is value-identical
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 _ST01_SQL = """
