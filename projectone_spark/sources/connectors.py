@@ -88,12 +88,111 @@ def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str,
             "kafka connector needs spark-sql-kafka on the classpath") from e
 
 
+def _xlsx_col_index(ref: str) -> int:
+    """'A1' -> 0, 'AB7' -> 27: spreadsheet column letters to 0-based index."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _localname(tag: str) -> str:
+    # Element.iter() does not accept the `{*}` namespace wildcard; strip it
+    return tag.split("}")[-1]
+
+
+def read_xlsx_stdlib(path: str, *, sheet_name: str | int = 0,
+                     header: int = 0) -> tuple[list[str], list[list]]:
+    """Minimal dependency-free xlsx reader (zipfile + xml.etree — xlsx IS
+    zipped SpreadsheetML). Covers the subset the reference's ExcelSource
+    consumes (``file_source.py:1014-1136``): shared/inline strings, numbers,
+    booleans, cached formula values, a header row, sparse cells. Returns
+    ``(columns, rows)`` with None for gaps — small driver-side config/dim
+    files only, exactly like the reference's pandas hop.
+    """
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        # workbook: sheet name -> relationship id -> worksheet part
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rid_attr = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+                    "relationships}id")
+        sheets = [(el.get("name"), el.get(rid_attr))
+                  for el in wb.iter() if _localname(el.tag) == "sheet"]
+        if not sheets:
+            raise ValueError(f"{path}: workbook has no sheets")
+        if isinstance(sheet_name, int):
+            name, rid = sheets[sheet_name]
+        else:
+            match = [s for s in sheets if s[0] == sheet_name]
+            if not match:
+                raise ValueError(f"{path}: no sheet named {sheet_name!r}")
+            name, rid = match[0]
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            el.get("Target") for el in rels.iter()
+            if _localname(el.tag) == "Relationship" and el.get("Id") == rid)
+        part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.iter():
+                if _localname(si.tag) == "si":
+                    shared.append("".join(
+                        t.text or "" for t in si.iter()
+                        if _localname(t.tag) == "t"))
+
+        ws = ET.fromstring(z.read(part))
+        grid: list[list] = []
+        for row in ws.iter():
+            if _localname(row.tag) != "row":
+                continue
+            cells: list = []
+            for c in row:
+                if _localname(c.tag) != "c":
+                    continue
+                ref, ctype = c.get("r", ""), c.get("t", "n")
+                idx = _xlsx_col_index(ref) if ref else len(cells)
+                v = None
+                for child in c:
+                    ln = _localname(child.tag)
+                    if ln == "v":
+                        v = child.text
+                    elif ln == "is":  # inline string
+                        v = "".join(t.text or "" for t in child.iter()
+                                    if _localname(t.tag) == "t")
+                if v is not None and ctype == "s":
+                    v = shared[int(v)]
+                elif v is not None and ctype == "b":
+                    v = v == "1"
+                elif v is not None and ctype == "n":
+                    v = float(v)
+                while len(cells) < idx:
+                    cells.append(None)
+                cells.append(v)
+            grid.append(cells)
+
+    if len(grid) <= header:
+        return [], []
+    width = max(len(r) for r in grid)
+    grid = [r + [None] * (width - len(r)) for r in grid]
+    cols = [str(c) if c is not None else f"col{i}"
+            for i, c in enumerate(grid[header])]
+    return cols, grid[header + 1:]
+
+
 def read_excel(spark: SparkSession, path: str, *, sheet_name: str | int = 0,
                header: int = 0, schema: str | None = None) -> DataFrame:
     """Excel read (reference ``ExcelSource``, ``file_source.py:1014-1136``):
     prefers the com.crealytics spark-excel format, falls back to
     driver-side pandas (the reference's SFTP/SharePoint path does the
-    same pandas → createDataFrame hop)."""
+    same pandas → createDataFrame hop), and finally to the dependency-free
+    stdlib parser so the source works on clusters with neither the jar nor
+    openpyxl."""
     try:
         reader = (spark.read.format("com.crealytics.spark.excel")
                   .option("dataAddress", f"'{sheet_name}'!A{header + 1}")
@@ -107,11 +206,14 @@ def read_excel(spark: SparkSession, path: str, *, sheet_name: str | int = 0,
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet_name, header=header)
-    except ImportError as e:  # pragma: no cover - engine not present
-        raise ConnectorUnavailable(
-            "excel read needs the spark-excel jar or pandas+openpyxl") from e
-    return (spark.createDataFrame(pdf, schema=schema) if schema
-            else spark.createDataFrame(pdf))
+        return (spark.createDataFrame(pdf, schema=schema) if schema
+                else spark.createDataFrame(pdf))
+    except ImportError:
+        pass  # no openpyxl: use the stdlib parser
+    cols, rows = read_xlsx_stdlib(path, sheet_name=sheet_name, header=header)
+    if schema:
+        return spark.createDataFrame(rows, schema=schema)
+    return spark.createDataFrame([tuple(r) for r in rows], schema=cols)
 
 
 def read_delta(spark: SparkSession, path: str | None = None,

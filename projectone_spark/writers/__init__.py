@@ -117,7 +117,8 @@ def _read_target(spark: SparkSession, store: TableStore, table: str,
 
 
 def _partition_prune(spark: SparkSession, store: TableStore, df: DataFrame,
-                     table: str) -> tuple[DataFrame | None, dict | None]:
+                     table: str, *, max_partition_values: int | None = None
+                     ) -> tuple[DataFrame | None, dict | None]:
     """Merge-condition partition pruning (reference
     ``use_partition_attributes_in_merge``, SURVEY §4 "Merge join pruning"):
     when the target is partitioned on a column the source carries, only the
@@ -128,7 +129,13 @@ def _partition_prune(spark: SparkSession, store: TableStore, df: DataFrame,
 
     Returns ``(pruned_target, partition_values)`` or ``(full_target, None)``
     when pruning doesn't apply.
+
+    ``max_partition_values`` overrides the :data:`MAX_PARTITION_VALUES` cap
+    for legitimately wide writes (e.g. a multi-year hourly backfill) without
+    giving up pruning.
     """
+    cap = MAX_PARTITION_VALUES if max_partition_values is None \
+        else max_partition_values
     m = store.manifest(table)
     if m is None:
         return None, None
@@ -142,13 +149,23 @@ def _partition_prune(spark: SparkSession, store: TableStore, df: DataFrame,
     values = {}
     for p in part:
         vals = [r[p] for r in
-                df.select(p).distinct().limit(MAX_PARTITION_VALUES + 1).collect()]
-        if len(vals) > MAX_PARTITION_VALUES:
+                df.select(p).distinct().limit(cap + 1).collect()]
+        if len(vals) > cap:
             raise ValueError(
                 f"partition pruning on {table!r}: source has more than "
-                f"{MAX_PARTITION_VALUES} distinct values for partition column "
+                f"{cap} distinct values for partition column "
                 f"{p!r} — this is not a partition column; write without "
-                f"partition_prune or fix partition_by")
+                f"partition_prune, fix partition_by, or raise "
+                f"max_partition_values for a wide backfill")
+        if any(v is None for v in vals):
+            # NULL can't round-trip through the prune: isin() would silently
+            # drop null-partition target rows and the store's col=value
+            # directory key has no null spelling — fail loudly instead.
+            raise ValueError(
+                f"partition pruning on {table!r}: source has NULL values in "
+                f"partition column {p!r} — nulls are not valid partition "
+                f"prune values; clean the source or write without "
+                f"partition_prune")
         values[p] = vals
     tgt = store.read(spark, table)
     for p, vals in values.items():
@@ -163,9 +180,12 @@ def write_scd1(spark: SparkSession, store: TableStore, df: DataFrame,
                partition_by: Sequence[str] | None = None,
                rename: Mapping[str, str] | None = None,
                algo: str = "md5",
-               partition_prune: bool = False) -> int:
+               partition_prune: bool = False,
+               max_partition_values: int | None = None) -> int:
     if partition_prune:
-        target, values = _partition_prune(spark, store, df, table)
+        target, values = _partition_prune(
+            spark, store, df, table,
+            max_partition_values=max_partition_values)
         if values is not None:
             if rename and target is not None:
                 inverse = {v: k for k, v in rename.items()}

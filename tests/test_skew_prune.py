@@ -101,3 +101,38 @@ def test_blocked_lsh_pairs_identical_to_plain(spark):
         blocked = lsh_candidate_pairs(docs, blocks=n)
         assert sorted(map(tuple, blocked.collect())) \
             == sorted(map(tuple, plain.collect()))
+
+def test_partition_prune_cap_override(spark, tmp_path):
+    """max_partition_values raises the per-call prune cap so legitimately
+    wide backfills keep pruning instead of erroring out."""
+    import pytest
+
+    store = TableStore(str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        [(i, f"p{i}", i * 10) for i in range(6)], SCHEMA)
+    write_overwrite(spark, store, base, "t", partition_by=["grp"])
+    src = spark.createDataFrame(
+        [(i, f"p{i}", i * 100) for i in range(4)], SCHEMA)
+    with pytest.raises(ValueError, match="more than 2 distinct"):
+        write_scd1(spark, store, src, "t", key_cols=["id"],
+                   partition_prune=True, max_partition_values=2)
+    v = write_scd1(spark, store, src, "t", key_cols=["id"],
+                   partition_prune=True, max_partition_values=4)
+    assert v > 0
+    got = sorted((r["id"], r["v"]) for r in store.read(spark, "t").collect())
+    assert got == [(0, 0), (1, 100), (2, 200), (3, 300), (4, 40), (5, 50)]
+
+
+def test_partition_prune_rejects_null_partition_values(spark, tmp_path):
+    """NULL source partition values must fail loudly: isin() pruning would
+    silently exclude null-partition target rows and the store has no null
+    directory spelling."""
+    import pytest
+
+    store = TableStore(str(tmp_path / "store"))
+    base = spark.createDataFrame([(1, "p1", 10), (2, "p2", 20)], SCHEMA)
+    write_overwrite(spark, store, base, "t", partition_by=["grp"])
+    src = spark.createDataFrame([(2, None, 99)], SCHEMA)
+    with pytest.raises(ValueError, match="NULL values in partition column"):
+        write_scd1(spark, store, src, "t", key_cols=["id"],
+                   partition_prune=True)
