@@ -7,9 +7,10 @@ column (Kafka value, event blob) is parsed with a schema fetched from a
 Confluent-style registry — subject ``{topic}-value`` — or supplied inline.
 
 The JSON-schema converter and ``from_json`` path are fully implemented;
-``from_avro`` needs the spark-avro jar and is gated. The registry fetch
-uses an injectable transport (same pattern as the OData connector) so
-tests run offline.
+``from_avro`` prefers the spark-avro jar and falls back to the
+dependency-free decoder in :mod:`projectone_spark.functions.avro` where
+the jar is absent. The registry fetch uses an injectable transport (same
+pattern as the OData connector) so tests run offline.
 """
 
 from __future__ import annotations
@@ -106,10 +107,20 @@ def apply_registry_schema(df: DataFrame, source_column: str, *,
         parsed = F.from_json(F.col(source_column).cast("string"), spark_schema)
         return df.withColumn(target, parsed)
     if schema_type == "avro":
+        from pyspark.errors import AnalysisException
+
         try:
+            # the python wrapper imports without the jar; analysis is what
+            # fails (AVRO_NOT_LOADED) — withColumn analyzes eagerly, so a
+            # missing spark-avro package is caught right here
             from pyspark.sql.avro.functions import from_avro
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("avro parsing needs the spark-avro jar") from e
-        return df.withColumn(
-            target, from_avro(F.col(source_column), json.dumps(json_schema)))
+
+            return df.withColumn(
+                target, from_avro(F.col(source_column), json.dumps(json_schema)))
+        except (ImportError, AnalysisException):
+            # jar-free twin: same schema, same struct output, Arrow-batched
+            from projectone_spark.functions.avro import from_avro_df
+
+            return from_avro_df(df, source_column, json_schema,
+                                target_column=target)
     raise ValueError(f"unknown schema_type {schema_type!r}")

@@ -1,0 +1,150 @@
+"""Dependency-free Avro decoding.
+
+The test encoder below writes real Avro binary (zigzag varints, LE
+floats, length-prefixed strings, block-coded arrays/maps, union branch
+indexes) so the decoder is exercised against the wire format itself, not
+against its own inverse assumptions from the same module.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime
+
+import pytest
+
+from projectone_spark.functions.avro import (
+    AvroDecodeError,
+    avro_schema_to_spark,
+    decode_avro,
+    from_avro_df,
+)
+
+
+def _zz(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _string(s: str) -> bytes:
+    raw = s.encode()
+    return _zz(len(raw)) + raw
+
+
+_SCHEMA = {
+    "type": "record", "name": "Event",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "flags", "type": {"type": "array", "items": "int"}},
+        {"name": "attrs", "type": {"type": "map", "values": "string"}},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "kind", "type": {"type": "enum", "name": "K",
+                                  "symbols": ["view", "purchase"]}},
+        {"name": "when", "type": {"type": "long",
+                                  "logicalType": "timestamp-micros"}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+    ],
+}
+
+
+def _encode(id_: int, name: str, score: float, flags: list[int],
+            attrs: dict[str, str], note: str | None, kind_idx: int,
+            when_us: int, day_days: int) -> bytes:
+    body = _zz(id_) + _string(name) + struct.pack("<d", score)
+    body += (_zz(len(flags)) + b"".join(_zz(f) for f in flags) + _zz(0)
+             if flags else _zz(0))
+    if attrs:
+        body += _zz(len(attrs))
+        for k, v in attrs.items():
+            body += _string(k) + _string(v)
+    body += _zz(0)
+    body += (_zz(0) if note is None else _zz(1) + _string(note))
+    body += _zz(kind_idx) + _zz(when_us) + _zz(day_days)
+    return body
+
+
+_ROW = dict(id_=7, name="click", score=1.5, flags=[1, -2, 3],
+            attrs={"a": "x", "b": "y"}, note="hi", kind_idx=1,
+            when_us=1_700_000_000_000_000, day_days=19_700)
+
+
+def test_decode_record_roundtrip():
+    got = decode_avro(_encode(**_ROW), _SCHEMA)
+    assert got == {
+        "id": 7, "name": "click", "score": 1.5, "flags": [1, -2, 3],
+        "attrs": {"a": "x", "b": "y"}, "note": "hi", "kind": "purchase",
+        "when": datetime(2023, 11, 14, 22, 13, 20),
+        "day": date(2023, 12, 9),
+    }
+
+
+def test_decode_null_union_and_empty_collections():
+    got = decode_avro(
+        _encode(id_=1, name="", score=0.0, flags=[], attrs={}, note=None,
+                kind_idx=0, when_us=0, day_days=0), _SCHEMA)
+    assert got["note"] is None and got["flags"] == [] and got["attrs"] == {}
+    assert got["when"] == datetime(1970, 1, 1)
+
+
+def test_confluent_wire_header():
+    body = _encode(**_ROW)
+    framed = b"\x00" + (1234).to_bytes(4, "big") + body
+    assert decode_avro(framed, _SCHEMA, confluent_wire=True)["id"] == 7
+    with pytest.raises(AvroDecodeError, match="magic"):
+        decode_avro(b"\x05" + body, _SCHEMA, confluent_wire=True)
+
+
+def test_truncated_payload_fails_loudly():
+    with pytest.raises(AvroDecodeError):
+        decode_avro(_encode(**_ROW)[:5], _SCHEMA)
+
+
+def test_spark_type_mapping():
+    t = avro_schema_to_spark(_SCHEMA)
+    assert t.simpleString() == (
+        "struct<id:bigint,name:string,score:double,flags:array<int>,"
+        "attrs:map<string,string>,note:string,kind:string,"
+        "when:timestamp,day:date>")
+
+
+def test_from_avro_df_distributed(spark):
+    rows = [(i, b"\x00" + i.to_bytes(4, "big")
+             + _encode(id_=i, name=f"e{i}", score=i / 2, flags=[i],
+                       attrs={"k": str(i)}, note=None if i % 2 else "n",
+                       kind_idx=i % 2, when_us=i * 1_000_000, day_days=i))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "seq int, payload binary")
+    out = from_avro_df(df, "payload", _SCHEMA, target_column="event",
+                       confluent_wire=True)
+    assert [f.name for f in out.schema.fields] == ["seq", "payload", "event"]
+    got = {r.seq: r.event for r in out.collect()}
+    assert len(got) == 50
+    assert got[3].asDict() | {} == {
+        "id": 3, "name": "e3", "score": 1.5, "flags": [3],
+        "attrs": {"k": "3"}, "note": None, "kind": "purchase",
+        "when": datetime(1970, 1, 1, 0, 0, 3), "day": date(1970, 1, 4)}
+
+
+def test_registry_avro_path_uses_fallback(spark):
+    """apply_registry_schema(schema_type='avro') must work without the
+    spark-avro jar by routing through the pure-Python decoder."""
+    from projectone_spark.features.schema_registry import (
+        apply_registry_schema,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _encode(**_ROW))], "k int, v binary")
+    out = apply_registry_schema(df, "v", schema_type="avro",
+                                json_schema=_SCHEMA, target_column="parsed")
+    row = out.select("parsed.id", "parsed.kind").first()
+    assert (row[0], row[1]) == (7, "purchase")
