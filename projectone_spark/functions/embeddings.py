@@ -318,9 +318,9 @@ def knn_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     enc = pq_encode_vectorized(books)
     codes = (c.select(id_col, enc(F.col("__vec")).alias("__codes"))
              .localCheckpoint(eager=False))  # encode once, reuse both scans
+    mk_tabs = pq_adc_tables_vectorized(books)
     q_tabs = queries.select(F.col(id_col).alias(query_id_col),
-                            pq_adc_tables(F.col(vec_col), books)
-                            .alias("__tabs"))
+                            mk_tabs(F.col(vec_col)).alias("__tabs"))
     est = F.aggregate(
         F.zip_with(F.col("__codes"), F.col("__tabs"),
                    lambda code, tab: F.element_at(tab, code + 1)),
@@ -380,3 +380,32 @@ def pq_encode_vectorized(codebooks: list[list[list[float]]]):
         return pd.Series(list(codes))
 
     return enc
+
+
+def pq_adc_tables_vectorized(codebooks: list[list[list[float]]]):
+    """Arrow-batched ADC-table builder — the expression form above builds
+    an m×n_codes×sub literal tree (~1000 nodes at m=8, n_codes=16) whose
+    Catalyst analysis alone costs seconds regardless of row count; this
+    computes ``tables[s][j] = q_s · codebook[s][j]`` as one numpy matmul
+    per subspace per batch. Same float64 math, same output shape
+    ``array<array<double>>``."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = B[0].shape[1]
+
+    @pandas_udf("array<array<double>>")
+    def tabs(v):
+        import pandas as pd
+
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+        per_row: list[list] = [[] for _ in range(len(X))]
+        for s, C in enumerate(B):
+            T = X[:, s * sub:(s + 1) * sub] @ C.T  # (rows, n_codes)
+            for i in range(len(X)):
+                per_row[i].append(T[i])
+        return pd.Series(per_row)
+
+    return tabs
