@@ -1,0 +1,96 @@
+"""Physical/logical plan regression tests — pin the PLANS.md claims.
+
+These catch silent plan regressions: a re-introduced broadcast hint on a
+data-scaled relation, a filter that stops reaching the parquet scan, or a
+query falling out of whole-stage codegen. They assert on plan STRUCTURE,
+not timings, so they are stable across machines.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from projectone_spark.queries import queries
+from tests.conftest import SF_DIR
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# data-scaled relations must carry NO broadcast hint — AQE decides at
+# runtime (PLANS.md "Broadcast hints (r3)")
+_NO_HINT_QUERIES = ("q02_top_revenue_orders", "q14_promo_revenue",
+                    "q16_supplier_variety", "q17_small_quantity_revenue",
+                    "q18_large_orders", "q19_disjunctive_predicates")
+
+
+@pytest.mark.parametrize("name", _NO_HINT_QUERIES)
+def test_no_broadcast_hint_on_data_scaled_joins(spark, name):
+    df = queries()[name](spark, SF_DIR)
+    assert "ResolvedHint" not in _analyzed(df), (
+        f"{name}: a broadcast hint reappeared on a data-scaled relation — "
+        "at 100x scale a forced broadcast is an executor-OOM bomb")
+
+
+def test_bounded_dim_hints_only(spark):
+    """q03 keeps hints on nation+region (25/5 rows) and nothing else."""
+    df = queries()["q03_region_revenue"](spark, SF_DIR)
+    assert _analyzed(df).count("ResolvedHint") == 2
+
+
+def test_scalar_agg_hint_kept(spark):
+    """q15's scalar max IS bounded — its broadcast hint must stay."""
+    df = queries()["q15_top_supplier"](spark, SF_DIR)
+    assert _analyzed(df).count("ResolvedHint") == 1
+
+
+def test_q04_filters_reach_the_scan(spark):
+    """TPC-H Q6 shape: the date/discount/quantity predicates must be pushed
+    into the parquet scan, not evaluated post-scan only."""
+    plan = _formatted(queries()["q04_revenue_forecast"](spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters line in the scan node"
+    assert any("l_shipdate" in ln or "l_discount" in ln or "l_quantity" in ln
+               for ln in pushed), f"scan pushed nothing: {pushed}"
+
+
+def test_q04_scan_prunes_columns(spark):
+    """The 4-column aggregate must not read all 16 lineitem columns."""
+    plan = _formatted(queries()["q04_revenue_forecast"](spark, SF_DIR))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    assert "l_orderkey" not in read[0] and "l_comment" not in read[0], (
+        f"scan reads unprojected columns: {read[0]}")
+
+
+def test_q01_partial_aggregation(spark):
+    """The pricing summary must combine map-side (partial_sum before the
+    exchange): one wide shuffle of raw rows instead of pre-aggregated
+    partials is the difference between MBs and TBs on the wire at scale.
+    (Codegen spans only materialize in the executed AQE plan, so the
+    partial-agg shape is the stable thing to pin.)"""
+    plan = _formatted(queries()["q01_pricing_summary"](spark, SF_DIR))
+    assert "partial_sum" in plan, "no map-side combine before the exchange"
+    # agg + final sort only (each node appears once in the tree header and
+    # once as a detail section)
+    assert plan.count("Exchange (") <= 2, plan
+
+
+def test_events_load_normalizes_ts(spark):
+    """Every events-driven plan starts from a TIMESTAMP ts column
+    regardless of the file's physical type (µs NTZ today, int64 nanos in
+    round 1) — the q13/st* root cause from round 2."""
+    from projectone_spark.queries import load
+
+    assert dict(load(spark, SF_DIR, "events").dtypes)["ts"] == "timestamp"
