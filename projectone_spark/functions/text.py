@@ -185,3 +185,85 @@ def bpe_ish_tokens(col: Column | str) -> Column:
 
 def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(bpe_ish_tokens(col))
+
+
+def ngram_join(toks: Column, n: int) -> Column:
+    """``array<string>`` of space-joined n-grams of a token array (empty
+    when the document has fewer than n tokens). Codegen-only: sequence +
+    transform over 1-based element_at — no explode, the n-gram list stays
+    row-local until the caller aggregates."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]))
+    return F.when(F.size(toks) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_dup_frac: float = 0.3,
+                     parallelism: int | None = None) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of duplicate
+    2-grams and 3-grams per document (1 − distinct/total), with a keep
+    flag at ``dup3 ≤ max_dup_frac``. Highly repetitive machine-generated
+    or boilerplate text scores high and gets dropped by pretraining
+    pipelines (Rae et al. 2021, "Scaling Language Models", §A1.2).
+
+    Scale shape: everything is a scan-side expression on a materialized
+    token array — per-document work is O(tokens), nothing shuffles except
+    the final result rows.
+    """
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism)
+    base = base.withColumn("__toks", tokens_of_norm("__norm"))
+
+    def dup_frac(n: int) -> Column:
+        grams = ngram_join(F.col("__toks"), n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        return F.when(total > 0,
+                      F.lit(1.0) - distinct.cast("double") / total.cast("double")
+                      ).otherwise(F.lit(0.0))
+
+    return base.select(
+        F.col(id_col),
+        F.round(dup_frac(2), 4).alias("dup_2gram_frac"),
+        F.round(dup_frac(3), 4).alias("dup_3gram_frac"),
+        (F.round(dup_frac(3), 4) <= max_dup_frac).alias("keep"))
+
+
+#: PII patterns shared by the Spark and oracle sides — RE2-compatible
+#: (no lookaround) so Java, RE2, and DuckDB's regex engine all agree.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              parallelism: int | None = None) -> DataFrame:
+    """Per-document PII redaction: emails, IPv4 addresses, and NNN-NNN-NNNN
+    phone numbers are counted and replaced with ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` tags — the standard pretraining-corpus scrub pass. Counts
+    come from ``regexp_count`` and the rewrite is chained
+    ``regexp_replace`` — all scan-side codegen, no UDF, O(chars) per doc.
+
+    Returns (id, n_email, n_ipv4, n_phone, scrubbed).
+    """
+    base = spread(df.select(F.col(id_col), F.col(text_col).alias("__t")),
+                  parallelism)
+    scrubbed = F.col("__t")
+    for kind in ("email", "ipv4", "phone"):
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[kind],
+                                    f"<{kind.upper().replace('IPV4', 'IP')}>")
+    return base.select(
+        F.col(id_col),
+        F.regexp_count("__t", F.lit(PII_PATTERNS["email"]))
+        .cast("bigint").alias("n_email"),
+        F.regexp_count("__t", F.lit(PII_PATTERNS["ipv4"]))
+        .cast("bigint").alias("n_ipv4"),
+        F.regexp_count("__t", F.lit(PII_PATTERNS["phone"]))
+        .cast("bigint").alias("n_phone"),
+        scrubbed.alias("scrubbed"))

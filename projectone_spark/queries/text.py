@@ -202,3 +202,91 @@ def t05_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws.cast("bigint").alias("n_ws"),
         F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 4)
         .alias("tokens_per_word"))
+
+
+_T06_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS g2,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM toks),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(g2) > 0
+              THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+              ELSE 0.0 END AS f2,
+         CASE WHEN len(g3) > 0
+              THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+              ELSE 0.0 END AS f3
+  FROM g)
+SELECT doc_id,
+       round(f2, 4) AS dup_2gram_frac,
+       round(f3, 4) AS dup_3gram_frac,
+       round(f3, 4) <= 0.3 AS keep
+FROM f
+"""
+
+
+@register("t06_repetition_filter", _T06_SQL,
+          doc="Gopher-style repetition filter: duplicate 2-/3-gram "
+              "fractions per document with a keep flag at dup3 <= 0.3 — "
+              "the standard pretraining-corpus boilerplate drop; all "
+              "scan-side expressions, O(tokens) per document",
+          tags=("text", "quality", "llm"))
+def t06_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.text import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+def _t07_sql() -> str:
+    from projectone_spark.functions.text import PII_PATTERNS
+
+    em, ip, ph = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
+                  PII_PATTERNS["phone"])
+    inject = ("text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+              "'@ex.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' "
+              "|| CAST(doc_id % 100 AS VARCHAR) || ' call 555-' || "
+              "CAST(100 + doc_id % 900 AS VARCHAR) || '-' || "
+              "CAST(1000 + doc_id % 9000 AS VARCHAR)")
+    return f"""
+WITH d AS (SELECT doc_id, {inject} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{em}', '<EMAIL>', 'g'),
+           '{ip}', '<IP>', 'g'),
+           '{ph}', '<PHONE>', 'g') AS scrubbed
+FROM d
+"""
+
+
+@register("t07_pii_scrub", _t07_sql(),
+          doc="PII scrub pass: count + redact emails / IPv4s / phone "
+              "numbers (RE2-compatible patterns, chained regexp_replace, "
+              "all scan-side codegen). The synthetic corpus is clean, so "
+              "deterministic PII derived from doc_id is injected first — "
+              "identically on both engines — to give the scrub real work",
+          tags=("text", "quality", "llm"))
+def t07_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.text import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"),
+            F.col("doc_id").cast("string"), F.lit("@ex.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            (F.col("doc_id") % 100).cast("string"), F.lit(" call 555-"),
+            (F.col("doc_id") % 900 + 100).cast("string"), F.lit("-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string")).alias("text"))
+    return pii_scrub(injected)

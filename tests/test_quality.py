@@ -71,3 +71,49 @@ def test_expect_and_write_single_pass(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == df.count() - metrics["recent"]
     assert written.filter("o_orderdate < '1993-06-01'").count() == 0
+
+
+def test_repetition_stats_edges(spark):
+    from projectone_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"),          # dup2: 7 grams, 2 distinct
+         (2, "one two three four five"),  # no repetition
+         (3, "x"),                        # < n tokens -> 0.0
+         (4, "")],                        # empty -> 0.0
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, parallelism=2).collect()}
+    assert got[1].dup_2gram_frac == round(1 - 2 / 7, 4)
+    assert not got[1].keep  # dup3 = 1 - 2/6 > 0.3
+    assert got[2].dup_2gram_frac == 0.0 and got[2].keep
+    assert got[3].dup_2gram_frac == 0.0 and got[3].dup_3gram_frac == 0.0
+    assert got[4].dup_3gram_frac == 0.0 and got[4].keep
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from projectone_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e.org, ip 10.1.2.3, call 555-123-4567"),
+         (2, "clean text with no pii at all"),
+         (3, "ip-ish 999.999.999.999 still matches the permissive v4 shape")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df, parallelism=2).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (2, 1, 1)
+    assert "<EMAIL>" in got[1].scrubbed and "<IP>" in got[1].scrubbed \
+        and "<PHONE>" in got[1].scrubbed
+    assert "a@b.co" not in got[1].scrubbed
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+    assert got[2].scrubbed == "clean text with no pii at all"
+    assert got[3].n_ipv4 == 1  # permissive octet shape is intentional
+
+
+def test_ngram_join_shapes(spark):
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import ngram_join
+
+    df = spark.createDataFrame([(["a", "b", "c"],), ([],), (["z"],)],
+                               "toks array<string>")
+    got = [r[0] for r in df.select(ngram_join(F.col("toks"), 2)).collect()]
+    assert got == [["a b", "b c"], [], []]
