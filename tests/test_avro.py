@@ -148,3 +148,43 @@ def test_registry_avro_path_uses_fallback(spark):
                                 json_schema=_SCHEMA, target_column="parsed")
     row = out.select("parsed.id", "parsed.kind").first()
     assert (row[0], row[1]) == (7, "purchase")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _vals = st.fixed_dictionaries({
+        "id_": st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+        "name": st.text(max_size=40),
+        "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "flags": st.lists(st.integers(min_value=-(2 ** 30), max_value=2 ** 30),
+                          max_size=8),
+        "attrs": st.dictionaries(st.text(min_size=1, max_size=8),
+                                 st.text(max_size=12), max_size=5),
+        "note": st.none() | st.text(max_size=20),
+        "kind_idx": st.integers(min_value=0, max_value=1),
+        "when_us": st.integers(min_value=0, max_value=4_102_444_800_000_000),
+        "day_days": st.integers(min_value=-100_000, max_value=100_000),
+    })
+
+    @settings(max_examples=200, deadline=None)
+    @given(_vals)
+    def test_decode_roundtrip_property(v):
+        """Any value the wire grammar can carry decodes back exactly —
+        including negative zigzags, empty/multi-block collections, unicode
+        strings, and both union branches."""
+        got = decode_avro(_encode(**v), _SCHEMA)
+        assert got["id"] == v["id_"]
+        assert got["name"] == v["name"]
+        assert got["score"] == v["score"]
+        assert got["flags"] == v["flags"]
+        assert got["attrs"] == v["attrs"]
+        assert got["note"] == v["note"]
+        assert got["kind"] == ["view", "purchase"][v["kind_idx"]]
