@@ -173,6 +173,36 @@ def _lookup(path: str, context: dict[str, Any]) -> Any:
     raise KeyError(f"unresolvable contract reference: ${{{path}}}")
 
 
+def format_environment_variables(source_object: Any,
+                                 local_env: dict[str, Any] | None = None,
+                                 global_env: dict[str, Any] | None = None
+                                 ) -> Any:
+    """Substitute ``${VAR}`` patterns in a contract object from explicit
+    variable maps, LOCAL overriding GLOBAL — the framework's environment
+    formatting pass (reference
+    ``framework/contract/env.format_environment_variables``; pipeline
+    contracts carry ``${CATALOG}``-style knobs resolved per deploy target).
+    Unlike :func:`resolve_references` this never falls back to the real
+    process environment: a deploy formats against its own variable set.
+    """
+    merged = {**(global_env or {}), **(local_env or {})}
+
+    def fmt(value: Any) -> Any:
+        if isinstance(value, str):
+            whole = _REF.fullmatch(value.strip())
+            if whole and whole.group(1) in merged:
+                return merged[whole.group(1)]
+            return _REF.sub(
+                lambda m: str(merged.get(m.group(1), m.group(0))), value)
+        if isinstance(value, dict):
+            return {k: fmt(v) for k, v in value.items()}
+        if isinstance(value, list):
+            return [fmt(v) for v in value]
+        return value
+
+    return fmt(source_object)
+
+
 def load_pipeline(contract: dict[str, Any],
                   *, context: dict[str, Any] | None = None) -> list[TaskNode]:
     """Parse a pipeline contract::

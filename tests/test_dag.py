@@ -230,3 +230,36 @@ def test_pipeline_of_pipelines(spark, tmp_path, source_dir):
 def test_tasknode_validation():
     with pytest.raises(ValueError, match="exactly one"):
         TaskNode(name="x")
+
+
+def test_format_environment_variables_local_wins():
+    """Reference framework/contract/env semantics: ${VAR} patterns format
+    from explicit maps with local overriding global; unknown variables pass
+    through unchanged; the real process environment is never consulted."""
+    from projectone_spark.task.dag import format_environment_variables
+
+    src = {"table": "trade", "schema": "bronze",
+           "catalog": "${CATALOG}",
+           "location": "${ROOT_FILE_LOCATION}/${CATALOG}",
+           "comment": "${COMMENT}",
+           "unknown": "${NOT_SET}"}
+    got = format_environment_variables(
+        src,
+        local_env={"CATALOG": "dev", "ROOT_FILE_LOCATION": "testlocation"},
+        global_env={"CATALOG": "prod", "COMMENT": "Testing Purposes"})
+    assert got["catalog"] == "dev"
+    assert got["location"] == "testlocation/dev"
+    assert got["comment"] == "Testing Purposes"
+    assert got["unknown"] == "${NOT_SET}"
+    assert got["table"] == "trade"
+
+
+def test_format_environment_variables_keeps_types():
+    from projectone_spark.task.dag import format_environment_variables
+
+    got = format_environment_variables(
+        {"n": 3, "nested": [{"v": "${X}"}], "obj": "${OBJ}"},
+        local_env={"X": "x", "OBJ": {"a": 1}})
+    assert got["n"] == 3
+    assert got["nested"] == [{"v": "x"}]
+    assert got["obj"] == {"a": 1}  # whole-string reference keeps the type
