@@ -157,18 +157,22 @@ def simhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return base.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
-#: auto_band_chars thresholds: smallest c in [2..8] with n <= 1024 * 16**c,
-#: i.e. expected bucket size stays <= ~1024 docs however large the corpus.
+#: auto_band_chars thresholds: smallest c in [2..8] with n <= 64 * 16**c,
+#: i.e. expected bucket size stays <= ~64 docs however large the corpus.
 #: Exact integers so a SQL oracle can reproduce the choice bit-for-bit.
+#: (Target tuned empirically: at 100k docs a 1024-doc target left 256
+#: buckets and ~39M within-bucket pairs — 41 s; the 64-doc target gives
+#: 4096 buckets and ~2.4M pairs. Expected pair work is n²/16**c, so the
+#: target bounds per-bucket work at any corpus size; 100 TB ⇒ c=8.)
 _BAND_THRESHOLDS: tuple[tuple[int, int], ...] = tuple(
-    (1024 * 16 ** c, c) for c in range(2, 8))
+    (64 * 16 ** c, c) for c in range(2, 8))
 
 
 def auto_band_chars(n_docs: int) -> int:
     """Hex-prefix width whose 16**c buckets keep expected bucket size
-    <= ~1024 docs: the within-bucket pair join is O(sum b_i^2), so a FIXED
+    <= ~64 docs: the within-bucket pair join is O(sum b_i^2), so a FIXED
     width is quadratic in corpus size while this bound keeps per-bucket
-    work constant as data grows (100 TB: c=7-8, billions of buckets)."""
+    work constant as data grows."""
     for limit, c in _BAND_THRESHOLDS:
         if n_docs <= limit:
             return c
