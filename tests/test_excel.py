@@ -125,3 +125,35 @@ def test_read_excel_infers_columns(spark, xlsx_path):
     df = read_excel(spark, xlsx_path)
     assert df.columns == ["region", "population", "active"]
     assert df.count() == 3
+
+
+def test_kafka_option_map_matches_reference():
+    """The option surface the reference's KafkaSource builds
+    (kafka_source.py:13-60), including SASL_SSL auth — constructible and
+    assertable offline even though the jar is absent here."""
+    from projectone_spark.sources.connectors import _kafka_options
+
+    opts = _kafka_options("b1:9092,b2:9092", "events",
+                          starting_offsets="latest",
+                          fail_on_data_loss=True,
+                          sasl_username="svc",
+                          sasl_password="pw",
+                          options={"maxOffsetsPerTrigger": 10000})
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["kafka.sasl.mechanism"] == "PLAIN"
+    assert 'username="svc"' in opts["kafka.sasl.jaas.config"]
+    assert 'password="pw";' in opts["kafka.sasl.jaas.config"]
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+
+
+def test_kafka_option_map_no_auth():
+    from projectone_spark.sources.connectors import _kafka_options
+
+    opts = _kafka_options("b:9092", "t")
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert "kafka.security.protocol" not in opts
