@@ -35,8 +35,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-#: comparison operators usable for pruning; anything else is residual-only
-_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">="}
+#: comparison operators usable for pruning; anything else is residual-only.
+#: "in" takes an iterable literal and prunes via both interval and
+#: value-set stats.
+_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">=", "in"}
 
 
 # -- stats collection --------------------------------------------------------
@@ -97,6 +99,92 @@ def file_stats(dirs: Sequence[str], columns: Sequence[str]) -> list[dict]:
                             "bytes": os.path.getsize(path),
                             "min": mins, "max": maxs})
     return out
+
+
+def value_set_stats(path: str, columns: Sequence[str],
+                    cap: int = 64) -> dict[str, list]:
+    """Per-file DISTINCT VALUE SETS for low-cardinality columns — the
+    complement to min/max skipping. A status/category/tenant column is
+    useless to interval pruning (every file spans 'A'..'Z') but its
+    per-file distinct set is tiny and prunes ``=``/``IN`` predicates
+    exactly. Columns whose per-file distinct count exceeds ``cap`` record
+    nothing (pruning stays an optimization, never a correctness filter).
+
+    Cost: one bounded single-column read of a file the writer just
+    produced — the indexing pass Delta performs inline when collecting
+    ``stats`` on write.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    avail = [c for c in columns if c in pf.schema_arrow.names]
+    out: dict[str, list] = {}
+    if not avail:
+        return out
+    tbl = pf.read(columns=avail)
+    for c in avail:
+        uniq = pc.unique(tbl.column(c).combine_chunks())
+        if len(uniq) > cap:
+            continue
+        vals = []
+        usable = True
+        for v in uniq.to_pylist():
+            if v is None:
+                continue  # '=' / IN literals never match NULL anyway
+            nv = v if isinstance(v, (bool, int, float, str)) else _norm_stat(v)
+            if nv is None:
+                usable = False
+                break
+            vals.append(nv)
+        if usable:
+            out[c] = sorted(vals, key=lambda x: (type(x).__name__, str(x)))
+    return out
+
+
+def add_value_set_stats(store, name: str, columns: Sequence[str],
+                        cap: int = 64) -> dict:
+    """Enrich the current manifest's file entries with distinct-value sets
+    for ``columns`` — an index build, republished atomically via
+    ``amend_manifest``. Files already carrying sets for a column are
+    skipped, so running this after each commit only reads NEW files."""
+
+    def mutator(m: dict) -> None:
+        for f in m.get("files") or []:
+            have = f.get("vals") or {}
+            need = [c for c in columns if c not in have]
+            if not need:
+                continue
+            have.update(value_set_stats(f["path"], need, cap))
+            if have:
+                f["vals"] = have
+        m["set_columns"] = sorted(
+            set(m.get("set_columns") or []) | set(columns))
+
+    return store.amend_manifest(name, mutator)
+
+
+def _eq_forms(v) -> set:
+    """Comparable spellings of a value for conservative set-membership
+    checks (numeric widening + date→timestamp padding). A spurious extra
+    form can only KEEP a file, never drop one."""
+    forms = {v}
+    if not isinstance(v, bool):
+        try:
+            forms.add(float(v))
+        except (TypeError, ValueError):
+            pass
+    if isinstance(v, str) and _DATE_RE.match(v):
+        forms.add(v + " 00:00:00")
+    if isinstance(v, str) and v.endswith(" 00:00:00"):
+        forms.add(v[:-9])
+    return forms
+
+
+def _set_excludes(stored_vals: Sequence, val) -> bool:
+    """True only when ``val`` PROVABLY is not in the file's value set."""
+    want = _eq_forms(val)
+    return all(not (want & _eq_forms(s)) for s in stored_vals)
 
 
 def partition_values(path: str) -> dict[str, str]:
@@ -196,6 +284,14 @@ def prune_files(manifest: dict,
         for col, op, val in predicates:
             if op not in _PRUNE_OPS:
                 continue
+            vals_list = (list(val) if op == "in" else [val])
+            # exact value-set pruning for = / IN where the file carries one
+            stored = f.get("vals", {}).get(col)
+            if stored is not None and op in ("=", "==", "in"):
+                if all(_set_excludes(stored, v) for v in vals_list):
+                    keep = False
+                    break
+                continue  # set says "maybe present" — definitive for =/IN
             if col in parts:
                 lo = hi = parts[col]
                 from_path = True
@@ -204,7 +300,9 @@ def prune_files(manifest: dict,
                 from_path = False
             else:
                 continue
-            if not _interval_matches(lo, hi, op, val, from_path):
+            eff_op = "=" if op == "in" else op
+            if not any(_interval_matches(lo, hi, eff_op, v, from_path)
+                       for v in vals_list):
                 keep = False
                 break
         if keep:
@@ -228,9 +326,14 @@ def _sql_literal(val) -> str:
 
 
 def predicates_to_sql(predicates: Sequence[tuple[str, str, object]]) -> str:
-    return " AND ".join(
-        f"({col} {'=' if op == '==' else op} {_sql_literal(val)})"
-        for col, op, val in predicates)
+    parts = []
+    for col, op, val in predicates:
+        if op == "in":
+            lits = ", ".join(_sql_literal(v) for v in val)
+            parts.append(f"({col} IN ({lits}))")
+        else:
+            parts.append(f"({col} {'=' if op == '==' else op} {_sql_literal(val)})")
+    return " AND ".join(parts)
 
 
 def read_where(store, spark: SparkSession, name: str,

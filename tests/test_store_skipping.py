@@ -221,3 +221,66 @@ def test_zorder_string_column_raises(spark, store):
     with pytest.raises(TypeError, match="o_orderstatus"):
         optimize(store, spark, "orders",
                  zorder_by=["o_orderstatus", "o_orderkey"])
+
+
+def test_value_set_skipping_prunes_categories(spark, store):
+    """Distinct-value sets prune = / IN predicates on a categorical column
+    that min/max cannot touch (every file spans the same range)."""
+    from projectone_spark.store.skipping import add_value_set_stats
+
+    df = _orders(spark).withColumn(
+        "bucket2", F.when(F.col("o_orderkey") % 2 == 0, "even").otherwise("odd"))
+    # one commit per bucket value -> deterministically one file per value
+    store.overwrite(spark, df.filter("bucket2 = 'even'").coalesce(1),
+                    "orders", stats_columns=["o_orderkey"])
+    store.append(spark, df.filter("bucket2 = 'odd'").coalesce(1), "orders")
+    add_value_set_stats(store, "orders", ["bucket2", "o_orderstatus"])
+    m = store.manifest("orders")
+    assert m["set_columns"] == ["bucket2", "o_orderstatus"]
+    assert all("bucket2" in (f.get("vals") or {}) for f in m["files"])
+
+    rep = skipping_report(store, "orders", [("bucket2", "=", "even")])
+    assert rep["files_kept"] < rep["files_total"]  # at least one pruned
+    got = read_where(store, spark, "orders", [("bucket2", "=", "even")])
+    _assert_same(got, df.filter("bucket2 = 'even'"))
+
+    # IN over both values keeps everything; over a missing value prunes all
+    rep_all = skipping_report(store, "orders",
+                              [("bucket2", "in", ("even", "odd"))])
+    assert rep_all["files_kept"] == rep_all["files_total"]
+    rep_none = skipping_report(store, "orders", [("bucket2", "=", "nope")])
+    assert rep_none["files_kept"] == 0
+    got_none = read_where(store, spark, "orders", [("bucket2", "=", "nope")])
+    assert got_none.count() == 0
+
+
+def test_value_set_cap_records_nothing_for_wide_columns(spark, store):
+    """A column whose per-file distinct count exceeds the cap records no
+    set — pruning stays conservative and results stay exact."""
+    from projectone_spark.store.skipping import add_value_set_stats
+
+    df = _orders(spark)
+    store.overwrite(spark, df, "orders", stats_columns=[])
+    add_value_set_stats(store, "orders", ["o_orderkey"], cap=8)
+    m = store.manifest("orders")
+    assert all("o_orderkey" not in (f.get("vals") or {}) for f in m["files"])
+    got = read_where(store, spark, "orders", [("o_orderkey", "=", 1)])
+    _assert_same(got, df.filter("o_orderkey = 1"))
+
+
+def test_value_set_in_predicate_sql_and_interval(spark, store):
+    """IN prunes via intervals too (no sets recorded), and the residual
+    SQL renders IN correctly."""
+    from projectone_spark.store.skipping import predicates_to_sql
+
+    assert predicates_to_sql([("c", "in", ("a", "b'c"))]) == \
+        "(c IN ('a', 'b''c'))"
+    df = _orders(spark)
+    store.overwrite(spark, df.repartitionByRange(4, "o_orderkey")
+                    .sortWithinPartitions("o_orderkey"),
+                    "orders", stats_columns=["o_orderkey"])
+    lo = int(df.agg(F.min("o_orderkey")).first()[0])
+    rep = skipping_report(store, "orders", [("o_orderkey", "in", (lo,))])
+    assert rep["files_kept"] < rep["files_total"]
+    got = read_where(store, spark, "orders", [("o_orderkey", "in", (lo,))])
+    _assert_same(got, df.filter(F.col("o_orderkey") == lo))
