@@ -110,6 +110,7 @@ def _ensure_loaded() -> None:
         dedup,
         analytics2,
         embeddings,
+        engine_ops2,  # new-in-r3 tail: keeps the adjudication prefix stable
     )
 
 
