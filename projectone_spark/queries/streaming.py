@@ -309,9 +309,12 @@ def st08_stream_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     st = TableStore(tempfile.mkdtemp(prefix="pos-ssrc-"))
-    half = orders.filter(F.col("o_orderkey") % 2 == 0)
-    st.overwrite(spark, half.repartition(4), "orders")
-    st.append(spark, orders.exceptAll(half).repartition(4), "orders")
+    st.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0)
+                 .repartition(4), "orders")
+    # the complement by predicate, not exceptAll: same rows (o_orderkey is
+    # unique), no wide shuffle-distinct in the timed region
+    st.append(spark, orders.filter(F.col("o_orderkey") % 2 == 1)
+              .repartition(4), "orders")
     stream = stream_from_store(spark, st, "orders")
     agg = (stream.groupBy("o_orderstatus")
            .agg(F.count(F.lit(1)).alias("n_orders"),
