@@ -59,3 +59,87 @@ def s11_value_set_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (read_where(store, spark, "orders", preds)
             .select("o_orderkey", "o_orderstatus",
                     F.round("o_totalprice", 2).alias("total_price")))
+
+
+_S12_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+@register("s12_time_travel", _S12_SQL,
+          doc="time travel: commit even keys (v0), append odd keys (v1), "
+              "read VERSION AS OF 0 — returns exactly the first snapshot "
+              "(Delta versioned-read parity on the manifest history)",
+          tags=("store", "time-travel"))
+def s12_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.store import TableStore
+
+    store = TableStore(tempfile.mkdtemp(prefix="po_s12_"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    store.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0),
+                    "orders")
+    store.append(spark, orders.filter(F.col("o_orderkey") % 2 == 1), "orders")
+    assert store.version("orders") == 1  # commits number from 0
+    return (store.read_version(spark, "orders", 0)
+            .select("o_orderkey", F.round("o_totalprice", 2)
+                    .alias("total_price")))
+
+
+_S13_SQL = """
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+FROM orders
+"""
+
+
+@register("s13_schema_evolution", _S13_SQL,
+          doc="schema-evolving append (Delta mergeSchema): the second "
+              "commit carries a new column; earlier files surface it as "
+              "NULL through the merged-schema read",
+          tags=("store", "schema-evolution"))
+def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.maintenance import append_evolve, read_merged
+
+    store = TableStore(tempfile.mkdtemp(prefix="po_s13_"))
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice")
+    store.overwrite(spark, base.filter(F.col("o_orderkey") % 2 == 0),
+                    "orders")
+    widened = (orders.filter(F.col("o_orderkey") % 2 == 1)
+               .select("o_orderkey", "o_totalprice",
+                       F.col("o_orderpriority").alias("priority")))
+    append_evolve(store, spark, widened, "orders")
+    return (read_merged(store, spark, "orders")
+            .select("o_orderkey", F.round("o_totalprice", 2)
+                    .alias("total_price"), "priority"))
+
+
+_S14_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+@register("s14_restore", _S14_SQL,
+          doc="RESTORE TO VERSION AS OF: two commits, then a metadata-only "
+              "rollback to v0 published as a NEW commit (v2) — the current "
+              "read equals the first snapshot and history keeps growing "
+              "(restore-of-restore safe, vacuum keeps restored dirs)",
+          tags=("store", "restore", "time-travel"))
+def s14_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.maintenance import restore
+
+    store = TableStore(tempfile.mkdtemp(prefix="po_s14_"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    store.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0),
+                    "orders")
+    store.append(spark, orders.filter(F.col("o_orderkey") % 2 == 1), "orders")
+    v = restore(store, "orders", 0)
+    assert v == 2, f"restore must publish a NEW commit, got {v}"
+    return (store.read(spark, "orders")
+            .select("o_orderkey", F.round("o_totalprice", 2)
+                    .alias("total_price")))
