@@ -111,6 +111,7 @@ def _ensure_loaded() -> None:
         analytics2,
         embeddings,
         engine_ops2,  # new-in-r3 tail: keeps the adjudication prefix stable
+        analytics3,
     )
 
 
