@@ -665,7 +665,9 @@ def a02_incremental_distinct_sketch(spark: SparkSession,
     st.overwrite(spark, half, "orders")
     refresh_distinct(st, spark, "orders", "sk", ["o_orderstatus"],
                      "o_custkey", state)
-    st.append(spark, orders.exceptAll(half), "orders")
+    # complement by predicate (o_orderkey unique) — exceptAll would pay a
+    # full shuffle-distinct for the same rows
+    st.append(spark, orders.filter(F.col("o_orderkey") % 2 == 1), "orders")
     refresh_distinct(st, spark, "orders", "sk", ["o_orderstatus"],
                      "o_custkey", state)
     return (distinct_view(st, spark, "sk", ["o_orderstatus"])
