@@ -126,3 +126,70 @@ def q36_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(day_spend) OVER (PARTITION BY o_custkey ORDER BY d "
                "RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)")
         .cast("double").alias("spend_90d"))
+
+
+_Q37_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+@register("q37_customer_distribution", _Q37_SQL,
+          doc="TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter "
+              "(customers with zero qualifying orders keep c_count=0), "
+              "then a histogram of the per-customer counts — double "
+              "aggregation, the second one tiny",
+          tags=("join", "outer", "agg"))
+def q37_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+_E06_SQL = """
+WITH dims AS (
+  SELECT u.i AS dim, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+                       unnest(e.embedding) AS x) u)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(x AS DECIMAL(18,9))), 6) AS DOUBLE) AS sum_x,
+       round(min(x), 6) AS lo,
+       round(max(x), 6) AS hi
+FROM dims
+GROUP BY dim
+"""
+
+
+@register("e06_embedding_profile", _E06_SQL,
+          doc="embedding-column profiling: per-dimension count/mean/min/max "
+              "via posexplode — the drift/health monitor a production "
+              "vector pipeline runs over each ingest batch; one explode + "
+              "one partial-aggregated groupBy, no UDF",
+          tags=("embeddings", "profile", "llm"))
+def e06_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    # exact DECIMAL sum, not avg(double): float summation order varies with
+    # partitioning, so a double mean is not reproducible bit-for-bit
+    return (dims.groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("x").cast("double")
+                               .cast("decimal(18,9)")), 6)
+                 .cast("double").alias("sum_x"),
+                 F.round(F.min(F.col("x").cast("double")), 6).alias("lo"),
+                 F.round(F.max(F.col("x").cast("double")), 6).alias("hi")))
