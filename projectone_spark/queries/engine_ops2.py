@@ -143,3 +143,32 @@ def s14_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (store.read(spark, "orders")
             .select("o_orderkey", F.round("o_totalprice", 2)
                     .alias("total_price")))
+
+
+_ST10_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("st10_stateful_running_totals", _ST10_SQL,
+          doc="custom stateful streaming operator (applyInPandasWithState): "
+              "per-user running totals maintained across micro-batches in "
+              "per-key state; update-mode emissions are reduced to each "
+              "key's final row, which equals the batch GROUP BY. The oracle "
+              "checks the exact event counts (the float running sum is "
+              "arrival-order-dependent and intentionally excluded)",
+          tags=("streaming", "stateful", "applyinpandas"))
+def st10_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.queries.streaming import _stream_events
+    from projectone_spark.streaming import run_to_memory
+    from projectone_spark.streaming.stateful import running_totals
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    totals = running_totals(ev, "user_id", "value")
+    emitted = run_to_memory(totals, output_mode="update")
+    # one emission per key per batch it appeared in: the final (largest
+    # n_events) row per key is the complete total
+    return (emitted.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events")))
