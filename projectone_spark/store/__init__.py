@@ -116,7 +116,8 @@ class TableStore:
                 stats_columns: list[str] | None = None,
                 files: list[dict] | None = None,
                 txn: tuple[str, int] | None = None,
-                expected_base: int | None = None) -> int:
+                expected_base: int | None = None,
+                set_columns: list[str] | None = None) -> int:
         with self._commit_lock(name):
             prev = self.manifest(name)
             prev_version = -1 if prev is None else prev["version"]
@@ -138,6 +139,7 @@ class TableStore:
                 "metrics": metrics or {},
                 "committed_at": time.time(),
                 "stats_columns": stats_columns or [],
+                "set_columns": set_columns or [],
                 "files": files or [],
                 "txns": txns,
             }
@@ -227,37 +229,51 @@ class TableStore:
         writer.parquet(path)
 
     def _stats_for(self, dirs: list[str],
-                   stats_columns: list[str]) -> list[dict]:
+                   stats_columns: list[str],
+                   set_columns: list[str] | None = None) -> list[dict]:
         # entries are recorded even with no declared stats columns:
         # path/rows/bytes cost one footer read each, and the hive partition
         # values embedded in paths make partition pruning (read_where,
         # dml.delete_where/update_where) work on any partitioned table
-        from projectone_spark.store.skipping import file_stats
+        from projectone_spark.store.skipping import file_stats, value_set_stats
 
-        return file_stats(dirs, stats_columns)
+        entries = file_stats(dirs, stats_columns)
+        for f in entries:  # inline distinct-set index for =/IN pruning
+            if set_columns:
+                vals = value_set_stats(f["path"], set_columns)
+                if vals:
+                    f["vals"] = vals
+        return entries
 
     def overwrite(self, spark: SparkSession, df: DataFrame, name: str,
                   partition_by: Sequence[str] | None = None,
                   stats_columns: Sequence[str] | None = None,
+                  set_columns: Sequence[str] | None = None,
                   _operation: str = "overwrite",
                   _expected_base: int | None = None) -> int:
         """Full snapshot replace. A plain overwrite is blind (last writer
         wins, like Delta overwrite); snapshot-derived rewrites (compact,
         optimize) pass ``_expected_base`` so a concurrent append makes
-        them raise instead of silently dropping its rows."""
+        them raise instead of silently dropping its rows.
+        ``set_columns`` additionally records per-file distinct-value sets
+        (skipping.value_set_stats) for =/IN pruning, inherited by appends
+        like ``stats_columns``."""
         m = self.manifest(name)
         cols = list(stats_columns if stats_columns is not None
                     else (m.get("stats_columns") or []) if m else [])
+        sets = list(set_columns if set_columns is not None
+                    else (m.get("set_columns") or []) if m else [])
         d = self._new_data_dir(name)
         self._write_dir(df, d, partition_by)
         return self._commit(name, [d], list(partition_by or []), _operation,
-                            stats_columns=cols,
-                            files=self._stats_for([d], cols),
+                            stats_columns=cols, set_columns=sets,
+                            files=self._stats_for([d], cols, sets),
                             expected_base=_expected_base)
 
     def append(self, spark: SparkSession, df: DataFrame, name: str,
                partition_by: Sequence[str] | None = None,
                stats_columns: Sequence[str] | None = None,
+               set_columns: Sequence[str] | None = None,
                txn: tuple[str, int] | None = None) -> int:
         # optimistic concurrency: the data directory written once is valid
         # under ANY concurrent commit (append never touches other dirs), so
@@ -273,17 +289,20 @@ class TableStore:
             part = list(partition_by or (m["partition_by"] if m else []))
             cols = list(stats_columns if stats_columns is not None
                         else (m.get("stats_columns") or []) if m else [])
+            sets = list(set_columns if set_columns is not None
+                        else (m.get("set_columns") or []) if m else [])
             if d is None:
                 d = self._new_data_dir(name)
                 self._write_dir(df, d, part)
-                new_files = self._stats_for([d], cols)
+                new_files = self._stats_for([d], cols, sets)
             dirs = ([*m["dirs"], d] if m is not None else [d])
             # incremental stats: footers of the NEW directory only, carried
             # alongside the previous commit's file list (Delta add-file style)
             files = [*(m.get("files") or [] if m else []), *new_files]
             try:
                 return self._commit(name, dirs, part, "append",
-                                    stats_columns=cols, files=files, txn=txn,
+                                    stats_columns=cols, set_columns=sets,
+                                    files=files, txn=txn,
                                     expected_base=m["version"] if m else -1)
             except ConcurrentWriteError:
                 continue
@@ -326,10 +345,11 @@ class TableStore:
                     if not os.path.exists(dst):
                         _link_tree(src, dst)
             cols = m.get("stats_columns") or []
+            sets = m.get("set_columns") or []
             return self._commit(name, [new_dir], part, "selective_overwrite",
                                 {"replaced_partitions": sorted(replaced)},
-                                stats_columns=cols,
-                                files=self._stats_for([new_dir], cols))
+                                stats_columns=cols, set_columns=sets,
+                                files=self._stats_for([new_dir], cols, sets))
 
         if replace_where is None and partition_values:
             replace_where = " AND ".join(

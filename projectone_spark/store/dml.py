@@ -138,7 +138,8 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
          "changed_old": {d: ps for d, ps in touched_by_dir.items()},
          "changed_new": new_paths},
         stats_columns=cols,
-        files=store._stats_for([nd], cols),
+        set_columns=m.get("set_columns") or [],
+        files=store._stats_for([nd], cols, m.get("set_columns") or []),
         # a concurrent commit since our snapshot read means this rewrite
         # would drop its rows — fail, don't clobber (Delta's
         # ConcurrentAppendException for DELETE/UPDATE/MERGE)

@@ -126,6 +126,7 @@ def restore(store: TableStore, name: str, version: int) -> int:
                          list(target["partition_by"]), "restore",
                          {"restored_from": version},
                          stats_columns=list(target.get("stats_columns") or []),
+                         set_columns=list(target.get("set_columns") or []),
                          files=list(target.get("files") or []))
 
 
@@ -160,6 +161,7 @@ def clone(store: TableStore, name: str, target: str) -> int:
     return store._commit(target, new_dirs, list(m["partition_by"]), "clone",
                          {"cloned_from": name, "source_version": m["version"]},
                          stats_columns=list(m.get("stats_columns") or []),
+                         set_columns=list(m.get("set_columns") or []),
                          files=files)
 
 

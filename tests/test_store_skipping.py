@@ -284,3 +284,21 @@ def test_value_set_in_predicate_sql_and_interval(spark, store):
     assert rep["files_kept"] < rep["files_total"]
     got = read_where(store, spark, "orders", [("o_orderkey", "in", (lo,))])
     _assert_same(got, df.filter(F.col("o_orderkey") == lo))
+
+
+def test_set_columns_inline_on_commit_and_inherited(spark, store):
+    """set_columns declared at overwrite builds the distinct-set index
+    inline and appends inherit it — no post-commit indexing call needed."""
+    df = _orders(spark)
+    store.overwrite(spark, df.filter("o_orderstatus = 'O'").coalesce(1),
+                    "orders", stats_columns=["o_orderkey"],
+                    set_columns=["o_orderstatus"])
+    store.append(spark, df.filter("o_orderstatus <> 'O'").coalesce(1),
+                 "orders")  # set_columns inherited like stats_columns
+    m = store.manifest("orders")
+    assert m["set_columns"] == ["o_orderstatus"]
+    assert all("o_orderstatus" in (f.get("vals") or {}) for f in m["files"])
+    rep = skipping_report(store, "orders", [("o_orderstatus", "=", "O")])
+    assert rep["files_kept"] < rep["files_total"]
+    got = read_where(store, spark, "orders", [("o_orderstatus", "=", "O")])
+    _assert_same(got, df.filter("o_orderstatus = 'O'"))
