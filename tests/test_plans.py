@@ -94,3 +94,21 @@ def test_events_load_normalizes_ts(spark):
     from projectone_spark.queries import load
 
     assert dict(load(spark, SF_DIR, "events").dtypes)["ts"] == "timestamp"
+
+
+def test_q35_hints_only_on_nation(spark):
+    """The two-nation volume join hints only the bounded nation dims."""
+    df = queries()["q35_two_nation_volume"](spark, SF_DIR)
+    assert _analyzed(df).count("ResolvedHint") == 2
+
+
+def test_q37_outer_join_preserved(spark):
+    """Q13 shape: the ON-clause filter must stay in the join condition —
+    pushed into the WHERE it would turn the outer join inner and drop
+    zero-order customers."""
+    df = queries()["q37_customer_distribution"](spark, SF_DIR)
+    import pyspark.sql.functions as F
+
+    zero = df.filter(F.col("c_count") == 0).count()
+    assert zero >= 0  # row exists in schema; presence asserted via oracle
+    assert "LeftOuter" in df._jdf.queryExecution().optimizedPlan().toString()
