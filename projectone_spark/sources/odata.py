@@ -80,10 +80,11 @@ DEFAULT_INCREMENTAL_FIELD = "ModifiedOn"  # reference DefaultODataVariables
 DEFAULT_EARLIEST_TIME = "2000-01-01T00:00:00Z"  # epoch 946684800000
 
 
-def _default_transport(url: str) -> bytes:  # pragma: no cover - needs network
-    from urllib.request import urlopen
+def _default_transport(url: str, headers: dict[str, str] | None = None
+                       ) -> bytes:  # pragma: no cover - needs network
+    from urllib.request import Request, urlopen
 
-    with urlopen(url, timeout=60) as resp:
+    with urlopen(Request(url, headers=headers or {}), timeout=60) as resp:
         return resp.read()
 
 
@@ -97,20 +98,105 @@ def _load_transport(spec: str | None):
     return obj() if isinstance(obj, type) else obj
 
 
+def _default_token_transport(url: str, data: dict[str, str]) -> bytes:  # pragma: no cover - needs network
+    from urllib.parse import urlencode
+    from urllib.request import Request, urlopen
+
+    req = Request(url, data=urlencode(data).encode(),
+                  headers={"Content-Type": "application/x-www-form-urlencoded"})
+    with urlopen(req, timeout=60) as resp:
+        return resp.read()
+
+
+def _auth_from_options(options: dict) -> "OAuthSpec | None":
+    """Build the OAuth spec from reader options when credentials are
+    supplied (``client_id`` + ``client_secret`` + ``identity_service`` —
+    the reference's required connection parameters); None = anonymous."""
+    if not options.get("client_id"):
+        return None
+    return OAuthSpec(options["client_id"], options["client_secret"],
+                     options["identity_service"],
+                     options.get("token_transport"))
+
+
+class OAuthSpec:
+    """OAuth2 client-credentials token provider — the reference's
+    ``ODataConnectionSpec`` (``ODataClient.scala:110-190``): POST
+    ``{identity_service}/connect/token`` with
+    ``grant_type=client_credentials``, cache the ``access_token`` until 30
+    seconds before ``expires_in`` elapses, refresh on demand. The token
+    transport is injectable like the data transport so auth is offline-
+    testable; credentials never appear in ``repr`` (the reference redacts
+    them the same way)."""
+
+    def __init__(self, client_id: str, client_secret: str,
+                 identity_service: str,
+                 token_transport_spec: str | None = None):
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.identity_service = identity_service.rstrip("/")
+        self._spec = token_transport_spec
+        self._transport = (_load_transport(token_transport_spec)
+                           if token_transport_spec else _default_token_transport)
+        self._token: str = ""
+        self._expiry: float = 0.0
+
+    def __reduce__(self):  # executors re-fetch their own token (as in ref)
+        return (OAuthSpec, (self.client_id, self.client_secret,
+                            self.identity_service, self._spec))
+
+    def __repr__(self) -> str:
+        return ("OAuthSpec(client_id=[REDACTED], client_secret=[REDACTED], "
+                "identity_service=[REDACTED])")
+
+    def access_token(self) -> str:
+        import time
+
+        if not self._token or time.time() > self._expiry:
+            body = self._transport(
+                f"{self.identity_service}/connect/token",
+                {"grant_type": "client_credentials",
+                 "client_id": self.client_id,
+                 "client_secret": self.client_secret})
+            payload = json.loads(body)
+            self._token = payload["access_token"]
+            self._expiry = time.time() + float(payload["expires_in"]) - 30
+        return self._token
+
+
 class ODataClient:
     """Driver/executor-side REST helper (reference ``ODataClient.scala``)."""
 
-    def __init__(self, url: str, entity: str, transport_spec: str | None = None):
+    def __init__(self, url: str, entity: str, transport_spec: str | None = None,
+                 auth: OAuthSpec | None = None):
         self.base = url.rstrip("/")
         self.entity = entity
         self._transport_spec = transport_spec
         self._transport = _load_transport(transport_spec)
+        self.auth = auth
 
     def __reduce__(self):  # picklable for executor-side partition readers
-        return (ODataClient, (self.base, self.entity, self._transport_spec))
+        return (ODataClient, (self.base, self.entity, self._transport_spec,
+                              self.auth))
+
+    def _accepts_headers(self) -> bool:
+        import inspect
+
+        try:
+            fn = (self._transport.__call__
+                  if not inspect.isfunction(self._transport)
+                  and not inspect.ismethod(self._transport)
+                  else self._transport)
+            return len(inspect.signature(fn).parameters) >= 2
+        except (TypeError, ValueError):  # builtins without signatures
+            return False
 
     def _get(self, path: str) -> bytes:
-        return self._transport(f"{self.base}/{path}")
+        url = f"{self.base}/{path}"
+        if self.auth is not None and self._accepts_headers():
+            headers = {"Authorization": f"Bearer {self.auth.access_token()}"}
+            return self._transport(url, headers)
+        return self._transport(url)
 
     def schema(self, fields: list[str] | None = None) -> StructType:
         """Schema from $metadata (reference ``ODataTable.scala:56-75``)."""
@@ -207,7 +293,8 @@ class ODataReader(DataSourceReader):
         self.options = options
         self._schema = schema
         self.client = ODataClient(options["url"], options["entity"],
-                                  options.get("transport"))
+                                  options.get("transport"),
+                                  auth=_auth_from_options(options))
         self.rows_per_page = int(options.get("rows_per_page",
                                              DEFAULT_ROWS_PER_PAGE))
         self.fields = [s.strip() for s in options["fields"].split(",")] \
@@ -264,7 +351,8 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
         self.options = options
         self._schema = schema
         self.client = ODataClient(options["url"], options["entity"],
-                                  options.get("transport"))
+                                  options.get("transport"),
+                                  auth=_auth_from_options(options))
         self.field = options.get("incremental_field", DEFAULT_INCREMENTAL_FIELD)
         self.earliest = options.get("earliest_time", DEFAULT_EARLIEST_TIME)
         self.rows_per_page = int(options.get("rows_per_page",
@@ -323,7 +411,8 @@ class ODataDataSource(DataSource):
             if opt not in self.options:
                 raise ValueError(f"odata source requires option '{opt}'")
         client = ODataClient(self.options["url"], self.options["entity"],
-                             self.options.get("transport"))
+                             self.options.get("transport"),
+                             auth=_auth_from_options(self.options))
         fields = [s.strip() for s in self.options["fields"].split(",")] \
             if self.options.get("fields") else None
         return client.schema(fields)
@@ -430,3 +519,26 @@ class MockODataTransport:
         return {"eq": have == val, "ne": have != val, "gt": str(have) > str(val)
                 if isinstance(have, str) else have > val,
                 "ge": have >= val, "lt": have < val, "le": have <= val}[op]
+
+
+class MockTokenTransport:
+    """Offline identity service: issues a deterministic bearer token for
+    the client-credentials grant (600s lifetime)."""
+
+    def __call__(self, url: str, data: dict[str, str]) -> bytes:
+        assert url.endswith("/connect/token"), url
+        assert data["grant_type"] == "client_credentials"
+        token = f"tok-{data['client_id']}"
+        return json.dumps({"access_token": token, "expires_in": 600}).encode()
+
+
+class MockSecureODataTransport(MockODataTransport):
+    """The mock service with auth enforced: every request must carry the
+    Bearer token MockTokenTransport issues, else 401 — proves the
+    connector's token flow end-to-end offline."""
+
+    def __call__(self, url: str, headers: dict[str, str] | None = None) -> bytes:
+        auth = (headers or {}).get("Authorization", "")
+        if not (auth.startswith("Bearer tok-")):
+            raise PermissionError(f"401 unauthorized for {url}")
+        return super().__call__(url)

@@ -102,3 +102,68 @@ def test_stream_incremental_microbatches(odata_spark, tmp_path):
     got = odata_spark.table("odata_stream")
     assert got.count() == 40  # everything is newer than the 2000-01-01 epoch
     assert got.select(F.max("Id")).collect()[0][0] == 39
+
+
+def test_oauth_token_flow_offline():
+    """Client-credentials auth (reference ODataClient.scala:110-190):
+    token fetched once, cached, sent as a Bearer header; the secure mock
+    rejects unauthenticated requests."""
+    import pytest
+
+    from projectone_spark.sources.odata import OAuthSpec, ODataClient
+
+    auth = OAuthSpec(
+        "svc", "s3cret", "https://id.example",
+        token_transport_spec="projectone_spark.sources.odata:MockTokenTransport")
+    client = ODataClient(
+        "mock://svc", "Accounts",
+        "projectone_spark.sources.odata:MockSecureODataTransport", auth=auth)
+    assert client.count() == 40  # authenticated request succeeds
+    assert auth.access_token() == "tok-svc"
+    t0 = auth._expiry
+    client.count()
+    assert auth._expiry == t0  # cached, not re-fetched per request
+
+    anon = ODataClient(
+        "mock://svc", "Accounts",
+        "projectone_spark.sources.odata:MockSecureODataTransport")
+    with pytest.raises(PermissionError, match="401"):
+        anon.count()
+
+
+def test_oauth_token_refresh_after_expiry():
+    from projectone_spark.sources.odata import OAuthSpec
+
+    auth = OAuthSpec(
+        "svc", "s3cret", "https://id.example",
+        token_transport_spec="projectone_spark.sources.odata:MockTokenTransport")
+    auth.access_token()
+    auth._expiry = 0.0  # force expiry
+    assert auth.access_token() == "tok-svc"
+    assert auth._expiry > 0.0  # refreshed
+
+
+def test_oauth_repr_redacts_credentials():
+    from projectone_spark.sources.odata import OAuthSpec
+
+    auth = OAuthSpec("svc", "s3cret", "https://id.example")
+    assert "s3cret" not in repr(auth) and "REDACTED" in repr(auth)
+
+
+def test_authenticated_read_through_spark(odata_spark):
+    """The full Spark path (driver planning + executor page reads) against
+    the auth-enforcing mock: executors build their own client via pickle
+    and re-fetch tokens, like the reference's per-JVM token cache."""
+    df = (odata_spark.read.format("odata")
+          .option("url", "mock://svc")
+          .option("entity", "Accounts")
+          .option("transport",
+                  "projectone_spark.sources.odata:MockSecureODataTransport")
+          .option("client_id", "svc")
+          .option("client_secret", "s3cret")
+          .option("identity_service", "https://id.example")
+          .option("token_transport",
+                  "projectone_spark.sources.odata:MockTokenTransport")
+          .option("rows_per_page", "16")
+          .load())
+    assert df.count() == 40
