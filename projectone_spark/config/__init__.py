@@ -115,6 +115,17 @@ class WriteOptions(BaseModel):
     active_record_value_mapping: dict[str, str] | None = None
     replace_where: str | None = None
     partition_values: dict[str, list] | None = None
+    # reference WriteExtraOptions (sources.py:137-199) completion:
+    persist_dataset: bool = False        # DISK_ONLY persist pre-write
+    stage_results: bool = False          # localCheckpoint pre-write
+    exclude_data_columns: str | None = None  # data cols = all minus these
+    # merge-condition pruning conjuncts; this engine's analogue is the
+    # partition-pruned merge (writers._partition_prune) so a non-empty
+    # list turns partition_prune on (the reference spells it 'paritition')
+    use_paritition_column_in_merge: list[str] | None = None
+    use_key_attributes_in_merge: bool = False  # subsumed by key-hash join
+    history_start_tracking_value: str | None = None
+    history_start_tracking_value_type: str | None = None
 
     def split(self, attr: str) -> list[str] | None:
         v = getattr(self, attr)

@@ -240,10 +240,21 @@ class SparkTask:
             kwargs["data_cols"] = wo.split("data_attributes")
             kwargs["dedup_on_keys"] = wo.deduplicate_onkeys
             kwargs["rename"] = wo.rename_metadata_columns
+        if out.write_type == "scd1" and wo.use_paritition_column_in_merge:
+            # the reference adds partition-column conjuncts to the MERGE so
+            # Delta skips files; this engine's analogue is the
+            # partition-pruned merge (selective rewrite of touched partitions)
+            kwargs["partition_prune"] = True
         if out.write_type == "scd2":
             kwargs["valid_from"] = wo.history_tracking_col
             kwargs["fix_duplicates_by_key"] = wo.fix_duplicates_by_key
             kwargs["active_mapping"] = wo.active_record_value_mapping
+            if wo.history_start_tracking_value is not None:
+                import pyspark.sql.functions as F
+
+                hs = F.lit(wo.history_start_tracking_value)
+                kwargs["history_start"] = hs.cast(
+                    wo.history_start_tracking_value_type or "timestamp")
         if out.write_type == "scd3":
             kwargs["tracked_cols"] = wo.split("column_attributes") or []
         if out.write_type in ("append", "overwrite"):
@@ -256,6 +267,27 @@ class SparkTask:
         return kwargs
 
     def _write_output(self, out: SparkOutput, df: DataFrame) -> None:
+        wo = out.write_options
+        if wo.persist_dataset:
+            # reference write.py:81-83: disk-persist so a multi-action
+            # write (SCD read-modify-write) scans the source once
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.DISK_ONLY)
+        if wo.stage_results:
+            # reference write.py:84-86: cut the lineage before the write
+            df = df.localCheckpoint()
+        if wo.exclude_data_columns:
+            excluded = {c.strip() for c in wo.exclude_data_columns.split(",")}
+            keys = set(wo.split("key_attributes") or [])
+            if out.write_type in ("scd1", "scd2", "scd3") \
+                    and not wo.data_attributes:
+                # data cols = every payload column except the excluded set
+                # (reference write.py:596-633)
+                wo.data_attributes = ",".join(
+                    c for c in df.columns
+                    if c not in excluded and c not in keys
+                    and not c.startswith("__metadata_"))
         if out.create_table is not None:
             # create-object-if-missing pre-step + declared column features
             from projectone_spark.store import create_if_not_exists

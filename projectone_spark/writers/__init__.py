@@ -212,7 +212,8 @@ def write_scd2(spark: SparkSession, store: TableStore, df: DataFrame,
                active_mapping: Mapping[str, str] | None = None,
                partition_by: Sequence[str] | None = None,
                rename: Mapping[str, str] | None = None,
-               algo: str = "md5") -> int:
+               algo: str = "md5",
+               history_start: Column | None = None) -> int:
     """SCD2 write. With ``fix_duplicates_by_key`` + an event-time
     ``valid_from`` column, a multi-version source batch is first compacted
     into a per-key history chain (reference window repair,
@@ -225,12 +226,14 @@ def write_scd2(spark: SparkSession, store: TableStore, df: DataFrame,
                                    algo=algo)
         merged = scd2_apply(df, target, key_cols, data_cols=data_cols,
                             valid_from=valid_from, sentinel=sentinel,
-                            dedup_on_keys=False, algo=algo)
+                            dedup_on_keys=False, algo=algo,
+                            history_start=history_start)
         merged = merged.unionByName(history)
     else:
         merged = scd2_apply(df, target, key_cols, data_cols=data_cols,
                             valid_from=valid_from, sentinel=sentinel,
-                            dedup_on_keys=dedup_on_keys, algo=algo)
+                            dedup_on_keys=dedup_on_keys, algo=algo,
+                            history_start=history_start)
     if active_mapping:
         # reference active_record_value_mapping (write.py:617-624)
         expr = F.col(ACTIVE)

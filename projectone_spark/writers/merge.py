@@ -118,7 +118,8 @@ def scd2_apply(source: DataFrame, target: DataFrame | None,
                valid_from: Column | str | None = None,
                sentinel: str = SCD2_SENTINEL,
                dedup_on_keys: bool = False,
-               algo: str = "md5") -> DataFrame:
+               algo: str = "md5",
+               history_start: Column | None = None) -> DataFrame:
     """SCD2 history build: close changed rows, insert new versions.
 
     Implements the reference's flag taxonomy (``write.py:799-844``):
@@ -130,6 +131,12 @@ def scd2_apply(source: DataFrame, target: DataFrame | None,
 
     ``valid_from`` is the event-time column/expression on the source
     (reference ``history_tracking_col``); defaults to ``current_timestamp()``.
+
+    ``history_start`` (reference ``history_start_tracking_value[_type]``,
+    ``write.py:849-863``): brand-new keys (flag I) open their first history
+    row at this fixed literal instead of the source valid_from — initial
+    loads then say "valid since epoch", not "valid since the load ran".
+    Version-2 rows of existing keys are unaffected.
     """
     vf = _as_col(valid_from, F.current_timestamp())
     sentinel_ts = F.lit(sentinel).cast("timestamp")
@@ -148,7 +155,9 @@ def scd2_apply(source: DataFrame, target: DataFrame | None,
                      .withColumn(ACTIVE, F.lit("Y")))
 
     if target is None or not target.columns:
-        return finalize(new_rows_from(src))
+        first = (src.withColumn(VALID_FROM, history_start)
+                 if history_start is not None else src)
+        return finalize(new_rows_from(first))
 
     history = target.filter(F.col(ACTIVE) == "N")
     active = target.filter(F.col(ACTIVE) == "Y")
@@ -180,9 +189,12 @@ def scd2_apply(source: DataFrame, target: DataFrame | None,
             F.when(changed, F.col(f"s.{VALID_FROM}")).otherwise(F.col(f"t.{VALID_TO}")),
             F.when(changed, F.lit("N")).otherwise(F.col(f"t.{ACTIVE}")),
         ))
+    new_vf = (F.when(~t_present, history_start)
+              .otherwise(F.col(f"s.{VALID_FROM}"))
+              if history_start is not None else F.col(f"s.{VALID_FROM}"))
     source_row = F.when(
         insert_new,
-        side_struct("s", F.col(f"s.{VALID_FROM}"), sentinel_ts, F.lit("Y")))
+        side_struct("s", new_vf, sentinel_ts, F.lit("Y")))
 
     rows = joined.select(
         F.explode(F.filter(F.array(target_row, source_row),

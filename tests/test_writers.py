@@ -266,3 +266,57 @@ def test_append_partition_mismatch_raises(spark, store):
     write_overwrite(spark, store, df, "t", partition_by=["grp"], now=_ts(T0))
     with pytest.raises(ValueError):
         store.append(spark, df, "t", partition_by=["name"])
+
+
+def test_scd2_history_start_value(spark, store):
+    """history_start_tracking_value semantics (reference write.py:849-863):
+    brand-new keys open their first history row at the fixed literal;
+    changed keys' version-2 rows keep the source valid_from."""
+    from projectone_spark.writers import write_scd2
+
+    epoch = _ts("1900-01-01")
+    write_scd2(spark, store, _df(spark, BASE[:3]), "t", key_cols=["id"],
+               valid_from=_ts(T0), history_start=epoch)
+    got = {r["id"]: r[VALID_FROM].isoformat()
+           for r in store.read(spark, "t").collect()}
+    assert all(v.startswith("1900-01-01") for v in got.values())
+
+    # batch 2: id=2 changes (new version at T1), id=7 is brand new (epoch)
+    write_scd2(spark, store, _df(spark, [(2, "b", 99), (7, "g", 70)]), "t",
+               key_cols=["id"], valid_from=_ts(T1), history_start=epoch)
+    t = store.read(spark, "t")
+    active = {r["id"]: r[VALID_FROM].isoformat()
+              for r in t.filter(F.col(ACTIVE) == "Y").collect()}
+    assert active[7].startswith("1900-01-01")   # new key -> history start
+    assert active[2].startswith("2024-02-01")   # new VERSION -> source time
+    assert active[1].startswith("1900-01-01")   # untouched
+    # exactly one active row per key still holds
+    assert t.filter(F.col(ACTIVE) == "Y").count() == 4
+
+
+def test_task_write_extra_options_knobs(spark, tmp_path):
+    """persist_dataset / stage_results / exclude_data_columns /
+    use_paritition_column_in_merge flow from the contract into the write."""
+    from projectone_spark.config import SparkOutput, WriteOptions
+    from projectone_spark.task import SparkTask
+
+    wo = WriteOptions(key_attributes="id",
+                      exclude_data_columns="offset",
+                      persist_dataset=True, stage_results=True)
+    out = SparkOutput(name="o", table="t", write_type="scd1",
+                      write_options=wo)
+    task = (SparkTask.builder.setName("knobs")
+            .setInput(name="src", path="/root/testdata/sf0.001/orders.parquet",
+                      source="parquet")
+            .setOutput(name="o", table="t", write_type="scd1")
+            .setStateLocation(str(tmp_path / "state"))
+            .setStoreLocation(str(tmp_path / "s"))
+            .setSession(spark).create())
+    task._write_output(out, _df(spark, BASE))
+    # change ONLY the excluded column: scd1 must see "no data change"
+    changed = _df(spark, [(1, "a", 999)])
+    task._write_output(out, changed)
+    got = {r["id"]: r["offset"]
+           for r in task.store.read(spark, "t").collect()}
+    assert got[1] == 10  # offset excluded from change detection -> kept
+    assert wo.data_attributes == "name"  # computed complement persisted
