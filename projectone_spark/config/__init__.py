@@ -169,12 +169,53 @@ class SparkOutput(BaseModel):
         return self.table or self.path or self.name
 
 
+#: reference DateFormatTypes (``core/schemas/__init__.py:82-87``)
+DATE_FORMATS = {"date": "%Y-%m-%d", "timestamp": "%Y-%m-%dT%H:%M:%S",
+                "date_integer": "%Y%m%d"}
+
+
 class RefreshPolicy(BaseModel):
-    """Reference refresh policy (``core/schemas/refresh.py:6-11``)."""
+    """Reference refresh policy (``core/schemas/refresh.py:6-60``).
+
+    ``range_start``/``range_end`` are the RUNTIME window (computed at task
+    start unless given): non-backfill runs roll forward from the previous
+    run's persisted end (state ``pipeline_load_timestamp``) — or
+    ``start_value`` on the first run — to now; backfill uses the explicit
+    ``start_value``/``end_value`` pair (reference ``context.py:60-87``).
+    """
 
     type: Literal["full", "incremental", "backfill", "stream"] = "full"
+    interval: Literal["day", "week", "month", "year"] = "day"
+    start_value: str | None = None
+    end_value: str | None = None
+    format: Literal["date", "timestamp", "date_integer"] = "timestamp"
     range_start: Any | None = None
     range_end: Any | None = None
+
+    @model_validator(mode="after")
+    def _default_range(self) -> "RefreshPolicy":
+        # reference refresh.py validator: explicit values seed the range
+        if self.range_start is None:
+            self.range_start = self.start_value
+        if self.range_end is None:
+            self.range_end = self.end_value
+        return self
+
+    def resolve_range(self, previous_end: str | None = None) -> tuple[str | None, str | None]:
+        """Compute the run's (range_start, range_end) — reference
+        ``context.get_range_values``. Non-backfill: start = previous run's
+        end (or ``start_value``, or now on a cold start), end = now, both
+        rendered in ``format``. Backfill: the explicit pair unchanged."""
+        from datetime import datetime
+
+        if self.type == "backfill":
+            self.range_start, self.range_end = self.start_value, self.end_value
+            return self.range_start, self.range_end
+        fmt = DATE_FORMATS[self.format]
+        now = datetime.now().strftime(fmt)
+        self.range_start = previous_end or self.start_value or now
+        self.range_end = now
+        return self.range_start, self.range_end
 
 
 class TaskConfig(BaseModel):

@@ -327,9 +327,22 @@ class SparkTask:
             return self.stream_process()
         return self.batch_process()
 
+    def _resolve_refresh_range(self) -> None:
+        """Roll the refresh window forward at run start (reference
+        ``context.get_range_values``): non-backfill runs start where the
+        previous run's persisted window ended. Only engages when the
+        policy actually declares a window (start/end values or a prior
+        run's state) so plain full refreshes keep null range variables."""
+        rp = self.config.refresh_policy
+        prev = self.state.get_value("pipeline_load_timestamp")
+        prev_end = (prev or {}).get("end_date") if isinstance(prev, dict) else None
+        if rp.type == "backfill" or rp.start_value or prev_end:
+            rp.resolve_range(previous_end=prev_end)
+
     def batch_process(self) -> list[Result]:
         """Batch execution (reference ``task_process``, task.py:386-497)."""
         cfg = self.config
+        self._resolve_refresh_range()
         inputs: dict[str, DataFrame] = {}
         for inp in cfg.inputs:
             inputs[inp.name] = _step(self.results, f"input_{inp.name}",
@@ -348,6 +361,11 @@ class SparkTask:
             save_cdc_state(self.state, name, st)
         self.state.set(f"pipeline_{cfg.refresh_policy.type}_load_timestamp",
                        time.time())
+        if cfg.refresh_policy.range_end is not None:
+            # the next run's rolling-window start (context.py:64-72)
+            self.state.set("pipeline_load_timestamp",
+                           {"start_date": cfg.refresh_policy.range_start,
+                            "end_date": cfg.refresh_policy.range_end})
         self._run_cleanup()
         return self.results
 

@@ -233,3 +233,50 @@ def test_stream_task_scd1_end_to_end(spark, tmp_path, source_dir):
     import os
 
     assert os.path.isdir(str(tmp_path / "state" / "checkpoints" / "out"))
+
+
+def test_rolling_refresh_window(spark, tmp_path, source_dir):
+    """Reference context.get_range_values: run 1 opens the window at
+    start_value and closes at now; run 2 opens exactly where run 1 closed
+    (persisted pipeline_load_timestamp)."""
+    def make():
+        return (SparkTask.builder
+                .setName("roll")
+                .setInput(name="src", path=source_dir, source="parquet")
+                .setOutput(name="out", table="t", write_type="overwrite")
+                .setStateLocation(str(tmp_path / "state"))
+                .setStoreLocation(str(tmp_path / "store"))
+                .setRefreshPolicy(type="incremental",
+                                  start_value="2024-01-01T00:00:00")
+                .setSession(spark).create())
+
+    t1 = make()
+    assert all(r.status == "success" for r in t1.execute())
+    rp1 = t1.config.refresh_policy
+    assert rp1.range_start == "2024-01-01T00:00:00"
+    assert rp1.range_end > "2025"  # now, formatted %Y-%m-%dT%H:%M:%S
+    saved = t1.state.get_value("pipeline_load_timestamp")
+    assert saved["end_date"] == rp1.range_end
+
+    t2 = make()
+    assert all(r.status == "success" for r in t2.execute())
+    rp2 = t2.config.refresh_policy
+    assert rp2.range_start == rp1.range_end  # rolls forward
+    assert rp2.range_end >= rp2.range_start
+
+
+def test_backfill_range_is_explicit(spark, tmp_path, source_dir):
+    task = (SparkTask.builder
+            .setName("bf")
+            .setInput(name="src", path=source_dir, source="parquet")
+            .setOutput(name="out", table="t", write_type="overwrite")
+            .setStateLocation(str(tmp_path / "state"))
+            .setStoreLocation(str(tmp_path / "store"))
+            .setRefreshPolicy(type="backfill",
+                              start_value="2020-01-01T00:00:00",
+                              end_value="2020-06-30T00:00:00")
+            .setSession(spark).create())
+    assert all(r.status == "success" for r in task.execute())
+    rp = task.config.refresh_policy
+    assert (rp.range_start, rp.range_end) == ("2020-01-01T00:00:00",
+                                              "2020-06-30T00:00:00")
