@@ -34,30 +34,85 @@ class Event:
             raise ValueError(f"severity must be one of {SEVERITIES}")
 
 
+def _auth_headers(auth: Any) -> dict[str, str]:
+    """Authorization headers for a notification consumer (reference
+    ``APICredentials``, ``core/schemas/event.py:29-46``): ``("basic",
+    user, password)`` → HTTP basic; an ``OAuthSpec`` (the same token
+    provider the OData connector uses, ``auth_type=oauth`` +
+    ``auth_url``) → Bearer."""
+    if auth is None:
+        return {}
+    if isinstance(auth, tuple) and auth and auth[0] == "basic":
+        import base64
+
+        cred = base64.b64encode(f"{auth[1]}:{auth[2]}".encode()).decode()
+        return {"Authorization": f"Basic {cred}"}
+    if hasattr(auth, "access_token"):  # OAuthSpec-shaped
+        return {"Authorization": f"Bearer {auth.access_token()}"}
+    raise ValueError(f"unsupported webhook auth {type(auth).__name__}")
+
+
 def post_webhook(url: str, payload: dict[str, Any],
-                 transport: Callable[[str, bytes], Any] | None = None) -> Any:
+                 transport: Callable[..., Any] | None = None,
+                 headers: dict[str, str] | None = None,
+                 auth: Any = None) -> Any:
     """Webhook POST (reference ``post_webhook_api``); transport injectable
-    for offline tests, default urllib."""
+    for offline tests, default urllib. ``headers``/``auth`` mirror the
+    reference's APICredentials (fixed headers + basic/oauth)."""
     body = json.dumps(payload).encode()
+    hdrs = {"Content-Type": "application/json",
+            **(headers or {}), **_auth_headers(auth)}
     if transport is not None:
-        return transport(url, body)
+        try:
+            return transport(url, body, hdrs)
+        except TypeError:  # legacy 2-arg transports
+            return transport(url, body)
     from urllib.request import Request, urlopen  # pragma: no cover
 
-    req = Request(url, data=body,
-                  headers={"Content-Type": "application/json"})
+    req = Request(url, data=body, headers=hdrs)
     with urlopen(req, timeout=30) as resp:  # pragma: no cover
         return resp.read()
 
 
+def _compile_condition(condition: str | Callable[[Event], bool] | None
+                       ) -> Callable[[Event], bool]:
+    """Consumer ``condition`` (reference ``SubscribedEventConsumer``):
+    a callable, or a small expression over the event's fields
+    (``"severity == 'FAIL'"``) evaluated with no builtins."""
+    if condition is None:
+        return lambda e: True
+    if callable(condition):
+        return condition
+    code = compile(condition, "<event-condition>", "eval")
+
+    def check(event: Event) -> bool:
+        names = {"name": event.name, "severity": event.severity,
+                 "message": event.message, "detail": event.detail,
+                 "ts": event.ts}
+        return bool(eval(code, {"__builtins__": {}}, names))  # noqa: S307
+
+    return check
+
+
 def webhook_handler(url: str,
-                    transport: Callable[[str, bytes], Any] | None = None
-                    ) -> Callable[[Event], None]:
-    """Notification handler: POSTs the event envelope to ``url``."""
+                    transport: Callable[..., Any] | None = None,
+                    headers: dict[str, str] | None = None,
+                    auth: Any = None,
+                    condition: str | Callable[[Event], bool] | None = None,
+                    message: str | None = None) -> Callable[[Event], None]:
+    """Notification handler: POSTs the event envelope to ``url`` when the
+    consumer's ``condition`` holds; ``message`` overrides the envelope
+    message (both per the reference's SubscribedEventConsumer fields)."""
+    check = _compile_condition(condition)
 
     def handle(event: Event) -> None:
+        if not check(event):
+            return
         post_webhook(url, {"name": event.name, "severity": event.severity,
-                           "message": event.message, "detail": event.detail,
-                           "ts": event.ts}, transport)
+                           "message": message if message is not None
+                           else event.message,
+                           "detail": event.detail, "ts": event.ts},
+                     transport, headers=headers, auth=auth)
 
     return handle
 

@@ -150,3 +150,61 @@ def test_post_task_execution_deletes_source(spark, tmp_path):
     task.execute()
     assert TableStore(str(tmp_path / "store")).read(spark, "target").count() == 3
     assert not [f for f in os.listdir(src) if f.endswith(".parquet")]
+
+
+def test_webhook_condition_message_and_basic_auth():
+    """SubscribedEventConsumer parity: conditional dispatch, fixed
+    message override, and basic-auth headers on the POST."""
+    import json as _json
+
+    calls = []
+
+    def transport(url, body, headers):
+        calls.append((url, _json.loads(body), headers))
+
+    bus = EventManager(synchronous=True)
+    bus.subscribe("*", webhook_handler(
+        "https://hooks.example/x", transport,
+        auth=("basic", "svc", "pw"),
+        condition="severity == 'FAIL'",
+        message="pipeline failed"))
+    bus.dispatch(Event("step_done", severity="CONTINUE"))
+    bus.dispatch(Event("task_failed", severity="FAIL", message="orig"))
+    assert len(calls) == 1  # CONTINUE filtered out
+    url, payload, headers = calls[0]
+    assert payload["message"] == "pipeline failed"  # consumer override
+    assert headers["Authorization"].startswith("Basic ")
+    assert not bus.errors
+
+
+def test_webhook_oauth_reuses_odata_token_provider():
+    import json as _json
+
+    from projectone_spark.sources.odata import OAuthSpec
+
+    auth = OAuthSpec(
+        "svc", "pw", "https://id.example",
+        token_transport_spec="projectone_spark.sources.odata:MockTokenTransport")
+    seen = []
+
+    def transport(url, body, headers):
+        seen.append(headers)
+
+    bus = EventManager(synchronous=True)
+    bus.subscribe("*", webhook_handler("https://hooks.example/x",
+                                       transport, auth=auth))
+    bus.dispatch(Event("e", severity="FAIL"))
+    assert seen[0]["Authorization"] == "Bearer tok-svc"
+
+
+def test_webhook_condition_callable_and_legacy_transport():
+    hits = []
+    bus = EventManager(synchronous=True)
+    bus.subscribe("*", webhook_handler(
+        "https://hooks.example/x",
+        lambda url, body: hits.append(url),  # 2-arg legacy transport
+        condition=lambda e: e.severity != "CONTINUE"))
+    bus.dispatch(Event("a"))
+    bus.dispatch(Event("b", severity="STOP_WH_FAIL"))
+    assert hits == ["https://hooks.example/x"]
+    assert not bus.errors
