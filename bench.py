@@ -46,16 +46,20 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # The driver captures a bounded slice of stdout; round 1's JSON line
-    # (default ", " separators, 3-decimal timings, ~3 KB) got cut mid-line
-    # and never parsed. Keep stdout to EXACTLY one compact line (~2.2 KB):
-    # no-space separators, 2-decimal per-query values (full precision stays
-    # on stderr above), explicit flush.
+    # The driver captures only ~2 KB of stdout tail; with 95 queries a
+    # per-query map blows that budget (rounds 1-3 all recorded
+    # `parsed: null`). Keep stdout to ONE tiny line (<200 bytes) with the
+    # headline metric only; the full per-query map goes to stderr where
+    # humans (and BENCH_r*.json's stderr capture) can still read it.
+    print(json.dumps({"queries": timings, "sf": float(sf) if sf else None},
+                     separators=(",", ":")), file=sys.stderr, flush=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {k: round(v, 2) for k, v in sorted(slowest.items())},
+        "n_queries": len(timings),
         "sf": float(sf) if sf else None,
     }, separators=(",", ":")), flush=True)
 

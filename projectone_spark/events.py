@@ -63,10 +63,21 @@ def post_webhook(url: str, payload: dict[str, Any],
     hdrs = {"Content-Type": "application/json",
             **(headers or {}), **_auth_headers(auth)}
     if transport is not None:
+        # Signature inspection, NOT try/except TypeError: a TypeError raised
+        # INSIDE a 3-arg transport after it already sent the request would
+        # otherwise trigger a duplicate POST and mask the real error.
+        import inspect
+
         try:
+            params = inspect.signature(transport).parameters
+            takes_headers = (len(params) >= 3
+                             or any(p.kind == p.VAR_POSITIONAL
+                                    for p in params.values()))
+        except (TypeError, ValueError):  # builtins without signatures
+            takes_headers = True
+        if takes_headers:
             return transport(url, body, hdrs)
-        except TypeError:  # legacy 2-arg transports
-            return transport(url, body)
+        return transport(url, body)  # legacy 2-arg transports
     from urllib.request import Request, urlopen  # pragma: no cover
 
     req = Request(url, data=body, headers=hdrs)
@@ -74,22 +85,110 @@ def post_webhook(url: str, payload: dict[str, Any],
         return resp.read()
 
 
+#: AST node types the condition grammar accepts. Contract-supplied strings
+#: are UNTRUSTED (a pipeline YAML reaches this), so instead of eval — whose
+#: "no builtins" globals are not a sandbox (attribute-chain escapes like
+#: ``().__class__.__bases__...`` reach arbitrary code) — conditions are
+#: parsed and interpreted over a closed expression grammar: comparisons and
+#: boolean logic over the event's fields, constants, and constant-keyed
+#: detail lookups. No attribute access, no calls, no comprehensions.
+_ALLOWED_CMP = {
+    "Eq": lambda a, b: a == b, "NotEq": lambda a, b: a != b,
+    "Lt": lambda a, b: a < b, "LtE": lambda a, b: a <= b,
+    "Gt": lambda a, b: a > b, "GtE": lambda a, b: a >= b,
+    "In": lambda a, b: a in b, "NotIn": lambda a, b: a not in b,
+}
+
+
+def _eval_condition_node(node, names: dict[str, Any]):
+    import ast
+
+    if isinstance(node, ast.Expression):
+        return _eval_condition_node(node.body, names)
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, (ast.Tuple, ast.List, ast.Set)):
+        vals = [_eval_condition_node(e, names) for e in node.elts]
+        return set(vals) if isinstance(node, ast.Set) else tuple(vals)
+    if isinstance(node, ast.Name):
+        if node.id not in names:
+            raise ValueError(f"unknown event field '{node.id}' "
+                             f"(have {sorted(names)})")
+        return names[node.id]
+    if isinstance(node, ast.Subscript):  # detail['key']
+        container = _eval_condition_node(node.value, names)
+        key = _eval_condition_node(node.slice, names)
+        return container.get(key) if isinstance(container, dict) \
+            else container[key]
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+        return not _eval_condition_node(node.operand, names)
+    if isinstance(node, ast.BoolOp):
+        vals = (_eval_condition_node(v, names) for v in node.values)
+        return all(vals) if isinstance(node.op, ast.And) else any(vals)
+    if isinstance(node, ast.Compare):
+        left = _eval_condition_node(node.left, names)
+        for op, comp in zip(node.ops, node.comparators):
+            fn = _ALLOWED_CMP.get(type(op).__name__)
+            if fn is None:
+                raise ValueError(
+                    f"operator {type(op).__name__} not allowed in event "
+                    f"conditions")
+            right = _eval_condition_node(comp, names)
+            if not fn(left, right):
+                return False
+            left = right
+        return True
+    raise ValueError(
+        f"event condition may only use comparisons, and/or/not, names, "
+        f"constants, and detail[...] lookups — got {type(node).__name__}")
+
+
+def _validate_condition_tree(tree) -> None:
+    import ast
+
+    allowed = (ast.Expression, ast.Constant, ast.Tuple, ast.List, ast.Set,
+               ast.Name, ast.Subscript, ast.UnaryOp, ast.BoolOp, ast.Compare,
+               ast.Load, ast.Not, ast.And, ast.Or, ast.cmpop)
+    fields = {"name", "severity", "message", "detail", "ts"}
+    for node in ast.walk(tree):
+        if not isinstance(node, allowed):
+            raise ValueError(
+                f"event condition may only use comparisons, and/or/not, "
+                f"names, constants, and detail[...] lookups — got "
+                f"{type(node).__name__}")
+        if isinstance(node, ast.Compare):
+            for op in node.ops:
+                if type(op).__name__ not in _ALLOWED_CMP:
+                    raise ValueError(f"operator {type(op).__name__} not "
+                                     f"allowed in event conditions")
+        if isinstance(node, ast.Name) and node.id not in fields:
+            raise ValueError(f"unknown event field '{node.id}' "
+                             f"(have {sorted(fields)})")
+
+
 def _compile_condition(condition: str | Callable[[Event], bool] | None
                        ) -> Callable[[Event], bool]:
     """Consumer ``condition`` (reference ``SubscribedEventConsumer``):
     a callable, or a small expression over the event's fields
-    (``"severity == 'FAIL'"``) evaluated with no builtins."""
+    (``"severity == 'FAIL'"``) interpreted over a restricted AST grammar —
+    never ``eval`` (see ``_eval_condition_node``)."""
     if condition is None:
         return lambda e: True
     if callable(condition):
         return condition
-    code = compile(condition, "<event-condition>", "eval")
+    import ast
+
+    tree = ast.parse(condition, "<event-condition>", mode="eval")
+    # validate node types once at subscribe time so bad contracts fail
+    # fast, not on the first matching event (structure only — values like
+    # detail['k'] can't be probed until a real event arrives)
+    _validate_condition_tree(tree)
 
     def check(event: Event) -> bool:
         names = {"name": event.name, "severity": event.severity,
                  "message": event.message, "detail": event.detail,
                  "ts": event.ts}
-        return bool(eval(code, {"__builtins__": {}}, names))  # noqa: S307
+        return bool(_eval_condition_node(tree, names))
 
     return check
 

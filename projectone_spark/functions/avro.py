@@ -145,12 +145,16 @@ def _compile(schema: Any) -> Callable[[_Reader], Any]:
         return union
     t = schema["type"]
     logical = schema.get("logicalType")
+    # tz-AWARE UTC datetimes, deliberately: Arrow carries the instant
+    # explicitly, so the decoded value is identical in any
+    # spark.sql.session.timeZone. A naive datetime would be re-interpreted
+    # as session-LOCAL wall clock by mapInPandas, silently shifting every
+    # instant by the tz offset relative to the spark-avro jar path this
+    # decoder twins (r4 advice).
     if t == "long" and logical == "timestamp-millis":
-        return lambda r: (_EPOCH + timedelta(milliseconds=r.zigzag())
-                          ).replace(tzinfo=None)
+        return lambda r: _EPOCH + timedelta(milliseconds=r.zigzag())
     if t == "long" and logical == "timestamp-micros":
-        return lambda r: (_EPOCH + timedelta(microseconds=r.zigzag())
-                          ).replace(tzinfo=None)
+        return lambda r: _EPOCH + timedelta(microseconds=r.zigzag())
     if t == "int" and logical == "date":
         return lambda r: _EPOCH_DATE + timedelta(days=r.zigzag())
     if t == "record":

@@ -263,3 +263,62 @@ def connected_components(edges: DataFrame, src: str = "doc_id_a",
             f"needed grow with the graph diameter")
     return labels.select(F.col("node").alias(id_out),
                          F.col("label").alias("component"))
+
+
+def source_overlap(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source", k: int = 5) -> DataFrame:
+    """Pairwise corpus-overlap matrix between sources: Jaccard similarity
+    of each source's DISTINCT char-k-gram shingle set — the
+    contamination-matrix view of the corpus (which crawls/dumps share
+    content), the source-level analogue of d05's per-document Jaccard.
+
+    Plan shape — ONE data-scale shuffle, no self-join: per-document
+    ``array_distinct`` shrinks the explode, then ``groupBy(shingle) +
+    collect_set(source)`` builds each shingle's source set in a single
+    map-side-combining aggregation (set size is bounded by the source
+    domain — tens, not data-scaled). Pair expansion happens as a codegen
+    array expression over those tiny sets (≤ sources² structs per
+    shingle), and both downstream aggregations (pair counts, per-source
+    set sizes) read the SAME aggregated exchange — Spark plans the second
+    branch as a ReusedExchange, so the corpus is scanned and shuffled
+    exactly once. An earlier draft self-joined the distinct (source,
+    shingle) relation on the shingle: correct, but it recomputed the
+    explode three times and re-shuffled the full set twice — 36 s vs ~6 s
+    at sf0.01, and the gap grows with data. At 100 TB the collect_set
+    shuffle is the only O(corpus) stage and it combines map-side.
+
+    Returns (source_a, source_b, n_common, n_a, n_b, jaccard) for every
+    unordered pair sharing at least one shingle, jaccard rounded to 6.
+    """
+    sets = (df.select(F.col(group_col).alias("src"),
+                      F.explode(F.array_distinct(
+                          shingles_of_norm(normalize(text_col), k)))
+                      .alias("s"))
+            .groupBy("s").agg(F.sort_array(F.collect_set("src")).alias("srcs")))
+
+    def pair_structs(srcs):
+        def outer(a):
+            def inner(b):
+                return F.struct(a.alias("sa"), b.alias("sb"))
+            return F.transform(srcs, inner)
+        return F.filter(F.flatten(F.transform(srcs, outer)),
+                        lambda p: p.getField("sa") < p.getField("sb"))
+
+    inter = (sets.select(F.explode(pair_structs(F.col("srcs"))).alias("p"))
+             .groupBy(F.col("p.sa").alias("source_a"),
+                      F.col("p.sb").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sizes = (sets.select(F.explode("srcs").alias("src"))
+             .groupBy("src").agg(F.count(F.lit(1)).alias("n_sh")))
+    return (inter
+            .join(F.broadcast(sizes.select(F.col("src").alias("source_a"),
+                                           F.col("n_sh").alias("n_a"))),
+                  "source_a")
+            .join(F.broadcast(sizes.select(F.col("src").alias("source_b"),
+                                           F.col("n_sh").alias("n_b"))),
+                  "source_b")
+            .select("source_a", "source_b", "n_common", "n_a", "n_b",
+                    F.round(F.col("n_common") /
+                            (F.col("n_a") + F.col("n_b")
+                             - F.col("n_common")).cast("double"), 6)
+                    .alias("jaccard")))

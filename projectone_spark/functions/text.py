@@ -267,3 +267,44 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.regexp_count("__t", F.lit(PII_PATTERNS["phone"]))
         .cast("bigint").alias("n_phone"),
         scrubbed.alias("scrubbed"))
+
+
+def distinctive_terms(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", group_col: str = "lang",
+                      k: int = 5) -> DataFrame:
+    """Top-k distinctive terms per group by TF-IDF with a LINEAR idf
+    (``tf * N / df_docs``) — deliberately log-free so the score is one
+    IEEE-exact multiply + divide that DuckDB and the JVM compute bit-
+    identically (a ``ln`` differs by ulps across libms and can flip a
+    rounded value or a rank).
+
+    Plan shape: one explode + two hash aggregations (term frequency per
+    group; document frequency per term), an equi-join on the term, a
+    broadcast of the single-row corpus count, and a size-k-per-group
+    window. The explode dominates and is linear in corpus tokens; both
+    aggregations combine map-side. No UDFs, no driver loops — at 100 TB
+    the term-df aggregate is the big shuffle and it is unavoidable by
+    semantics (a global document frequency needs a global group-by).
+
+    Returns (group_col, term, tf, df_docs, score), k rows per group,
+    score rounded to 6 decimals, rank ties broken by term.
+    """
+    from pyspark.sql import Window
+
+    exploded = (df.select(F.col(group_col), F.col(id_col),
+                          F.explode(tokens(text_col)).alias("term")))
+    tf = (exploded.groupBy(group_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (exploded.groupBy("term")
+             .agg(F.countDistinct(id_col).alias("df_docs")))
+    total = df.agg(F.countDistinct(id_col).alias("__n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(total))
+              .withColumn("score",
+                          F.round((F.col("tf") * F.col("__n_docs"))
+                                  / F.col("df_docs").cast("double"), 6)))
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("score").desc(), F.col("term")))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(group_col, "term", "tf", "df_docs", "score"))

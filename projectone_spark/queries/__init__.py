@@ -93,12 +93,13 @@ def _ensure_loaded() -> None:
     (the driver's correctness gate records a bounded prefix of it) see the
     registry in this order — so the modules whose queries most need
     adjudication come first: engine ops (s01–s10), streaming (st01–st09),
-    multimodal (m01–m05), sampling (p01–p05), text+chunking (t01–t05,
-    c01), then analytics (q01–q13 — q13 carries this round's NTZ fix),
-    dedup, analytics2, embeddings. The four
+    multimodal (m01–m04), sampling (p01–p05), text+chunking (t01–t05,
+    c01), then analytics (q01–q13), dedup, analytics2, embeddings. The five
     no-oracle-by-design entries (a01/a02 in analytics2, e04/e05 in
-    embeddings) intentionally land at the tail: their rows can never turn
-    green, so they must not occupy a slot an oracle-checked query could.
+    embeddings, m05 in multimodal2 — moved to the tail in r4) intentionally
+    land at the tail: their rows can never turn green, so they must not
+    occupy a slot an oracle-checked query could. With m05 out of the
+    prefix, d01 (oracle-checked) takes the 50th slot.
     """
     from projectone_spark.queries import (  # noqa: F401
         engine_ops,
@@ -112,6 +113,8 @@ def _ensure_loaded() -> None:
         embeddings,
         engine_ops2,  # new-in-r3 tail: keeps the adjudication prefix stable
         analytics3,
+        multimodal2,  # no-oracle m05 — tail by contract
+        corpus,  # new-in-r4 tail: tf-idf terms + source-overlap matrix
     )
 
 

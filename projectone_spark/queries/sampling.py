@@ -76,7 +76,7 @@ packed AS (
   FROM t)
 SELECT lang, shard, bin,
        count(*) AS n_docs,
-       sum(toks) AS bin_tokens
+       CAST(sum(toks) AS BIGINT) AS bin_tokens
 FROM packed GROUP BY lang, shard, bin
 """
 
@@ -109,7 +109,8 @@ ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
 tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
 SELECT tr.doc_id,
        count(*) AS n_shingles,
-       sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+       CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
        sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
          / count(*) AS contamination
 FROM tr LEFT JOIN ev ON tr.s = ev.s

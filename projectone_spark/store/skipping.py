@@ -166,9 +166,23 @@ def add_value_set_stats(store, name: str, columns: Sequence[str],
 
 def _eq_forms(v) -> set:
     """Comparable spellings of a value for conservative set-membership
-    checks (numeric widening + date→timestamp padding). A spurious extra
-    form can only KEEP a file, never drop one."""
+    checks (numeric widening + date→timestamp padding + temporal→ISO
+    string, matching how ``_norm_stat`` stores footer values). A spurious
+    extra form can only KEEP a file, never drop one."""
     forms = {v}
+    # datetime/date literals must meet the ISO strings value_set_stats
+    # stores (via _norm_stat) — without these forms a timestamp predicate
+    # "provably excludes" a file that contains the exact value.
+    if isinstance(v, datetime.datetime):
+        forms.add(v.isoformat(sep=" "))
+        forms.add(v.isoformat())
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            forms.add(v.date().isoformat())
+        return forms
+    if isinstance(v, datetime.date):
+        forms.add(v.isoformat())
+        forms.add(v.isoformat() + " 00:00:00")
+        return forms
     if not isinstance(v, bool):
         try:
             forms.add(float(v))
@@ -181,8 +195,19 @@ def _eq_forms(v) -> set:
     return forms
 
 
+#: literal types _eq_forms can provably map onto the stored-value domain
+#: (bool/int/float/str after _norm_stat). Anything else → keep the file,
+#: mirroring _coerced's keep-on-uncertainty rule.
+_SET_PRUNABLE_TYPES = (bool, int, float, str,
+                       datetime.datetime, datetime.date, decimal.Decimal)
+
+
 def _set_excludes(stored_vals: Sequence, val) -> bool:
     """True only when ``val`` PROVABLY is not in the file's value set."""
+    if not isinstance(val, _SET_PRUNABLE_TYPES):
+        return False  # can't trust the comparison → keep the file
+    if isinstance(val, decimal.Decimal):
+        val = float(val)
     want = _eq_forms(val)
     return all(not (want & _eq_forms(s)) for s in stored_vals)
 
@@ -276,6 +301,7 @@ def prune_files(manifest: dict,
     file stats and hive partition paths. Returns (kept_file_entries,
     total_files). Files lacking stats for a predicate column are kept —
     pruning is an optimization, never a correctness filter."""
+    _validate_predicates(predicates)
     files = manifest.get("files") or []
     kept = []
     for f in files:
@@ -285,6 +311,13 @@ def prune_files(manifest: dict,
             if op not in _PRUNE_OPS:
                 continue
             vals_list = (list(val) if op == "in" else [val])
+            # temporal literals meet footer stats as the ISO strings
+            # _norm_stat stored (lexicographic == chronological), so they
+            # participate in interval pruning instead of being kept-on-
+            # uncertainty by _coerced
+            vals_list = [_norm_stat(v)
+                         if isinstance(v, (datetime.datetime, datetime.date))
+                         else v for v in vals_list]
             # exact value-set pruning for = / IN where the file carries one
             stored = f.get("vals", {}).get(col)
             if stored is not None and op in ("=", "==", "in"):
@@ -310,6 +343,32 @@ def prune_files(manifest: dict,
     return kept, len(files)
 
 
+def _validate_predicates(
+        predicates: Sequence[tuple[str, str, object]]) -> None:
+    """Reject 'in' values that would silently misbehave: a plain string
+    iterates characters, and an empty collection renders ``col IN ()``
+    which Spark's parser rejects in the residual filter."""
+    for col, op, val in predicates:
+        if op != "in":
+            continue
+        if isinstance(val, (str, bytes)):
+            raise ValueError(
+                f"'in' predicate on '{col}' got a plain {type(val).__name__}"
+                f" — pass a list/tuple/set of values (a string would be"
+                f" iterated character by character)")
+        try:
+            n = len(list(val))
+        except TypeError:
+            raise ValueError(
+                f"'in' predicate on '{col}' needs an iterable of values, "
+                f"got {type(val).__name__}") from None
+        if n == 0:
+            raise ValueError(
+                f"'in' predicate on '{col}' got an empty collection — an "
+                f"empty IN list is unsatisfiable and unparseable as SQL; "
+                f"filter it out upstream")
+
+
 def _sql_literal(val) -> str:
     if isinstance(val, str):
         return "'" + val.replace("'", "''") + "'"
@@ -326,6 +385,7 @@ def _sql_literal(val) -> str:
 
 
 def predicates_to_sql(predicates: Sequence[tuple[str, str, object]]) -> str:
+    _validate_predicates(predicates)
     parts = []
     for col, op, val in predicates:
         if op == "in":

@@ -9,7 +9,7 @@ against its own inverse assumptions from the same module.
 from __future__ import annotations
 
 import struct
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 
 import pytest
 
@@ -83,9 +83,9 @@ def test_decode_record_roundtrip():
     assert got == {
         "id": 7, "name": "click", "score": 1.5, "flags": [1, -2, 3],
         "attrs": {"a": "x", "b": "y"}, "note": "hi", "kind": "purchase",
-        "when": datetime(2023, 11, 14, 22, 13, 20),
+        "when": datetime(2023, 11, 14, 22, 13, 20, tzinfo=timezone.utc),
         "day": date(2023, 12, 9),
-    }
+    }  # tz-AWARE UTC: the instant survives any session timezone (r4 advice)
 
 
 def test_decode_null_union_and_empty_collections():
@@ -93,7 +93,7 @@ def test_decode_null_union_and_empty_collections():
         _encode(id_=1, name="", score=0.0, flags=[], attrs={}, note=None,
                 kind_idx=0, when_us=0, day_days=0), _SCHEMA)
     assert got["note"] is None and got["flags"] == [] and got["attrs"] == {}
-    assert got["when"] == datetime(1970, 1, 1)
+    assert got["when"] == datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
 def test_confluent_wire_header():
@@ -188,3 +188,26 @@ if _HAVE_HYP:
         assert got["attrs"] == v["attrs"]
         assert got["note"] == v["note"]
         assert got["kind"] == ["view", "purchase"][v["kind_idx"]]
+
+
+def test_from_avro_df_instant_is_session_tz_invariant(spark):
+    """r4 advice: the fallback decoder must yield the same INSTANT as the
+    spark-avro jar path in any spark.sql.session.timeZone. Decoding to
+    naive wall-clock datetimes made mapInPandas re-interpret them as
+    session-local, shifting every value by the tz offset."""
+    when_us = 1_700_000_000_000_000
+    df = spark.createDataFrame(
+        [(1, _encode(id_=1, name="x", score=0.0, flags=[], attrs={},
+                     note=None, kind_idx=0, when_us=when_us, day_days=0))],
+        "k int, v binary")
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out = from_avro_df(df, "v", _SCHEMA, target_column="e")
+            got = out.select(F.unix_micros("e.when")).first()[0]
+            assert got == when_us, f"instant shifted in session tz {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

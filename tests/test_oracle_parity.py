@@ -19,3 +19,32 @@ def test_oracle_parity(name, spark, duck):
         assert df.count() >= 0  # rows-only check, like the driver
         return
     compare_spark_duckdb(spec.fn(spark, SF_DIR), duck, spec.oracle)
+
+
+def test_harness_catches_pandas_widening_types(spark, duck):
+    """Meta-regression (r4): the local gate must be a faithful mirror of
+    the driver's pandas fetch path. An oracle whose output column is a
+    DuckDB HUGEINT (sum of BIGINT) or DECIMAL widens to float64 there and
+    breaks the driver's value hash even when values match — so the local
+    harness must REJECT such oracles loudly (this is exactly the p03/p04
+    round-3 failure class that fetchall()-based parity could not see)."""
+    df = spark.createDataFrame([(3,)], "s bigint")
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        compare_spark_duckdb(
+            df, duck, "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)")
+    with pytest.raises(AssertionError, match="DECIMAL"):
+        compare_spark_duckdb(
+            df, duck, "SELECT CAST(3 AS DECIMAL(10,2)) AS s")
+    # the cast form passes
+    compare_spark_duckdb(
+        df, duck,
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1), (2)) t(x)")
+
+
+def test_harness_prefix_contract():
+    """The driver adjudicates the first 50 registry slots; every one of
+    them must carry an oracle (no-oracle queries live at the tail — the
+    registry's own documented contract)."""
+    names = list(REGISTRY)
+    missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
+    assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"

@@ -208,3 +208,57 @@ def test_webhook_condition_callable_and_legacy_transport():
     bus.dispatch(Event("b", severity="STOP_WH_FAIL"))
     assert hits == ["https://hooks.example/x"]
     assert not bus.errors
+
+
+def test_condition_grammar_rejects_escapes_and_unknowns():
+    """r4 advice: conditions come from untrusted pipeline contracts, so the
+    evaluator is a closed AST grammar — attribute chains, calls, and
+    unknown names are rejected at subscribe time, never executed."""
+    import pytest
+
+    from projectone_spark.events import Event, _compile_condition
+
+    for bad in ("().__class__.__bases__[0]",
+                "detail.__class__",
+                "__import__('os').system('true')",
+                "(lambda: 1)()",
+                "[x for x in detail]",
+                "nosuchfield == 1"):
+        with pytest.raises(ValueError):
+            _compile_condition(bad)
+
+    # the supported grammar still works, including detail[...] lookups,
+    # chained comparisons, and membership
+    check = _compile_condition(
+        "severity in ('FAIL', 'STOP_WH_FAIL') and detail['retries'] >= 2 "
+        "and not (name == 'skip') and 0 <= ts <= 1e12")
+    ev = Event("boom", severity="FAIL", detail={"retries": 3}, ts=5.0)
+    assert check(ev) is True
+    assert check(Event("boom", severity="CONTINUE",
+                       detail={"retries": 3})) is False
+
+
+def test_webhook_transport_failure_not_duplicated():
+    """r4 advice: a TypeError raised INSIDE a 3-arg transport must
+    propagate, not fall back to a second (duplicate) 2-arg POST."""
+    import pytest
+
+    from projectone_spark.events import post_webhook
+
+    calls = []
+
+    def transport(url, body, headers):
+        calls.append(url)
+        raise TypeError("boom inside transport after send")
+
+    with pytest.raises(TypeError, match="inside transport"):
+        post_webhook("http://x", {"a": 1}, transport)
+    assert len(calls) == 1  # the old except-TypeError path re-POSTed
+
+    # legacy 2-arg transports are still detected — by signature, not trial
+    def legacy(url, body):
+        calls.append(("legacy", url))
+        return "ok"
+
+    assert post_webhook("http://y", {"a": 1}, legacy) == "ok"
+    assert calls[-1] == ("legacy", "http://y")

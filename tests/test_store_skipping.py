@@ -302,3 +302,78 @@ def test_set_columns_inline_on_commit_and_inherited(spark, store):
     assert rep["files_kept"] < rep["files_total"]
     got = read_where(store, spark, "orders", [("o_orderstatus", "=", "O")])
     _assert_same(got, df.filter("o_orderstatus = 'O'"))
+
+
+def test_datetime_literal_never_drops_matching_rows(spark, store):
+    """Regression (r4 advice): value_set_stats stores temporal values as ISO
+    strings, so a datetime/date predicate literal must match them — the old
+    _eq_forms produced no common form and "provably excluded" a file that
+    contained the exact value."""
+    import datetime
+
+    from projectone_spark.store.skipping import add_value_set_stats
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    first = ev.agg(F.min("ts")).first()[0]
+    df = ev.withColumn("day", F.date_trunc("day", "ts").cast("timestamp"))
+    day0 = datetime.datetime(first.year, first.month, first.day)
+    # two files: day0 rows and the rest — the value set distinguishes them
+    store.overwrite(spark, df.filter(F.col("day") == F.lit(day0)).coalesce(1),
+                    "ev", stats_columns=["ts"])
+    store.append(spark, df.filter(F.col("day") != F.lit(day0)).coalesce(1), "ev")
+    add_value_set_stats(store, "ev", ["day"])
+    m = store.manifest("ev")
+    assert all("day" in (f.get("vals") or {}) for f in m["files"])
+
+    want = df.filter(F.col("day") == F.lit(day0))
+    got = read_where(store, spark, "ev", [("day", "=", day0)])
+    _assert_same(got, want)  # the old set path returned 0 rows here
+    # ...and the set still PRUNES the non-matching file
+    rep = skipping_report(store, "ev", [("day", "=", day0)])
+    assert rep["files_kept"] < rep["files_total"]
+
+    # date literal against a timestamp-at-midnight set: same equivalence
+    got_date = read_where(store, spark, "ev", [("day", "=", day0.date())])
+    _assert_same(got_date, want)
+
+
+def test_datetime_literal_interval_pruning(spark, store):
+    """Datetime literals participate in min/max interval pruning (ISO
+    normalization), instead of being kept-on-uncertainty."""
+    import datetime
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    store.overwrite(spark, ev.repartitionByRange(4, "ts"),
+                    "ev", stats_columns=["ts"])
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    cut = datetime.datetime(mid.year, mid.month, mid.day)
+    got = read_where(store, spark, "ev", [("ts", ">=", cut)])
+    _assert_same(got, ev.filter(F.col("ts") >= F.lit(cut)))
+    rep = skipping_report(store, "ev", [("ts", ">=", cut)])
+    assert rep["files_kept"] < rep["files_total"]
+
+
+def test_in_predicate_rejects_strings_and_empty(spark, store):
+    """Regression (r4 advice): a plain string IN value would iterate
+    characters; an empty IN renders unparseable SQL. Both fail fast."""
+    from projectone_spark.store.skipping import predicates_to_sql
+
+    store.overwrite(spark, _orders(spark), "orders",
+                    stats_columns=["o_orderstatus"])
+    with pytest.raises(ValueError, match="plain str"):
+        read_where(store, spark, "orders", [("o_orderstatus", "in", "OF")])
+    with pytest.raises(ValueError, match="empty"):
+        read_where(store, spark, "orders", [("o_orderstatus", "in", ())])
+    with pytest.raises(ValueError, match="iterable"):
+        predicates_to_sql([("o_orderstatus", "in", 7)])
+
+
+def test_unknown_literal_type_keeps_file(spark, store):
+    """A literal type the set-pruning logic can't normalize keeps the file
+    (keep-on-uncertainty), mirroring _coerced's interval rule."""
+    from projectone_spark.store.skipping import _set_excludes
+
+    assert _set_excludes(["a", "b"], "c") is True  # provable exclusion
+    assert _set_excludes(["a", "b"], object()) is False  # unknown → keep
+    assert _set_excludes([1, 2], b"\x00") is False
