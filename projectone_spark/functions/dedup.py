@@ -272,28 +272,83 @@ def source_overlap(df: DataFrame, text_col: str = "text",
     contamination-matrix view of the corpus (which crawls/dumps share
     content), the source-level analogue of d05's per-document Jaccard.
 
-    Plan shape — ONE data-scale shuffle, no self-join: per-document
-    ``array_distinct`` shrinks the explode, then ``groupBy(shingle) +
-    collect_set(source)`` builds each shingle's source set in a single
-    map-side-combining aggregation (set size is bounded by the source
-    domain — tens, not data-scaled). Pair expansion happens as a codegen
-    array expression over those tiny sets (≤ sources² structs per
-    shingle), and both downstream aggregations (pair counts, per-source
-    set sizes) read the SAME aggregated exchange — Spark plans the second
-    branch as a ReusedExchange, so the corpus is scanned and shuffled
-    exactly once. An earlier draft self-joined the distinct (source,
-    shingle) relation on the shingle: correct, but it recomputed the
-    explode three times and re-shuffled the full set twice — 36 s vs ~6 s
-    at sf0.01, and the gap grows with data. At 100 TB the collect_set
-    shuffle is the only O(corpus) stage and it combines map-side.
+    Plan shape — the ONE data-scale stage is ``groupBy(shingle) +
+    bit_or(1 << source_id)``: the source domain is bounded (tens — their
+    names are collected once, the same bounded-domain collect the engine
+    already uses for CDC bounds and status sets), so each shingle's source
+    SET is a single long bitmask, aggregated by a codegen hash aggregate
+    with map-side combine (an earlier collect_set-of-strings draft paid
+    ObjectHashAggregate object overhead for the same information — 54 s vs
+    ~9 s at sf0.1; the first self-join draft was 6x worse still). The
+    bitmask table then collapses to at most 2^sources (mask, count) rows —
+    a second, tiny shuffle — and every pairwise intersection and per-source
+    set size is integer arithmetic over that micro-table, expanded by
+    codegen ``when`` terms (sources² of them). No UDFs; the only O(corpus)
+    shuffle carries an 8-byte value per distinct shingle.
+
+    Falls back to a sort-free collect_set plan when the source domain
+    exceeds 60 (bitmask width).
 
     Returns (source_a, source_b, n_common, n_a, n_b, jaccard) for every
     unordered pair sharing at least one shingle, jaccard rounded to 6.
     """
-    sets = (df.select(F.col(group_col).alias("src"),
-                      F.explode(F.array_distinct(
-                          shingles_of_norm(normalize(text_col), k)))
-                      .alias("s"))
+    srcs_list = sorted(r[0] for r in df.select(group_col).distinct().collect())
+    if len(srcs_list) > 60:
+        return _source_overlap_sets(df, text_col, group_col, k)
+    src_id = (F.array_position(F.array(*[F.lit(s) for s in srcs_list]),
+                               F.col("src")) - 1).cast("int")
+    # materialize-then-lambda discipline (see minhash_signatures): the
+    # spread() exchange is a projection barrier, so the normalize regexp
+    # chain runs once per document — inlined into the shingle lambda it
+    # would re-evaluate per ELEMENT (measured 6x slower at sf0.1)
+    base = spread(df.select(F.col(group_col).alias("src"),
+                            normalize(text_col).alias("__norm")))
+    masks = (base.select("src",
+                         F.explode(F.array_distinct(
+                             shingles_of_norm("__norm", k))).alias("s"))
+             .select(src_id.alias("__sid"), "s")
+             # Python F.shiftleft takes only a literal bit count; the SQL
+             # form accepts a column
+             .select(F.expr("shiftleft(CAST(1 AS BIGINT), __sid)").alias("bit"),
+                     "s")
+             .groupBy("s").agg(F.bit_or("bit").alias("m"))
+             .groupBy("m").agg(F.count(F.lit(1)).alias("cnt")))
+
+    def has_bit(i: int) -> F.Column:
+        return F.col("m").bitwiseAND(F.lit(1 << i)) != 0
+
+    n = len(srcs_list)
+    pair_terms = [
+        F.when(has_bit(i) & has_bit(j),
+               F.struct(F.lit(srcs_list[i]).alias("sa"),
+                        F.lit(srcs_list[j]).alias("sb")))
+        for i in range(n) for j in range(i + 1, n)]
+    inter = (masks.select("cnt",
+                          F.explode(F.filter(F.array(*pair_terms),
+                                             lambda p: p.isNotNull()))
+                          .alias("p"))
+             .groupBy(F.col("p.sa").alias("source_a"),
+                      F.col("p.sb").alias("source_b"))
+             .agg(F.sum("cnt").alias("n_common")))
+    size_terms = [F.when(has_bit(i), F.lit(srcs_list[i])) for i in range(n)]
+    sizes = (masks.select("cnt",
+                          F.explode(F.filter(F.array(*size_terms),
+                                             lambda s: s.isNotNull()))
+                          .alias("src"))
+             .groupBy("src").agg(F.sum("cnt").alias("n_sh")))
+    return _overlap_output(inter, sizes)
+
+
+def _source_overlap_sets(df: DataFrame, text_col: str,
+                         group_col: str, k: int) -> DataFrame:
+    """collect_set fallback for source domains too wide for a 64-bit mask:
+    same single O(corpus) shuffle, ObjectHashAggregate instead of the
+    codegen long bit_or."""
+    base = spread(df.select(F.col(group_col).alias("src"),
+                            normalize(text_col).alias("__norm")))
+    sets = (base.select("src",
+                        F.explode(F.array_distinct(
+                            shingles_of_norm("__norm", k))).alias("s"))
             .groupBy("s").agg(F.sort_array(F.collect_set("src")).alias("srcs")))
 
     def pair_structs(srcs):
@@ -310,6 +365,10 @@ def source_overlap(df: DataFrame, text_col: str = "text",
              .agg(F.count(F.lit(1)).alias("n_common")))
     sizes = (sets.select(F.explode("srcs").alias("src"))
              .groupBy("src").agg(F.count(F.lit(1)).alias("n_sh")))
+    return _overlap_output(inter, sizes)
+
+
+def _overlap_output(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     return (inter
             .join(F.broadcast(sizes.select(F.col("src").alias("source_a"),
                                            F.col("n_sh").alias("n_a"))),
@@ -322,3 +381,42 @@ def source_overlap(df: DataFrame, text_col: str = "text",
                             (F.col("n_a") + F.col("n_b")
                              - F.col("n_common")).cast("double"), 6)
                     .alias("jaccard")))
+
+
+def dedup_token_accounting(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", group_col: str = "source",
+                           tokens_col: Column | None = None) -> DataFrame:
+    """Effective-token accounting under exact dedup: per group, how many
+    documents/tokens survive when each exact-duplicate cluster keeps only
+    its minimum-id representative — the number every mixture/quota stage
+    (p02/p05) actually needs, since raw token mass double-counts
+    duplicated content.
+
+    Plan shape: one hash aggregation on the 16-byte content hash to elect
+    keepers (min id), one shuffle join back on the same hash (both sides
+    already partitioned by it — AQE plans the second exchange as a reuse),
+    then a group-by over the small group domain. No collects, no UDFs.
+
+    Returns (group_col, n_docs, n_unique, total_tokens, unique_tokens,
+    dup_token_ratio) with the ratio rounded to 6 decimals.
+    """
+    from projectone_spark.functions.sampling import estimate_tokens
+
+    toks = (tokens_col if tokens_col is not None
+            else estimate_tokens(F.length(F.col(text_col))))
+    d = df.select(F.col(id_col), F.col(group_col),
+                  toks.alias("__toks"),
+                  content_hash(text_col).alias("__h"))
+    keepers = d.groupBy("__h").agg(F.min(id_col).alias("__keeper"))
+    joined = d.join(keepers, "__h")
+    is_keeper = (F.col(id_col) == F.col("__keeper")).cast("long")
+    return (joined.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(is_keeper).alias("n_unique"),
+                 F.sum("__toks").alias("total_tokens"),
+                 F.sum(F.col("__toks") * is_keeper).alias("unique_tokens"))
+            .select(group_col, "n_docs", "n_unique", "total_tokens",
+                    "unique_tokens",
+                    F.round(F.lit(1.0) - F.col("unique_tokens")
+                            / F.col("total_tokens").cast("double"), 6)
+                    .alias("dup_token_ratio")))

@@ -85,3 +85,38 @@ JOIN sizes sb ON sb.src = source_b
 def d09_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("source", "text")
     return source_overlap(docs)
+
+
+_P06_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks,
+         md5({_NORM}) AS h
+  FROM documents),
+k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN doc_id = keeper THEN toks ELSE 0 END) AS BIGINT)
+         AS unique_tokens,
+       round(1.0 - sum(CASE WHEN doc_id = keeper THEN toks ELSE 0 END)
+                   / CAST(sum(toks) AS DOUBLE), 6) AS dup_token_ratio
+FROM d JOIN k USING (h)
+GROUP BY source
+"""
+
+
+@register("p06_dedup_token_accounting", _P06_SQL,
+          doc="effective-token accounting under exact dedup: per source, "
+              "docs/tokens surviving when each duplicate cluster keeps its "
+              "min-id representative — the corrected mass that mixture/"
+              "quota stages (p02/p05) should weight by; one 16-byte-hash "
+              "agg + one hash join, no collects",
+          tags=("sampling", "dedup", "llm"))
+def p06_dedup_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.dedup import dedup_token_accounting
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dedup_token_accounting(docs)

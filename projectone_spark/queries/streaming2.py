@@ -1,0 +1,71 @@
+"""Additional streaming queries — registry TAIL (never disturbs the
+driver's 50-slot adjudication prefix).
+
+st11 extends st06's inner interval join to LEFT OUTER, which exercises a
+different state-store path: unmatched left rows are held in state and
+emitted null-padded only when the watermark passes their join-condition
+upper bound. The oracle restricts both engines to the watermark-SETTLED
+region (views at least 4h older than the stream's max timestamp, i.e.
+strictly clear of the 1h interval + 2h watermark + boundary semantics),
+where streaming output provably equals the batch LEFT JOIN — encoding
+exactly which rows an append-mode outer join has emitted by end-of-stream.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import load, register
+from projectone_spark.queries.streaming import _stream_events
+
+_ST11_SQL = """
+WITH cutoff AS (SELECT max(ts) - INTERVAL 4 HOUR AS c FROM events),
+v AS (SELECT * FROM events WHERE event_type = 'view'
+      AND ts < (SELECT c FROM cutoff)),
+p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts,
+       round(p.value - v.value, 2) AS value_delta
+FROM v LEFT JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("st11_stream_outer_interval_join", _ST11_SQL,
+          doc="stream-stream LEFT OUTER interval join: every view emits, "
+              "null-padded when no purchase follows within 1h — unmatched "
+              "rows surface from the state store only when the watermark "
+              "passes their upper bound, so the comparison restricts both "
+              "engines to the watermark-settled region (views 4h clear of "
+              "end-of-stream); state stays O(rate x (watermark+interval))",
+          tags=("streaming", "join", "outer"))
+def st11_stream_outer_interval_join(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from projectone_spark.streaming import run_to_memory
+    from projectone_spark.streaming.joins import interval_join
+
+    # Deterministic settled-region cutoff from the batch table (bounded
+    # driver work: one min/max agg, the same cost class as CDC bounds).
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    views = (_stream_events(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("value").alias("view_value")))
+    purchases = (_stream_events(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"), "value"))
+    joined = interval_join(
+        views, purchases.withColumnRenamed("p_user_id", "user_id"),
+        on="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        within="1 HOUR", watermark="2 hours", how="left_outer")
+    out = (joined.select(
+        F.col("l.user_id").alias("user_id"), "view_id", "purchase_id",
+        "view_ts", "purchase_ts",
+        F.round(F.col("value") - F.col("view_value"), 2).alias("value_delta"))
+        .filter(F.col("view_ts") < F.lit(max_ts) - F.expr("INTERVAL 4 HOUR")))
+    return run_to_memory(out, output_mode="append")

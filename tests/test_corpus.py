@@ -86,3 +86,19 @@ def test_corpus_plans_broadcast_small_sides(spark):
     # shuffle — the corpus is scanned and shuffled exactly once (the
     # self-join formulation recomputed the explode three times)
     assert "ReusedExchange" in p2
+
+
+def test_dedup_token_accounting_invariants(spark):
+    from projectone_spark.functions.dedup import dedup_token_accounting
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup_token_accounting(
+        docs.select("doc_id", "source", "text")).collect()
+    assert out
+    for r in out:
+        assert 0 < r.n_unique <= r.n_docs
+        assert 0 < r.unique_tokens <= r.total_tokens
+        assert 0.0 <= r.dup_token_ratio < 1.0
+    # totals must reconcile with the corpus
+    n_total = docs.count()
+    assert sum(r.n_docs for r in out) == n_total
