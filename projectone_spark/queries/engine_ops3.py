@@ -107,3 +107,83 @@ def s16_selective_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
                  .cast("double").alias("total_price")))
+
+
+_S17_SQL = """
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'UNSPECIFIED'
+            ELSE o_orderpriority END AS priority
+FROM orders
+WHERE o_orderkey % 7 = 0
+"""
+
+
+@register("s17_table_contract_columns", _S17_SQL,
+          doc="table-contract column features (reference Delta column "
+              "extras, core/utils/delta.py:12-45): create-if-missing "
+              "materializes the declared schema as an empty v0 snapshot, "
+              "then an append flows through apply_table_features — "
+              "generated column (o_year from the order date) and declared "
+              "default (priority backfills NULL) — and the read-back "
+              "matches closed-form SQL",
+          tags=("store", "write", "contract"))
+def s17_table_contract_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.config.data_objects import Table, TableColumn
+    from projectone_spark.store import TableStore, create_if_not_exists
+    from projectone_spark.writers.columns import apply_table_features
+
+    store = TableStore(tempfile.mkdtemp(prefix="po_s17_"))
+    contract = Table(name="orders_enriched", columns=[
+        TableColumn(name="o_orderkey", type="bigint", nullable=False),
+        TableColumn(name="o_orderstatus", type="string"),
+        TableColumn(name="o_year", type="int",
+                    generated_expr="year(o_orderdate)"),
+        TableColumn(name="priority", type="string", default="UNSPECIFIED"),
+    ])
+    created = create_if_not_exists(store, spark, contract)
+    assert created == 0 and create_if_not_exists(store, spark, contract) is None
+
+    src = (load(spark, sf_dir, "orders")
+           .filter(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey", "o_orderstatus", "o_orderdate",
+                   # exercise the default: every third key arrives NULL and
+                   # must backfill to the declared default
+                   F.when(F.col("o_orderkey") % 3 == 0, None)
+                   .otherwise(F.col("o_orderpriority")).alias("priority")))
+    out = apply_table_features(src, contract).drop("o_orderdate")
+    store.append(spark, out, "orders_enriched")
+    return store.read(spark, "orders_enriched").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_year").cast("long").alias("o_year"), "priority")
+
+
+_S18_SQL = """
+SELECT 'overwrite' AS op_v0, 'append' AS op_v1, 1 AS version,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+"""
+
+
+@register("s18_write_stats", _S18_SQL,
+          doc="last-commit write stats (reference get_last_write_stats, "
+              "core/utils/delta.py:135-168): manifest-only operation/"
+              "version metadata across an overwrite + append cycle, "
+              "cross-checked against the stored row count — no Spark job "
+              "for the metadata itself",
+          tags=("store", "observability"))
+def s18_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.store import TableStore, last_commit_stats
+
+    store = TableStore(tempfile.mkdtemp(prefix="po_s18_"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    store.overwrite(spark, half, "orders")
+    op_v0 = last_commit_stats(store, "orders")["operation"]
+    store.append(spark, orders.subtract(half), "orders")
+    stats = last_commit_stats(store, "orders")
+    assert stats["num_files"] > 0 and stats["num_bytes"] > 0
+    n_rows = store.read(spark, "orders").count()
+    return spark.createDataFrame(
+        [(op_v0, stats["operation"], stats["version"], n_rows)],
+        "op_v0 string, op_v1 string, version int, n_rows bigint")
