@@ -116,7 +116,8 @@ def _ensure_loaded() -> None:
         multimodal2,  # no-oracle m05 — tail by contract
         corpus,  # new-in-r4 tail: tf-idf terms + source-overlap matrix
         streaming2,  # new-in-r4 tail: outer interval join
-        engine_ops3,  # new-in-r4 tail: table constraint + selective overwrite
+        engine_ops3,  # new-in-r4 tail: write/maintenance features s15–s21
+        connectors,  # new-in-r4 tail: OData mock + Derby JDBC round-trips
     )
 
 

@@ -1,0 +1,106 @@
+"""Connector queries — registry TAIL. Driver-oracle coverage for the two
+connectors that can run fully offline in any container: the OData Python
+DataSource (against its deterministic in-process mock service) and the
+partitioned JDBC source (against embedded Derby, which ships in the
+PySpark distribution).
+
+The OData mock's rows are a closed formula over ``range(40)``
+(``sources/odata.py:MockODataTransport``), so DuckDB recomputes the
+expected result exactly; the JDBC query round-trips the driver's own
+orders table through a real database and back through bound-slice
+partitioned reads.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import load, register
+
+_O01_SQL = """
+SELECT i AS Id,
+       printf('Account %03d', i) AS Name,
+       round(100.0 * CAST(i AS DOUBLE) + 0.5, 2) AS Balance,
+       (i % 3 <> 0) AS Active
+FROM range(40) t(i)
+WHERE i >= 10 AND (i % 3 <> 0)
+"""
+
+
+@register("o01_odata_pushdown", _O01_SQL,
+          doc="OData Python DataSource end-to-end against the offline mock "
+              "service: schema from $metadata, Id >= 10 pushed down to "
+              "$filter (asserted: the pushed count shrinks partition "
+              "planning), Active = true evaluated post-scan, $select "
+              "projection — the mock's closed-form rows recomputed by the "
+              "oracle from range(40)",
+          tags=("source", "odata", "pushdown"))
+def o01_odata_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.session import configure
+    from projectone_spark.sources.odata import register as register_odata
+
+    configure(spark)
+    register_odata(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (spark.read.format("odata")
+          .option("url", "mock://svc").option("entity", "Accounts")
+          .option("transport",
+                  "projectone_spark.sources.odata:MockODataTransport")
+          .option("rows_per_page", "7")
+          .load())
+    # Probe the FULL scan's partition count BEFORE planning any filtered
+    # query: Spark caches a Python DataSource's planned scan on the
+    # relation, so an unfiltered re-plan after a filtered one reuses the
+    # filtered read (see tests/test_odata.py::
+    # test_scan_cache_reuses_pushed_filters_upstream_behavior).
+    n_full = df.rdd.getNumPartitions()
+    out = (df.filter((F.col("Id") >= 10) & F.col("Active"))
+           .select("Id", "Name", "Balance", "Active"))
+    # the pushed $filter shrinks the service-side $count, so partition
+    # planning sees fewer pages than the full scan
+    assert out.rdd.getNumPartitions() < n_full, \
+        "Id >= 10 was not pushed down to $filter"
+    return out
+
+
+_J01_SQL = """
+SELECT o_custkey % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_custkey % 10
+"""
+
+
+@register("j01_jdbc_partitioned_read", _J01_SQL,
+          doc="partitioned parallel JDBC read (reference jdbc_source.py:"
+              "39-57) against a REAL embedded Derby database: orders are "
+              "written over JDBC, read back as 4 bound slices on the order "
+              "key (asserted), and the aggregation matches the parquet "
+              "source exactly — value fidelity through a full JDBC "
+              "round-trip",
+          tags=("source", "jdbc"))
+def j01_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.sources import read_jdbc
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='po_j01_')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    (orders.write.format("jdbc")
+     .option("url", url).option("dbtable", "ORDERS")
+     .option("driver", driver).mode("overwrite").save())
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    back = read_jdbc(spark, url, dbtable="ORDERS",
+                     partition_column="o_orderkey",
+                     lower_bound=lo, upper_bound=hi, num_partitions=4,
+                     options={"driver": driver})
+    assert back.rdd.getNumPartitions() == 4
+    return (back.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("total_price")))

@@ -167,3 +167,22 @@ def test_authenticated_read_through_spark(odata_spark):
           .option("rows_per_page", "16")
           .load())
     assert df.count() == 40
+
+
+def test_scan_cache_reuses_pushed_filters_upstream_behavior(odata_spark):
+    """Documents a Spark 4.1 Python-DataSource sharp edge (upstream
+    behavior, not ours): the JVM caches the planned scan per relation, so
+    after a FILTERED query plans against a loaded DataFrame, an
+    unfiltered re-use of that same DataFrame object reuses the cached
+    filtered read function — rows are silently missing. Each planning
+    with filters spawns a fresh reader (data_source_pushdown_filters.py
+    worker), so differently-filtered queries stay correct; only the
+    no-filter re-plan path hits the stale cache. A fresh load() is always
+    clean — which is what our query registry does. If this test starts
+    FAILING on a Spark upgrade, the upstream caching was fixed: delete
+    the workaround ordering in queries/connectors.py::o01."""
+    df = _read(odata_spark)
+    assert df.count() == 40              # clean before any filtered plan
+    assert df.filter(F.col("Id") >= 35).count() == 5
+    assert df.count() == 5               # ← upstream stale-cache behavior
+    assert _read(odata_spark).count() == 40  # fresh load is unaffected
