@@ -1,8 +1,9 @@
-"""Connector queries — registry TAIL. Driver-oracle coverage for the two
+"""Connector queries — registry TAIL. Driver-oracle coverage for the
 connectors that can run fully offline in any container: the OData Python
-DataSource (against its deterministic in-process mock service) and the
+DataSource (against its deterministic in-process mock service), the
 partitioned JDBC source (against embedded Derby, which ships in the
-PySpark distribution).
+PySpark distribution), and the Excel source (stdlib xlsx writer →
+dependency-free fallback parser round-trip).
 
 The OData mock's rows are a closed formula over ``range(40)``
 (``sources/odata.py:MockODataTransport``), so DuckDB recomputes the
@@ -104,3 +105,41 @@ def j01_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
                  .cast("double").alias("total_price")))
+
+
+_X01_SQL = """
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name) AS first_nation
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("x01_excel_roundtrip", _X01_SQL,
+          doc="Excel source end-to-end with zero optional deps: the nation "
+              "table is exported to real xlsx (zipped SpreadsheetML via "
+              "the stdlib writer), read back through read_excel's "
+              "dependency-free fallback parser (shared/inline strings, "
+              "numbers, header row), and the aggregation matches the "
+              "parquet source — the reference ExcelSource's read path "
+              "(file_source.py:1014-1136) with a round-trip proof",
+          tags=("source", "excel"))
+def x01_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from projectone_spark.sources.connectors import (
+        read_excel, write_xlsx_stdlib,
+    )
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [[r.n_nationkey, r.n_name, r.n_regionkey]
+            for r in nation.orderBy("n_nationkey").collect()]  # 25-row dim
+    path = os.path.join(tempfile.mkdtemp(prefix="po_x01_"), "nation.xlsx")
+    write_xlsx_stdlib(path, ["n_nationkey", "n_name", "n_regionkey"], rows)
+    back = read_excel(spark, path)
+    return (back.groupBy(F.col("n_regionkey").cast("bigint")
+                         .alias("n_regionkey"))
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.min("n_name").alias("first_nation")))

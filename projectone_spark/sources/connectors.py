@@ -241,3 +241,69 @@ def read_delta(spark: SparkSession, path: str | None = None,
     for k, v in (options or {}).items():
         reader = reader.option(k, str(v))
     return reader.table(table) if table else reader.load(path)
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index → A1-style letters (0→A, 25→Z, 26→AA)."""
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def write_xlsx_stdlib(path: str, columns: list[str], rows: list[list],
+                      sheet_name: str = "Sheet1") -> None:
+    """Minimal dependency-free xlsx writer — the export mirror of
+    :func:`read_xlsx_stdlib` (xlsx IS zipped SpreadsheetML). Strings write
+    as inline strings, ints/floats as numbers, booleans as t="b", None as
+    a gap; one sheet, header row first. Small driver-side dim/report
+    files only — the same scope as the reference's Excel surface."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_col_letter(c)}{r}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f"{escape(str(v))}</t></is></c>")
+
+    body = []
+    for ri, row in enumerate([list(columns)] + [list(r) for r in rows],
+                             start=1):
+        cells = "".join(cell(ri, ci, v) for ci, v in enumerate(row))
+        body.append(f'<row r="{ri}">{cells}</row>')
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             f'<worksheet xmlns="{ns}"><sheetData>'
+             + "".join(body) + "</sheetData></worksheet>")
+    ct = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+          '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+          '</Types>')
+    root_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                 '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                 '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+                 '</Relationships>')
+    wb = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+          f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>')
+    wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+               '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+               '</Relationships>')
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)

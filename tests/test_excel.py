@@ -157,3 +157,27 @@ def test_kafka_option_map_no_auth():
     assert opts["startingOffsets"] == "earliest"
     assert opts["failOnDataLoss"] == "false"
     assert "kafka.security.protocol" not in opts
+
+
+def test_write_xlsx_stdlib_roundtrip(tmp_path):
+    """The export mirror: write real xlsx with the stdlib writer, read it
+    back with the stdlib parser — types, gaps, unicode, booleans."""
+    from projectone_spark.sources.connectors import write_xlsx_stdlib
+
+    path = str(tmp_path / "out.xlsx")
+    write_xlsx_stdlib(path, ["name", "n", "ratio", "ok"],
+                      [["naïve <&> 'quote'", 7, 2.5, True],
+                       ["gap", None, -1.25, False],
+                       ["", 0, 0.0, True]])
+    cols, rows = read_xlsx_stdlib(path)
+    assert cols == ["name", "n", "ratio", "ok"]
+    assert rows[0] == ["naïve <&> 'quote'", 7.0, 2.5, True]
+    assert rows[1] == ["gap", None, -1.25, False]
+    assert rows[2] == ["", 0.0, 0.0, True]
+
+
+def test_col_letter_past_z():
+    from projectone_spark.sources.connectors import _col_letter
+
+    assert [_col_letter(i) for i in (0, 25, 26, 27, 51, 52, 701, 702)] == \
+        ["A", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA"]
