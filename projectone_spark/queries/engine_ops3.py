@@ -182,10 +182,10 @@ def s18_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = TableStore(tempfile.mkdtemp(prefix="po_s18_"))
     orders = load(spark, sf_dir, "orders").select("o_orderkey")
-    half = orders.filter(F.col("o_orderkey") % 2 == 0)
-    store.overwrite(spark, half, "orders")
+    store.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0),
+                    "orders")
     op_v0 = last_commit_stats(store, "orders")["operation"]
-    store.append(spark, orders.subtract(half), "orders")
+    store.append(spark, orders.filter(F.col("o_orderkey") % 2 != 0), "orders")
     stats = last_commit_stats(store, "orders")
     assert stats["num_files"] > 0 and stats["num_bytes"] > 0
     n_rows = store.read(spark, "orders").count()
@@ -204,7 +204,7 @@ GROUP BY o_orderstatus
 
 
 @register("s19_compact_small_files", _S19_SQL,
-          doc="small-file compaction (Delta OPTIMIZE bin-packing): 16 tiny "
+          doc="small-file compaction (Delta OPTIMIZE bin-packing): 8 tiny "
               "append commits fragment the table, compact() bin-packs the "
               "snapshot into ~target-size files in one rewrite job; the "
               "query asserts the file count dropped and proves the data "
@@ -217,13 +217,13 @@ def s19_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = TableStore(tempfile.mkdtemp(prefix="po_s19_"))
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus")
-    # 16 fragmented commits: one small file each
+    # 8 fragmented commits: one small file each
     store.overwrite(spark,
-                    orders.filter(F.col("o_orderkey") % 16 == 0).coalesce(1),
+                    orders.filter(F.col("o_orderkey") % 8 == 0).coalesce(1),
                     "orders")
-    for i in range(1, 16):
+    for i in range(1, 8):
         store.append(spark,
-                     orders.filter(F.col("o_orderkey") % 16 == i).coalesce(1),
+                     orders.filter(F.col("o_orderkey") % 8 == i).coalesce(1),
                      "orders")
     before = len(table_files(store, "orders"))
     v = compact(store, spark, "orders", target_file_bytes=256 * 1024 * 1024)
