@@ -310,3 +310,48 @@ def s21_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum((F.col("o_orderstatus") == "O").cast("bigint"))
                  .alias("n_open")))
+
+
+_S22_SQL = """
+WITH big AS (
+  SELECT o.o_custkey, count(*) AS n, sum(CAST(o.o_totalprice
+                                              AS DECIMAL(18,2))) AS t
+  FROM orders o GROUP BY o.o_custkey)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(big.n) AS BIGINT) AS n_orders,
+       CAST(round(sum(big.t), 2) AS DOUBLE) AS total_price
+FROM big JOIN customer c ON c.c_custkey = big.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("s22_catalog_sql", _S22_SQL,
+          doc="full SQL surface over the store: tables register as catalog "
+              "views (reference materializes Schema/Table/View objects, "
+              "data_objects.py:99-110), a View CONTRACT defines the "
+              "per-customer rollup, and one spark.sql statement joins the "
+              "view with a store table — SQL-first users never touch the "
+              "DataFrame API",
+          tags=("store", "sql", "catalog"))
+def s22_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.config.data_objects import View
+    from projectone_spark.store import TableStore, register_catalog
+
+    store = TableStore(tempfile.mkdtemp(prefix="po_s22_"))
+    store.overwrite(spark, load(spark, sf_dir, "orders")
+                    .select("o_custkey", "o_totalprice"), "orders")
+    store.overwrite(spark, load(spark, sf_dir, "customer")
+                    .select("c_custkey", "c_mktsegment"), "customer")
+    rollup = View(
+        name="customer_rollup",
+        query="SELECT o_custkey, count(*) AS n, "
+              "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t "
+              "FROM orders GROUP BY o_custkey")
+    register_catalog(store, spark, ["orders", "customer"], views=[rollup])
+    return spark.sql(
+        "SELECT c.c_mktsegment, count(*) AS n_customers, "
+        "CAST(sum(r.n) AS BIGINT) AS n_orders, "
+        "CAST(round(sum(r.t), 2) AS DOUBLE) AS total_price "
+        "FROM customer_rollup r JOIN customer c ON c.c_custkey = r.o_custkey "
+        "GROUP BY c.c_mktsegment")

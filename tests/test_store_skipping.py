@@ -10,7 +10,8 @@ import pytest
 
 from projectone_spark.store import TableStore
 from projectone_spark.store.skipping import (
-    optimize, prune_files, read_where, skipping_report, zorder_column,
+    optimize, predicates_to_sql, prune_files, read_where, skipping_report,
+    zorder_column,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -377,3 +378,62 @@ def test_unknown_literal_type_keeps_file(spark, store):
     assert _set_excludes(["a", "b"], "c") is True  # provable exclusion
     assert _set_excludes(["a", "b"], object()) is False  # unknown → keep
     assert _set_excludes([1, 2], b"\x00") is False
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    import datetime as _dt
+
+    _INT_LIT = hst.integers(min_value=-10, max_value=40_000)
+    _DATE_LIT = hst.dates(min_value=_dt.date(1991, 1, 1),
+                          max_value=_dt.date(2000, 12, 31))
+    _TS_LIT = hst.datetimes(min_value=_dt.datetime(1991, 1, 1),
+                            max_value=_dt.datetime(2000, 12, 31))
+    _OPS = hst.sampled_from(["=", "<", "<=", ">", ">="])
+    _PRED = hst.one_of(
+        hst.tuples(hst.just("o_orderkey"), _OPS, _INT_LIT),
+        hst.tuples(hst.just("o_orderdate"), _OPS, _DATE_LIT),
+        hst.tuples(hst.just("o_orderdate"), _OPS, _TS_LIT),
+        hst.tuples(hst.just("o_orderdate"), _OPS,
+                   _DATE_LIT.map(lambda d: d.isoformat())),
+        hst.tuples(hst.just("o_orderstatus"), hst.just("="),
+                   hst.sampled_from(["O", "F", "P", "nope"])),
+        hst.tuples(hst.just("o_orderstatus"), hst.just("in"),
+                   hst.lists(hst.sampled_from(["O", "F", "P", "nope"]),
+                             min_size=1, max_size=3, unique=True)
+                   .map(tuple)),
+    )
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(preds=hst.lists(_PRED, min_size=1, max_size=3))
+    def test_read_where_equals_full_filter_property(spark, _skip_store, preds):
+        """PROPERTY (r4, after the datetime set-pruning regression):
+        for ANY conjunction of predicates over int/date/timestamp/
+        string/IN literals, pruned read == full-scan filter, exactly.
+        Pruning may keep extra files, never drop rows."""
+        got = read_where(_skip_store, spark, "orders", preds)
+        want = _skip_store.read(spark, "orders").filter(
+            predicates_to_sql(preds))
+        _assert_same(got, want)
+
+    @pytest.fixture(scope="module")
+    def _skip_store(spark, tmp_path_factory):
+        """One clustered, stats- and set-indexed table shared by every
+        hypothesis example (building it per-example would dominate)."""
+        from projectone_spark.store.skipping import add_value_set_stats
+
+        store = TableStore(str(tmp_path_factory.mktemp("prop") / "store"))
+        df = _orders(spark).repartitionByRange(6, "o_orderdate")
+        store.overwrite(spark, df, "orders",
+                        stats_columns=["o_orderkey", "o_orderdate"])
+        add_value_set_stats(store, "orders", ["o_orderstatus"])
+        return store
