@@ -1,0 +1,280 @@
+"""Framework-pipeline queries: the task/DAG orchestration layer run
+end-to-end as oracle-checkable queries.
+
+Each query drives a full SparkTask (or a two-task DAG) exactly the way the
+reference's integration tests do (``tests/integration_tests/test_batch.py``:
+configure → execute → read the target back), so the driver's correctness
+gate adjudicates the ENTIRE task lifecycle — input read, secret/window
+interpolation, feature pipeline, CDC predicate resolution, execution-fn
+binding, writer, store read-back — not just the leaf operators:
+
+- f01: refresh-window (``{{RangeStart}}``) + secret (``{{scope/key}}``)
+  interpolation inside the input filter, filter_data + select_columns
+  features, a body-mode execution function with extra_arguments
+  (reference ``core/task/spark/task.py:136-209``, features
+  ``operator/spark_task/input.py:164-287``, execution
+  ``core/schemas/execution.py:9-37``).
+- f02: two-task DAG with a store-table handoff between tasks (reference
+  local runner ``framework/runner/local.py:101-150``: wave scheduling on
+  ``depends_on``).
+- f03: backfill CDC — the refresh policy's explicit [start, end] becomes
+  an inclusive range predicate on the CDC attribute (reference
+  ``file_source.py:892-896``, ``delta_source.py:334-343``).
+- f04: schema-inference feature — a JSON payload column parsed into a
+  typed struct via the registry-schema path (reference
+  ``core/utils/spark.py:180-246``).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import textwrap
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import register
+from projectone_spark.session import configure
+
+_F01_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_totalprice >= 1000.0
+  AND (o_custkey % 10) = 3
+GROUP BY o_custkey
+HAVING count(*) >= 2
+"""
+
+
+@register("f01_task_feature_pipeline", _F01_SQL,
+          doc="full SparkTask lifecycle as one query: refresh-window "
+              "({{RangeStart}}) and secret ({{flt/min_price}}) "
+              "interpolation in the input filter, filter_data + "
+              "select_columns features, a body-mode execution function "
+              "with extra_arguments, overwrite to the store, read-back",
+          tags=("task", "features", "secrets", "framework"))
+def f01_task_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+
+    configure(spark)
+    root = tempfile.mkdtemp(prefix="po_f01_store_")
+    body = textwrap.dedent("""
+        import pyspark.sql.functions as F
+        def revenue_by_cust(src, min_orders=1):
+            return (src.groupBy("o_custkey")
+                    .agg(F.count(F.lit(1)).alias("n_orders"),
+                         F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+                    .filter(F.col("n_orders") >= min_orders))
+    """)
+    task = (SparkTask.builder
+            .setName("f01")
+            .setInput(name="src", path=f"{sf_dir}/orders.parquet",
+                      source="parquet",
+                      read_options={"filter": (
+                          "o_orderdate >= TIMESTAMP '{{RangeStart}}'"
+                          " AND o_totalprice >= {{flt/min_price}}")},
+                      features=[
+                          {"name": "filter_data",
+                           "condition": "(o_custkey % 10) = 3"},
+                          {"name": "select_columns",
+                           "columns": "o_orderkey, o_custkey, o_totalprice"},
+                      ])
+            .setExecution(name="revenue_by_cust", body=body,
+                          extra_arguments={"min_orders": 2})
+            .setOutput(name="out", table="f01_out", write_type="overwrite")
+            .setRefreshPolicy(type="backfill", start_value="1997-01-01",
+                              end_value="1998-12-31")
+            .setSecrets({"flt": {"min_price": "1000.0"}})
+            .setStateLocation(tempfile.mkdtemp(prefix="po_f01_state_"))
+            .setStoreLocation(root)
+            .setSession(spark)
+            .create())
+    task.execute()
+    return (TableStore(root).read(spark, "f01_out")
+            .select("o_custkey", "n_orders", "revenue"))
+
+
+_F02_SQL = """
+WITH la AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  GROUP BY l_orderkey)
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(rev), 2) AS revenue
+FROM orders JOIN la ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("f02_dag_pipeline", _F02_SQL,
+          doc="two-task DAG with a store-table handoff: task A aggregates "
+              "recent lineitem revenue per order into the store, task B "
+              "(depends_on A) joins it to orders and rolls up per "
+              "priority; wave-scheduled by PipelineRunner",
+          tags=("dag", "task", "framework"))
+def f02_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+    from projectone_spark.task.dag import PipelineRunner, TaskNode
+
+    configure(spark)
+    root = tempfile.mkdtemp(prefix="po_f02_store_")
+    state = tempfile.mkdtemp(prefix="po_f02_state_")
+
+    body_a = textwrap.dedent("""
+        import pyspark.sql.functions as F
+        def line_revenue(lines):
+            return (lines.groupBy("l_orderkey")
+                    .agg(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))).alias("rev")))
+    """)
+    task_a = (SparkTask.builder
+              .setName("f02_lines")
+              .setInput(name="lines", path=f"{sf_dir}/lineitem.parquet",
+                        source="parquet",
+                        read_options={"filter":
+                                      "l_shipdate >= TIMESTAMP '1997-01-01'"},
+                        features=[{"name": "select_columns",
+                                   "columns": "l_orderkey, l_extendedprice,"
+                                              " l_discount"}])
+              .setExecution(name="line_revenue", body=body_a)
+              .setOutput(name="out", table="lines_agg", write_type="overwrite")
+              .setStateLocation(state)
+              .setStoreLocation(root)
+              .setSession(spark)
+              .create())
+
+    body_b = textwrap.dedent("""
+        import pyspark.sql.functions as F
+        def priority_rollup(lines_agg, orders):
+            j = orders.join(lines_agg,
+                            orders.o_orderkey == lines_agg.l_orderkey)
+            return (j.groupBy("o_orderpriority")
+                    .agg(F.count(F.lit(1)).alias("n_orders"),
+                         F.round(F.sum("rev"), 2).alias("revenue")))
+    """)
+    task_b = (SparkTask.builder
+              .setName("f02_final")
+              .setInput(name="lines_agg", path=f"{root}:lines_agg",
+                        source="store")
+              .setInput(name="orders", path=f"{sf_dir}/orders.parquet",
+                        source="parquet",
+                        features=[{"name": "select_columns",
+                                   "columns": "o_orderkey, o_orderpriority"}])
+              .setExecution(name="priority_rollup", body=body_b)
+              .setOutput(name="out", table="f02_final", write_type="overwrite")
+              .setStateLocation(state)
+              .setStoreLocation(root)
+              .setSession(spark)
+              .create())
+
+    runs = PipelineRunner(spark).run([
+        TaskNode("f02_lines", task_a.config),
+        TaskNode("f02_final", task_b.config, depends_on=["f02_lines"]),
+    ])
+    bad = {n: r.error for n, r in runs.items() if r.status != "SUCCESS"}
+    if bad:
+        raise RuntimeError(f"DAG tasks failed: {bad}")
+    return (TableStore(root).read(spark, "f02_final")
+            .select("o_orderpriority", "n_orders", "revenue"))
+
+
+_F03_SQL = """
+SELECT event_id, event_type, round(value, 2) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-21 23:59:59'
+"""
+
+
+@register("f03_cdc_backfill", _F03_SQL,
+          doc="backfill CDC through the task lifecycle: the refresh "
+              "policy's explicit [start, end] window becomes an inclusive "
+              "range predicate on the CDC attribute (reference "
+              "file_source.py:892-896), applied before projection",
+          tags=("cdc", "task", "framework"))
+def f03_cdc_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+
+    configure(spark)
+    root = tempfile.mkdtemp(prefix="po_f03_store_")
+    body = textwrap.dedent("""
+        import pyspark.sql.functions as F
+        def project(ev):
+            return ev.select("event_id", "event_type",
+                             F.round("value", 2).alias("value"))
+    """)
+    task = (SparkTask.builder
+            .setName("f03")
+            .setInput(name="ev", path=f"{sf_dir}/events.parquet",
+                      source="parquet",
+                      cdc={"attribute": "ts", "value_type": "timestamp"})
+            .setExecution(name="project", body=body)
+            .setOutput(name="out", table="f03_out", write_type="append")
+            .setRefreshPolicy(type="backfill",
+                              start_value="2024-01-08 00:00:00",
+                              end_value="2024-01-21 23:59:59")
+            .setStateLocation(tempfile.mkdtemp(prefix="po_f03_state_"))
+            .setStoreLocation(root)
+            .setSession(spark)
+            .create())
+    task.execute()
+    # the persisted CDC state must record the backfill window (reference
+    # persists post-success, task.py:519-544)
+    saved = task.state.get_value("ev_cdc_value", folder="sources")
+    assert saved and saved["load_type"] == "backfill", saved
+    return (TableStore(root).read(spark, "f03_out")
+            .select("event_id", "event_type", F.col("value").cast("double")))
+
+
+_F04_SQL = """
+SELECT event_id, event_type,
+       CAST(props->>'$.k' AS BIGINT) AS k
+FROM events
+"""
+
+
+@register("f04_schema_registry_json", _F04_SQL,
+          doc="schema-inference feature: the JSON payload column parsed "
+              "into a typed struct by the registry-schema path "
+              "(from_json with a validated DDL schema), then a struct "
+              "field projected out",
+          tags=("features", "schema-registry", "task", "framework"))
+def f04_schema_registry_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+
+    configure(spark)
+    root = tempfile.mkdtemp(prefix="po_f04_store_")
+    body = textwrap.dedent("""
+        import pyspark.sql.functions as F
+        def unpack(ev):
+            return ev.select("event_id", "event_type",
+                             F.col("props_t.k").alias("k"))
+    """)
+    task = (SparkTask.builder
+            .setName("f04")
+            .setInput(name="ev", path=f"{sf_dir}/events.parquet",
+                      source="parquet",
+                      features=[{"name": "schema_inference",
+                                 "source_column": "props",
+                                 "schema": "k bigint",
+                                 "target_column": "props_t"}])
+            .setExecution(name="unpack", body=body)
+            .setOutput(name="out", table="f04_out", write_type="overwrite")
+            .setStateLocation(tempfile.mkdtemp(prefix="po_f04_state_"))
+            .setStoreLocation(root)
+            .setSession(spark)
+            .create())
+    task.execute()
+    return (TableStore(root).read(spark, "f04_out")
+            .select("event_id", "event_type", "k"))

@@ -44,7 +44,12 @@ def test_harness_catches_pandas_widening_types(spark, duck):
 def test_harness_prefix_contract():
     """The driver adjudicates the first 50 registry slots; every one of
     them must carry an oracle (no-oracle queries live at the tail — the
-    registry's own documented contract)."""
+    registry's own documented contract), and the slots must be exactly the
+    explicitly-managed rotation list, in order."""
+    from projectone_spark.queries import _DRIVER_PREFIX
+
     names = list(REGISTRY)
+    assert len(_DRIVER_PREFIX) == 50
+    assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
