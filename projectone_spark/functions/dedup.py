@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from projectone_spark.functions.text import (
+    ngram_join,
     normalize,
     spread,
     tokens_of_norm,
@@ -420,3 +421,48 @@ def dedup_token_accounting(df: DataFrame, text_col: str = "text",
                     F.round(F.lit(1.0) - F.col("unique_tokens")
                             / F.col("total_tokens").cast("double"), 6)
                     .alias("dup_token_ratio")))
+
+
+def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8,
+                          max_dup_frac: float = 0.5,
+                          parallelism: int | None = None) -> DataFrame:
+    """Cross-document duplicated-n-gram detection (the word-level analogue
+    of ExactSubstr dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): per document, the fraction of its
+    DISTINCT word n-grams that also appear in at least one other document,
+    with a keep flag at ``dup_frac ≤ max_dup_frac``. Unlike
+    ``repetition_stats`` (within-doc), this catches boilerplate shared
+    ACROSS documents — mirrors, templated pages, quoted passages.
+
+    Scale shape: per-doc distinct n-grams are computed row-local
+    (``array_distinct`` before the explode, so the distinct needs no
+    shuffle), then each (doc, gram) row shrinks to (doc, xxhash64(gram))
+    BEFORE the one corpus-scale shuffle — 8 bytes per gram instead of the
+    ~9-word string. The gram-frequency aggregate and the join back to
+    per-doc rows hash-partition on that same key, so AQE reuses the
+    exchange. A 64-bit collision needs ~10^9 distinct grams for even one
+    expected false merge; at larger corpora raise to a 128-bit key
+    (concat of two seeds) rather than shuffling strings.
+    """
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism)
+    base = base.withColumn("__toks", tokens_of_norm("__norm"))
+    gd = (base.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngram_join(F.col("__toks"), n)))
+             .alias("__gram"))
+          .select(F.col(id_col), F.xxhash64("__gram").alias("__g")))
+    counts = gd.groupBy("__g").agg(F.count(F.lit(1)).alias("__nd"))
+    return (gd.join(counts, "__g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                  .cast("bigint").alias("n_shared"))
+            .select(
+                F.col(id_col), "n_grams", "n_shared",
+                (F.col("n_shared").cast("double")
+                 / F.col("n_grams").cast("double")).alias("dup_frac"),
+                ((F.col("n_shared").cast("double")
+                  / F.col("n_grams").cast("double"))
+                 <= max_dup_frac).alias("keep")))

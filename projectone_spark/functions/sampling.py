@@ -186,3 +186,55 @@ def temperature_quota_sample(df: DataFrame, group_col: str,
             .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= F.col("quota"))
             .drop("__rk"))
+
+
+def mixture_rebalance(df: DataFrame, group_col: str = "source",
+                      token_col: str = "toks", id_col: str = "doc_id",
+                      max_upsample: float = 4.0) -> DataFrame:
+    """Rebalance a source mixture toward equal token share per group, with
+    a cap on upsampling: group weight ``w = min(max_upsample,
+    target_tokens / group_tokens)`` where ``target = total / n_groups``,
+    then each document is replicated ``floor(w)`` times plus one more when
+    its deterministic md5 uniform (first 8 hex digits / 2^32) falls below
+    ``frac(w)`` — stochastic rounding without an RNG, stable under re-runs
+    and repartitioning, reproducible in any engine with md5. Dominant
+    sources downsample (w < 1), scarce ones upsample up to the cap —
+    the standard mixture-flattening step before pretraining (cf. the
+    sampling ratios in Gopher/The Pile dataset cards).
+
+    Determinism across engines: token masses aggregate as exact integers
+    (never float sums, whose order differs per engine), and ``w`` derives
+    from int/int double division — bit-identical everywhere. Scale shape:
+    one integer aggregate, a broadcast of ~n_groups weight rows back onto
+    the corpus, and one final group aggregate; the per-doc copy count is a
+    scan-side expression, so nothing corpus-sized shuffles except the
+    bounded per-group summary.
+
+    Returns one row per group: docs/tokens in, expected copies/tokens out,
+    and the applied weight.
+    """
+    toks = F.col(token_col).cast("bigint")
+    d = df.select(F.col(id_col), F.col(group_col), toks.alias("__t"))
+    mass = d.groupBy(group_col).agg(F.sum("__t").alias("__gt"),
+                                    F.count(F.lit(1)).alias("__gn"))
+    scalar = mass.agg(F.sum("__gt").alias("__total"),
+                      F.count(F.lit(1)).alias("__ngroups"))
+    weights = (mass.crossJoin(F.broadcast(scalar))
+               .select(group_col, "__gt", "__gn",
+                       F.least(
+                           F.lit(float(max_upsample)),
+                           (F.col("__total").cast("double")
+                            / F.col("__ngroups").cast("double"))
+                           / F.col("__gt").cast("double")).alias("__w")))
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+         .cast("double") / F.lit(4294967296.0))
+    copies = (F.floor("__w").cast("bigint")
+              + F.when(u < F.col("__w") - F.floor("__w"), 1).otherwise(0))
+    return (d.join(F.broadcast(weights), group_col)
+            .withColumn("__c", copies)
+            .groupBy(group_col)
+            .agg(F.first("__gn").alias("n_docs"),
+                 F.first("__gt").alias("tokens_in"),
+                 F.first("__w").alias("weight"),
+                 F.sum("__c").alias("n_copies"),
+                 F.sum(F.col("__c") * F.col("__t")).alias("tokens_out")))

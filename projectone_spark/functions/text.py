@@ -308,3 +308,60 @@ def distinctive_terms(df: DataFrame, text_col: str = "text",
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .select(group_col, "term", "tf", "df_docs", "score"))
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 min_words: int = 40, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 min_distinct_stopwords: int = 2,
+                 max_top_word_frac: float = 0.08,
+                 parallelism: int | None = None) -> DataFrame:
+    """Gopher-style document filter battery (Rae et al. 2021, §A1.1): the
+    per-rule verdicts pretraining pipelines AND together before a document
+    enters the corpus — word-count bounds, mean-word-length bounds, a
+    minimum of distinct stopwords (a "natural language" signal), and a cap
+    on the most frequent word's share (degenerate/keyword-stuffed text).
+
+    Scale shape: every rule is a scan-side Catalyst expression over the
+    materialized token array — no shuffle, no UDFs. ``mean_word_len``
+    avoids an O(tokens) fold: the normalized text is single-space joined,
+    so the summed word length is ``length(norm) - (n_words - 1)`` exactly.
+    ``top_word_frac`` is O(distinct_words × tokens) per document but
+    row-local and bounded by document size, so it parallelizes with the
+    scan. All divisions are int/int in doubles — bit-identical across
+    engines, emitted unrounded.
+    """
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism)
+    base = base.withColumn("__toks", tokens_of_norm("__norm"))
+    toks = F.col("__toks")
+    n = F.size(toks).cast("bigint")
+    mean_len = F.when(n > 0, (F.length("__norm") - (n - 1)).cast("double")
+                      / n.cast("double")).otherwise(F.lit(0.0))
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks),
+                                      F.array(*[F.lit(s) for s in STOPWORDS])))
+    top_cnt = F.when(
+        n > 0,
+        F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w))))
+    ).otherwise(F.lit(0))
+    top_frac = F.when(n > 0, top_cnt.cast("double") / n.cast("double")) \
+                .otherwise(F.lit(0.0))
+
+    out = base.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        top_frac.alias("top_word_frac"),
+        ((n >= min_words) & (n <= max_words)).alias("rule_word_count"),
+        ((mean_len >= min_mean_word_len)
+         & (mean_len <= max_mean_word_len)).alias("rule_mean_word_len"),
+        (n_stop >= min_distinct_stopwords).alias("rule_stopwords"),
+        (top_frac <= max_top_word_frac).alias("rule_top_word"),
+    )
+    return out.withColumn(
+        "keep", F.col("rule_word_count") & F.col("rule_mean_word_len")
+        & F.col("rule_stopwords") & F.col("rule_top_word"))

@@ -157,6 +157,7 @@ def _ensure_loaded() -> None:
         engine_ops3,
         connectors,
         pipelines,  # new-in-r4 tail: task/DAG lifecycle queries f01–f04
+        corpus2,  # new-in-r4 tail: gopher rules, cross-doc ngrams, mixture
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}
