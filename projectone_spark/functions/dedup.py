@@ -439,12 +439,17 @@ def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
     (``array_distinct`` before the explode, so the distinct needs no
     shuffle), then each (doc, gram) row shrinks to (doc, xxhash64(gram))
     BEFORE the one corpus-scale shuffle — 8 bytes per gram instead of the
-    ~9-word string. The gram-frequency aggregate and the join back to
-    per-doc rows hash-partition on that same key, so AQE reuses the
-    exchange. A 64-bit collision needs ~10^9 distinct grams for even one
-    expected false merge; at larger corpora raise to a 128-bit key
+    ~9-word string. The per-gram document count attaches via a WINDOW
+    count over the gram key, not a groupBy + self-join: a join would plan
+    the whole scan→normalize→explode subtree TWICE (verified by
+    .explain — Spark re-computes, it doesn't share, a referenced frame),
+    while the window computes the pipeline once and adds only the one
+    hash exchange. A 64-bit collision needs ~10^9 distinct grams for even
+    one expected false merge; at larger corpora raise to a 128-bit key
     (concat of two seeds) rather than shuffling strings.
     """
+    from pyspark.sql import Window
+
     base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
                   parallelism)
     base = base.withColumn("__toks", tokens_of_norm("__norm"))
@@ -453,8 +458,9 @@ def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
             F.explode(F.array_distinct(ngram_join(F.col("__toks"), n)))
              .alias("__gram"))
           .select(F.col(id_col), F.xxhash64("__gram").alias("__g")))
-    counts = gd.groupBy("__g").agg(F.count(F.lit(1)).alias("__nd"))
-    return (gd.join(counts, "__g")
+    gd = gd.withColumn("__nd",
+                       F.count(F.lit(1)).over(Window.partitionBy("__g")))
+    return (gd
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_grams"),
                  F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))

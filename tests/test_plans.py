@@ -112,3 +112,16 @@ def test_q37_outer_join_preserved(spark):
     zero = df.filter(F.col("c_count") == 0).count()
     assert zero >= 0  # row exists in schema; presence asserted via oracle
     assert "LeftOuter" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_d10_single_scan_no_self_join(spark):
+    """Cross-doc n-gram dedup must plan ONE scan of documents: the gram
+    frequency attaches via a window over the gram key, never a groupBy +
+    self-join (which would compute the scan→normalize→explode subtree
+    twice and try to broadcast a corpus-scale relation)."""
+    df = queries()["d10_crossdoc_ngram_dedup"](spark, SF_DIR)
+    # simple mode prints each physical node once (formatted repeats them
+    # in the details section)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
