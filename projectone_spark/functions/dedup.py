@@ -318,25 +318,33 @@ def source_overlap(df: DataFrame, text_col: str = "text",
     def has_bit(i: int) -> F.Column:
         return F.col("m").bitwiseAND(F.lit(1 << i)) != 0
 
+    # The (mask, count) micro-table feeds TWO branches (pair intersections
+    # and per-source sizes) — checkpoint it so the O(corpus) pipeline above
+    # runs once, not once per branch (the d10 lesson: a referenced frame is
+    # re-computed, not shared).
+    masks = masks.localCheckpoint(eager=False)
     n = len(srcs_list)
-    pair_terms = [
-        F.when(has_bit(i) & has_bit(j),
-               F.struct(F.lit(srcs_list[i]).alias("sa"),
-                        F.lit(srcs_list[j]).alias("sb")))
-        for i in range(n) for j in range(i + 1, n)]
-    inter = (masks.select("cnt",
-                          F.explode(F.filter(F.array(*pair_terms),
-                                             lambda p: p.isNotNull()))
-                          .alias("p"))
-             .groupBy(F.col("p.sa").alias("source_a"),
-                      F.col("p.sb").alias("source_b"))
-             .agg(F.sum("cnt").alias("n_common")))
-    size_terms = [F.when(has_bit(i), F.lit(srcs_list[i])) for i in range(n)]
-    sizes = (masks.select("cnt",
-                          F.explode(F.filter(F.array(*size_terms),
-                                             lambda s: s.isNotNull()))
-                          .alias("src"))
-             .groupBy("src").agg(F.sum("cnt").alias("n_sh")))
+    src_arr = F.array(*[F.lit(s) for s in srcs_list])
+    # n 'when' terms, then a generic self-join over the ≤2^n-row micro-table
+    # — an earlier draft expanded all n²/2 pair terms as one when-struct
+    # expression tree, which cost ~3 s of driver-side codegen PER RUN at
+    # n=20 (the execution itself is milliseconds either way).
+    bit_terms = [F.when(has_bit(i), F.lit(i)) for i in range(n)]
+    ex = masks.select(
+        "m", "cnt",
+        F.explode(F.filter(F.array(*bit_terms),
+                           lambda x: x.isNotNull())).alias("sid"))
+    sizes = (ex.groupBy("sid").agg(F.sum("cnt").alias("n_sh"))
+             .select(F.element_at(src_arr, F.col("sid") + 1).alias("src"),
+                     "n_sh"))
+    right = ex.select(F.col("m").alias("m2"), F.col("sid").alias("ib"))
+    inter = (ex.withColumnRenamed("sid", "ia")
+             .join(F.broadcast(right),
+                   (F.col("m") == F.col("m2")) & (F.col("ia") < F.col("ib")))
+             .groupBy("ia", "ib").agg(F.sum("cnt").alias("n_common"))
+             .select(F.element_at(src_arr, F.col("ia") + 1).alias("source_a"),
+                     F.element_at(src_arr, F.col("ib") + 1).alias("source_b"),
+                     "n_common"))
     return _overlap_output(inter, sizes)
 
 
@@ -351,6 +359,9 @@ def _source_overlap_sets(df: DataFrame, text_col: str,
                         F.explode(F.array_distinct(
                             shingles_of_norm("__norm", k))).alias("s"))
             .groupBy("s").agg(F.sort_array(F.collect_set("src")).alias("srcs")))
+    # two consumer branches below — checkpoint so the corpus aggregate
+    # runs once (same reuse rule as the bitmask path)
+    sets = sets.localCheckpoint(eager=False)
 
     def pair_structs(srcs):
         def outer(a):
