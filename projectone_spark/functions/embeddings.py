@@ -409,3 +409,49 @@ def pq_adc_tables_vectorized(codebooks: list[list[list[float]]]):
         return pd.Series(per_row)
 
     return tabs
+
+
+def centroid_classify(df: DataFrame, vec_col: str = "embedding",
+                      label_col: str = "label",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Nearest-label-centroid classification with a confusion-matrix
+    output: per label, the elementwise-mean centroid; per vector, the
+    centroid with the highest cosine; returned as (label, assigned_label,
+    n_vectors) counts — the standard embedding-space sanity check that
+    labels form separable clusters (and the cheap classifier over them).
+
+    Cross-engine determinism: centroid components are means of FLOAT32
+    values summed in double — every partial sum is exact (a float32
+    mantissa is 24 bits; thousands of them accumulate within double's 53),
+    so the result is order-independent and identical in any engine. The
+    per-vector cosine then folds sequentially row-local (same as
+    :func:`dot`). Cross-row averages of full-mantissa doubles would NOT
+    be order-stable, which is why the output is counts, not mean scores.
+
+    Scale shape: centroids via one (label × dim)-key aggregate (bounded
+    rows) reassembled and BROADCAST onto the corpus; assignment is a
+    scan-side cross join against ~n_labels rows, then one bounded
+    group-by. Nothing corpus-sized shuffles except the dim-explode
+    aggregate, whose key space is labels × dim.
+    """
+    v = df.select(
+        F.col(id_col), F.col(label_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))
+    comp = v.select(F.col(label_col),
+                    F.posexplode("e").alias("pos", "val"))
+    cent = (comp.groupBy(label_col, "pos").agg(F.avg("val").alias("m"))
+            .groupBy(label_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("ce"))
+            .withColumnRenamed(label_col, "__clabel"))
+    scored = (v.crossJoin(F.broadcast(cent))
+              .withColumn("__cos", cosine(F.col("e"), F.col("ce"))))
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(),
+                                           F.col("__clabel"))
+    top = (scored.withColumn("__rk", F.row_number().over(w))
+           .filter(F.col("__rk") == 1))
+    return (top.groupBy(F.col(label_col), F.col("__clabel"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .select(F.col(label_col),
+                    F.col("__clabel").alias("assigned_label"), "n_vectors"))

@@ -158,6 +158,7 @@ def _ensure_loaded() -> None:
         connectors,
         pipelines,  # new-in-r4 tail: task/DAG lifecycle queries f01–f04
         corpus2,  # new-in-r4 tail: gopher rules, cross-doc ngrams, mixture
+        embeddings2,  # new-in-r4 tail: centroid-classification confusion
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}
