@@ -404,14 +404,19 @@ def dedup_token_accounting(df: DataFrame, text_col: str = "text",
     (p02/p05) actually needs, since raw token mass double-counts
     duplicated content.
 
-    Plan shape: one hash aggregation on the 16-byte content hash to elect
-    keepers (min id), one shuffle join back on the same hash (both sides
-    already partitioned by it — AQE plans the second exchange as a reuse),
-    then a group-by over the small group domain. No collects, no UDFs.
+    Plan shape: keepers are elected with a WINDOW min over the 16-byte
+    content hash — one shuffle, one computation of the normalize+md5
+    pipeline. (The first draft used groupBy + join back on the hash,
+    which re-computed the whole scan-side pipeline for the keeper branch
+    — a referenced frame is re-computed, not shared — and ran 2x the
+    scan: 12.6 s → 4.4 s on the 20x amplified probe.) Then a group-by
+    over the small group domain. No collects, no UDFs.
 
     Returns (group_col, n_docs, n_unique, total_tokens, unique_tokens,
     dup_token_ratio) with the ratio rounded to 6 decimals.
     """
+    from pyspark.sql import Window
+
     from projectone_spark.functions.sampling import estimate_tokens
 
     toks = (tokens_col if tokens_col is not None
@@ -419,10 +424,10 @@ def dedup_token_accounting(df: DataFrame, text_col: str = "text",
     d = df.select(F.col(id_col), F.col(group_col),
                   toks.alias("__toks"),
                   content_hash(text_col).alias("__h"))
-    keepers = d.groupBy("__h").agg(F.min(id_col).alias("__keeper"))
-    joined = d.join(keepers, "__h")
+    d = d.withColumn("__keeper",
+                     F.min(id_col).over(Window.partitionBy("__h")))
     is_keeper = (F.col(id_col) == F.col("__keeper")).cast("long")
-    return (joined.groupBy(group_col)
+    return (d.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(is_keeper).alias("n_unique"),
                  F.sum("__toks").alias("total_tokens"),

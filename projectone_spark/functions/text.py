@@ -341,6 +341,13 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       / n.cast("double")).otherwise(F.lit(0.0))
     n_stop = F.size(F.array_intersect(F.array_distinct(toks),
                                       F.array(*[F.lit(s) for s in STOPWORDS])))
+    # max word frequency via count-per-distinct-word. O(distinct × n) per
+    # document, but row-local and — measured on the 20x amplified probe —
+    # FASTER than the asymptotically-better array_sort + equal-run struct
+    # fold at realistic doc sizes (1.2 s vs 2.0 s marginal at ~60 tokens:
+    # the fold pays per-element struct allocation; the quadratic form is
+    # branch-free string equals inside codegen). Revisit only for
+    # documents with thousands of tokens.
     top_cnt = F.when(
         n > 0,
         F.array_max(F.transform(
