@@ -69,10 +69,17 @@ def post_webhook(url: str, payload: dict[str, Any],
         import inspect
 
         try:
-            params = inspect.signature(transport).parameters
-            takes_headers = (len(params) >= 3
+            params = inspect.signature(transport).parameters.values()
+            # count parameters a positional (url, body, hdrs) call can
+            # actually bind — keyword-only and **kwargs params cannot take
+            # a positional headers argument, so ``def t(url, body, **kw)``
+            # and ``def t(url, body, *, timeout=5)`` stay 2-arg transports
+            positional = [p for p in params
+                          if p.kind in (p.POSITIONAL_ONLY,
+                                        p.POSITIONAL_OR_KEYWORD)]
+            takes_headers = (len(positional) >= 3
                              or any(p.kind == p.VAR_POSITIONAL
-                                    for p in params.values()))
+                                    for p in params))
         except (TypeError, ValueError):  # builtins without signatures
             takes_headers = True
         if takes_headers:
@@ -122,6 +129,12 @@ def _eval_condition_node(node, names: dict[str, Any]):
             else container[key]
     if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
         return not _eval_condition_node(node.operand, names)
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub,
+                                                              ast.UAdd)):
+        # negative/positive numeric literals ("delta > -1") — parity with
+        # the eval-based conditions this grammar replaced
+        val = _eval_condition_node(node.operand, names)
+        return -val if isinstance(node.op, ast.USub) else +val
     if isinstance(node, ast.BoolOp):
         vals = (_eval_condition_node(v, names) for v in node.values)
         return all(vals) if isinstance(node.op, ast.And) else any(vals)
@@ -148,7 +161,8 @@ def _validate_condition_tree(tree) -> None:
 
     allowed = (ast.Expression, ast.Constant, ast.Tuple, ast.List, ast.Set,
                ast.Name, ast.Subscript, ast.UnaryOp, ast.BoolOp, ast.Compare,
-               ast.Load, ast.Not, ast.And, ast.Or, ast.cmpop)
+               ast.Load, ast.Not, ast.USub, ast.UAdd, ast.And, ast.Or,
+               ast.cmpop)
     fields = {"name", "severity", "message", "detail", "ts"}
     for node in ast.walk(tree):
         if not isinstance(node, allowed):

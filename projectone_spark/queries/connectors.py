@@ -45,6 +45,10 @@ def o01_odata_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     register_odata(spark)
+    # session-wide conf: restore the caller's value so this query does not
+    # leak pushdown behavior into later Python DataSource reads sharing
+    # the session (the driver and bench run every query on one session)
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (spark.read.format("odata")
           .option("url", "mock://svc").option("entity", "Accounts")
@@ -57,13 +61,21 @@ def o01_odata_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation, so an unfiltered re-plan after a filtered one reuses the
     # filtered read (see tests/test_odata.py::
     # test_scan_cache_reuses_pushed_filters_upstream_behavior).
-    n_full = df.rdd.getNumPartitions()
-    out = (df.filter((F.col("Id") >= 10) & F.col("Active"))
-           .select("Id", "Name", "Balance", "Active"))
-    # the pushed $filter shrinks the service-side $count, so partition
-    # planning sees fewer pages than the full scan
-    assert out.rdd.getNumPartitions() < n_full, \
-        "Id >= 10 was not pushed down to $filter"
+    try:
+        n_full = df.rdd.getNumPartitions()
+        out = (df.filter((F.col("Id") >= 10) & F.col("Active"))
+               .select("Id", "Name", "Balance", "Active"))
+        # the pushed $filter shrinks the service-side $count, so partition
+        # planning sees fewer pages than the full scan; this assert also
+        # forces planning NOW, so the scan (cached on the relation) keeps
+        # its pushed filters after the conf is restored below
+        assert out.rdd.getNumPartitions() < n_full, \
+            "Id >= 10 was not pushed down to $filter"
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prior)
     return out
 
 

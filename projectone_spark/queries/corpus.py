@@ -15,14 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from projectone_spark.functions.dedup import source_overlap
 from projectone_spark.functions.text import distinctive_terms
 from projectone_spark.queries import load, register
+from projectone_spark.queries._sql_fragments import _NORM, _SHINGLES, _TOKS
 
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
-         " ' +', ' ', 'g'))")
-_TOKS = (f"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
-         f"ELSE string_split({_NORM}, ' ') END")
-_SHINGLES = (f"list_distinct(list_transform("
-             f"range(1, greatest(length({_NORM}) - 4, 1) + 1),"
-             f" i -> substr({_NORM}, CAST(i AS INTEGER), 5)))")
 
 _T08_SQL = f"""
 WITH toks AS (

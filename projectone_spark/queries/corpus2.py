@@ -20,11 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.functions.text import STOPWORDS
 from projectone_spark.queries import load, register
+from projectone_spark.queries._sql_fragments import _NORM, _TOKS
 
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
-         " ' +', ' ', 'g'))")
-_TOKS = (f"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
-         f"ELSE string_split({_NORM}, ' ') END")
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 

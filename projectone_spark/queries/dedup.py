@@ -16,16 +16,10 @@ from projectone_spark.functions.dedup import (
 )
 from projectone_spark.functions.text import STOPWORDS
 from projectone_spark.queries import load, register
+from projectone_spark.queries._sql_fragments import _NORM, _SHINGLES, _TOKS
 
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
-         " ' +', ' ', 'g'))")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
-_TOKS = (f"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
-         f"ELSE string_split({_NORM}, ' ') END")
 # char 5-gram shingles over normalized text (>=1 shingle even for short text)
-_SHINGLES = (f"list_distinct(list_transform("
-             f"range(1, greatest(length({_NORM}) - 4, 1) + 1),"
-             f" i -> substr({_NORM}, CAST(i AS INTEGER), 5)))")
 
 
 def _mh_sql(i: int) -> str:

@@ -18,6 +18,7 @@ from projectone_spark.functions.sampling import (
     quota_sample,
 )
 from projectone_spark.queries import load, register
+from projectone_spark.queries._sql_fragments import _NORM, _SHINGLES
 
 # Engine-portable md5 bucket: Spark conv(substr(md5,1,4),16,10) ==
 # DuckDB CAST('0x'||substr(md5,1,4) AS INT); both md5s are lowercase hex.
@@ -96,11 +97,6 @@ def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Normalization + char-5-gram shingles, identical to functions/dedup.py.
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
-         " ' +', ' ', 'g'))")
-_SHINGLES = (f"list_distinct(list_transform("
-             f"range(1, greatest(length({_NORM}) - 4, 1) + 1),"
-             f" i -> substr({_NORM}, CAST(i AS INTEGER), 5)))")
 
 _P04_SQL = f"""
 WITH sh AS (

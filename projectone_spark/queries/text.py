@@ -18,12 +18,9 @@ from projectone_spark.functions.text import (
     tokens_of_norm,
 )
 from projectone_spark.queries import load, register
+from projectone_spark.queries._sql_fragments import _NORM, _TOKS
 
 # Shared DuckDB fragments mirroring functions/text.py exactly.
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
-         " ' +', ' ', 'g'))")
-_TOKS = (f"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
-         f"ELSE string_split({_NORM}, ' ') END")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 _T01_SQL = f"""

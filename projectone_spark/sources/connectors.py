@@ -261,7 +261,7 @@ def write_xlsx_stdlib(path: str, columns: list[str], rows: list[list],
     a gap; one sheet, header row first. Small driver-side dim/report
     files only — the same scope as the reference's Excel surface."""
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
 
     def cell(r: int, c: int, v) -> str:
         ref = f"{_col_letter(c)}{r}"
@@ -296,7 +296,7 @@ def write_xlsx_stdlib(path: str, columns: list[str], rows: list[list],
                  '</Relationships>')
     wb = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
           f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-          f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>')
+          f'<sheets><sheet name={quoteattr(sheet_name)} sheetId="1" r:id="rId1"/></sheets></workbook>')
     wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
                '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'

@@ -68,6 +68,11 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
     m = store.manifest(name)
     if m is None:
         raise FileNotFoundError(f"table '{name}' does not exist")
+    # materialize any generator-valued 'in' before the SQL render consumes
+    # it (the prune pass below reuses the same predicate list)
+    from projectone_spark.store.skipping import _validate_predicates
+
+    predicates = _validate_predicates(predicates)
     residual = predicates_to_sql(predicates)
     part = m["partition_by"]
 

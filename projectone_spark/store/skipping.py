@@ -192,6 +192,12 @@ def _eq_forms(v) -> set:
         forms.add(v + " 00:00:00")
     if isinstance(v, str) and v.endswith(" 00:00:00"):
         forms.add(v[:-9])
+    if isinstance(v, str) and _TS_PREFIX_RE.match(v):
+        # Spark truncates a timestamp-precision literal when the column is
+        # DATE, so 'd = TIMESTAMP 12:00' can match a date-valued file: the
+        # truncated form keeps it (extra forms only ever KEEP files; the
+        # residual filter stays the ground truth)
+        forms.add(v[:10])
     return forms
 
 
@@ -301,7 +307,7 @@ def prune_files(manifest: dict,
     file stats and hive partition paths. Returns (kept_file_entries,
     total_files). Files lacking stats for a predicate column are kept —
     pruning is an optimization, never a correctness filter."""
-    _validate_predicates(predicates)
+    predicates = _validate_predicates(predicates)
     files = manifest.get("files") or []
     kept = []
     for f in files:
@@ -333,9 +339,10 @@ def prune_files(manifest: dict,
                 from_path = False
             else:
                 continue
+            eff_vals = [_align_temporal(lo, hi, v) for v in vals_list]
             eff_op = "=" if op == "in" else op
             if not any(_interval_matches(lo, hi, eff_op, v, from_path)
-                       for v in vals_list):
+                       for v in eff_vals):
                 keep = False
                 break
         if keep:
@@ -343,13 +350,48 @@ def prune_files(manifest: dict,
     return kept, len(files)
 
 
+_TS_PREFIX_RE = __import__("re").compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:")
+
+
+def _align_temporal(lo, hi, v):
+    """Align a temporal literal's PRECISION to the file's stats so pruning
+    mirrors Spark's own comparison semantics (the residual filter is the
+    ground truth):
+
+    - DATE-column stats vs a datetime-precision literal: Spark casts the
+      string literal to DATE (truncating the time part), so the literal
+      must truncate here too — otherwise ``date_col >= '1995-06-01
+      12:00:00'`` lexicographically excludes a min=max=1995-06-01 file
+      that Spark's filter MATCHES (silently lost rows).
+    - TIMESTAMP-column stats vs a date-only literal: Spark casts the
+      string to midnight, so pad '' → ' 00:00:00' (equal-length ISO
+      strings keep lexicographic == chronological for every operator).
+    """
+    if not (isinstance(lo, str) and isinstance(hi, str)
+            and isinstance(v, str)):
+        return v
+    if _DATE_RE.match(lo) and _DATE_RE.match(hi) and _TS_PREFIX_RE.match(v):
+        return v[:10]
+    if (_TS_PREFIX_RE.match(lo) and _TS_PREFIX_RE.match(hi)
+            and _DATE_RE.match(v)):
+        return v + " 00:00:00"
+    return v
+
+
 def _validate_predicates(
-        predicates: Sequence[tuple[str, str, object]]) -> None:
-    """Reject 'in' values that would silently misbehave: a plain string
+        predicates: Sequence[tuple[str, str, object]]
+) -> list[tuple[str, str, object]]:
+    """Reject 'in' values that would silently misbehave — a plain string
     iterates characters, and an empty collection renders ``col IN ()``
-    which Spark's parser rejects in the residual filter."""
+    which Spark's parser rejects in the residual filter — and return the
+    predicates with every 'in' collection MATERIALIZED to a list: a
+    one-shot iterator (generator) would otherwise pass validation, then
+    yield nothing downstream and prune every file / render ``IN ()``.
+    Callers must use the returned list, not the argument."""
+    out: list[tuple[str, str, object]] = []
     for col, op, val in predicates:
         if op != "in":
+            out.append((col, op, val))
             continue
         if isinstance(val, (str, bytes)):
             raise ValueError(
@@ -357,16 +399,18 @@ def _validate_predicates(
                 f" — pass a list/tuple/set of values (a string would be"
                 f" iterated character by character)")
         try:
-            n = len(list(val))
+            vals = list(val)
         except TypeError:
             raise ValueError(
                 f"'in' predicate on '{col}' needs an iterable of values, "
                 f"got {type(val).__name__}") from None
-        if n == 0:
+        if not vals:
             raise ValueError(
                 f"'in' predicate on '{col}' got an empty collection — an "
                 f"empty IN list is unsatisfiable and unparseable as SQL; "
                 f"filter it out upstream")
+        out.append((col, op, vals))
+    return out
 
 
 def _sql_literal(val) -> str:
@@ -385,7 +429,7 @@ def _sql_literal(val) -> str:
 
 
 def predicates_to_sql(predicates: Sequence[tuple[str, str, object]]) -> str:
-    _validate_predicates(predicates)
+    predicates = _validate_predicates(predicates)
     parts = []
     for col, op, val in predicates:
         if op == "in":
@@ -411,6 +455,9 @@ def read_where(store, spark: SparkSession, name: str,
         raise FileNotFoundError(f"table '{name}' does not exist in {store.root}")
     if not predicates:
         return store.read(spark, name)
+    # materialize once up front: a generator-valued 'in' would otherwise be
+    # consumed by the residual-SQL render and arrive empty at prune_files
+    predicates = _validate_predicates(predicates)
     residual = predicates_to_sql(predicates)
     if not m.get("files"):
         return store.read(spark, name).filter(residual)

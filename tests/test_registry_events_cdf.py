@@ -262,3 +262,38 @@ def test_webhook_transport_failure_not_duplicated():
 
     assert post_webhook("http://y", {"a": 1}, legacy) == "ok"
     assert calls[-1] == ("legacy", "http://y")
+
+
+def test_webhook_kwargs_and_keyword_only_transports_stay_two_arg():
+    """Review regression (r4): signature inspection must count only
+    parameters a positional (url, body, hdrs) call can bind — **kwargs and
+    keyword-only params made len(params) >= 3 and crashed legacy two-arg
+    transports with TypeError."""
+    from projectone_spark.events import post_webhook
+
+    seen = []
+
+    def t_kwargs(url, body, **kw):
+        seen.append(("kwargs", url))
+
+    def t_kwonly(url, body, *, timeout=5):
+        seen.append(("kwonly", url))
+
+    def t_three(url, body, hdrs):
+        seen.append(("three", hdrs["Content-Type"]))
+
+    post_webhook("http://x", {"a": 1}, transport=t_kwargs)
+    post_webhook("http://x", {"a": 1}, transport=t_kwonly)
+    post_webhook("http://x", {"a": 1}, transport=t_three)
+    assert seen == [("kwargs", "http://x"), ("kwonly", "http://x"),
+                    ("three", "application/json")]
+
+
+def test_condition_grammar_accepts_negative_literals():
+    """Review regression (r4): the AST grammar rejected unary minus, a
+    regression from the eval-based conditions it replaced."""
+    from projectone_spark.events import Event, _compile_condition
+
+    f = _compile_condition("detail['delta'] > -1 and ts > -5")
+    assert f(Event("x", detail={"delta": 0}))
+    assert not f(Event("x", detail={"delta": -3}))

@@ -437,3 +437,46 @@ if _HAVE_HYP:
                         stats_columns=["o_orderkey", "o_orderdate"])
         add_value_set_stats(store, "orders", ["o_orderstatus"])
         return store
+
+
+def test_date_column_noon_datetime_literal_matches_spark_semantics(spark, store):
+    """Review regression (r4): a DATE column compared to a datetime literal
+    with a TIME PART — Spark casts the string literal to DATE (truncating),
+    so pruning must not lexicographically exclude the boundary file.
+    Pre-fix, both the interval and value-set paths pruned a min=max=
+    1995-06-01 file for ``>= 1995-06-01 12:00``, silently losing rows."""
+    import datetime
+
+    from projectone_spark.store.skipping import add_value_set_stats
+
+    orders = _orders(spark).withColumn(
+        "od", F.col("o_orderdate").cast("date"))
+    store.overwrite(spark, orders.repartitionByRange(4, "od"),
+                    "ord", stats_columns=["od"])
+    lo, hi = orders.agg(F.min("od"), F.max("od")).first()
+    mid = lo + (hi - lo) / 2
+    noon = datetime.datetime(mid.year, mid.month, mid.day, 12, 0, 0)
+    for op in (">=", "<=", ">", "<", "="):
+        got = read_where(store, spark, "ord", [("od", op, noon)])
+        want = _orders(spark).withColumn(
+            "od", F.col("o_orderdate").cast("date")) \
+            .filter(F.expr(f"od {'=' if op == '=' else op} "
+                           f"'{noon.isoformat(sep=' ')}'"))
+        _assert_same(got, want)
+    # value-set path: same truncation semantics for '='
+    add_value_set_stats(store, "ord", ["od"])
+    got = read_where(store, spark, "ord", [("od", "=", noon)])
+    want = orders.filter(F.col("od") == F.lit(noon.date()))
+    _assert_same(got, want)
+
+
+def test_in_predicate_generator_is_materialized(spark, store):
+    """Review regression (r4): a generator-valued 'in' passed validation
+    (len(list(val)) consumed it) then pruned every file and rendered
+    ``IN ()``. The predicates must be materialized once, up front."""
+    df = _orders(spark).repartitionByRange(4, "o_orderkey")
+    store.overwrite(spark, df, "orders", stats_columns=["o_orderstatus"])
+    statuses = ["O", "F"]
+    got = read_where(store, spark, "orders",
+                     [("o_orderstatus", "in", (s for s in statuses))])
+    _assert_same(got, _orders(spark).filter(F.col("o_orderstatus").isin(statuses)))
