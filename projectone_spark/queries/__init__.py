@@ -159,6 +159,7 @@ def _ensure_loaded() -> None:
         pipelines,  # new-in-r4 tail: task/DAG lifecycle queries f01–f04
         corpus2,  # new-in-r4 tail: gopher rules, cross-doc ngrams, mixture
         embeddings2,  # new-in-r4 tail: centroid-classification confusion
+        analytics4,  # new-in-r4 tail: TPC-H Q8/Q9 shapes
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}

@@ -1,0 +1,143 @@
+"""Round-4 analytics additions (registry tail): the two classic TPC-H
+multi-join shapes not yet covered — Q8 market share (conditional share of
+a grouped aggregate) and Q9 product profit (6-table join with derived
+measure), adapted to this dataset's schema (no partsupp table — the cost
+term derives from part.p_retailprice).
+
+Money math follows the repo's midpoint rule: every term is exact
+DECIMAL(18,2) arithmetic, sums stay decimal (order-independent), and only
+the final value casts to double (exact — the sums fit double's 53-bit
+mantissa times the 2-decimal grid)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import load, register
+
+_DEC = "DECIMAL(18,2)"
+
+_Q38_SQL = f"""
+WITH flat AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS {_DEC})
+           * (1 - CAST(l.l_discount AS {_DEC})) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY')
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                           THEN volume ELSE CAST(0 AS {_DEC}) END)
+                  AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM flat GROUP BY o_year
+"""
+
+
+@register("q38_market_share", _Q38_SQL,
+          doc="TPC-H Q8 shape: NATION_2 suppliers' share of ECONOMY-part "
+              "revenue in the ASIA customer market per year — an 8-table "
+              "star with every dimension broadcast and ONE aggregation "
+              "exchange; the share divides two exact decimal sums cast "
+              "to double (order-independent in both engines)",
+          tags=("join", "agg", "star"))
+def q38_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                  "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey"))
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+
+    vol = (F.col("l_extendedprice").cast(_DEC)
+           * (F.lit(1) - F.col("l_discount").cast(_DEC)))
+    flat = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == region.r_regionkey)
+            .join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+            .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                    vol.alias("volume"), "supp_nation"))
+    zero = F.lit(0).cast(_DEC)
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_2",
+                       F.col("volume")).otherwise(zero))
+    return (flat.groupBy("o_year")
+            .agg(F.round(nat.cast("double")
+                         / F.sum("volume").cast("double"), 6)
+                 .alias("mkt_share")))
+
+
+_Q39_SQL = f"""
+WITH flat AS (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS {_DEC})
+           * (1 - CAST(l.l_discount AS {_DEC}))
+         - CAST(p.p_retailprice AS {_DEC}) * CAST(0.05 AS DECIMAL(4,2))
+           * CAST(l.l_quantity AS {_DEC}) AS amount
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  WHERE p.p_name LIKE '%widget%')
+SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM flat GROUP BY nation, o_year
+"""
+
+
+@register("q39_product_profit", _Q39_SQL,
+          doc="TPC-H Q9 shape (partsupp-free adaptation: the cost term is "
+              "5% of p_retailprice per unit): per supplier-nation and "
+              "year, profit on parts whose name contains 'widget' — the "
+              "LIKE filter prunes the part dimension before it "
+              "broadcasts, and the profit expression is exact decimal "
+              "arithmetic end-to-end",
+          tags=("join", "agg", "star"))
+def q39_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    amount = (F.col("l_extendedprice").cast(_DEC)
+              * (F.lit(1) - F.col("l_discount").cast(_DEC))
+              - F.col("p_retailprice").cast(_DEC)
+              * F.lit(0.05).cast("decimal(4,2)")
+              * F.col("l_quantity").cast(_DEC))
+    flat = (li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("nation",
+                    F.year("o_orderdate").cast("bigint").alias("o_year"),
+                    amount.alias("amount")))
+    return (flat.groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount"), 2).cast("double")
+                 .alias("sum_profit")))
