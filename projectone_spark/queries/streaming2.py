@@ -69,3 +69,80 @@ def st11_stream_outer_interval_join(spark: SparkSession,
         F.round(F.col("value") - F.col("view_value"), 2).alias("value_delta"))
         .filter(F.col("view_ts") < F.lit(max_ts) - F.expr("INTERVAL 4 HOUR")))
     return run_to_memory(out, output_mode="append")
+
+
+_ST12_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+             ' ', 'g'), ' +', ' ', 'g'))) AS content_md5,
+         CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+  FROM documents)
+SELECT content_md5,
+       min(doc_id) AS keeper,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(sum(toks) AS BIGINT) AS total_tokens
+FROM d GROUP BY content_md5
+"""
+
+
+@register("st12_stream_dedup_merge", _ST12_SQL,
+          doc="streaming corpus dedup maintained through MERGE INTO: each "
+              "micro-batch pre-aggregates (content_md5, min id, count, "
+              "tokens) and merges into the store — matched rows fold via "
+              "least(keeper)/summed counts, unmatched insert — so the "
+              "final table equals the batch group-by regardless of how "
+              "documents were split across batches (min and sum are "
+              "associative-commutative); per-batch merge work is "
+              "O(batch + matched clusters), never O(corpus)",
+          tags=("streaming", "dedup", "merge", "llm"))
+def st12_stream_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from projectone_spark.functions.dedup import content_hash
+    from projectone_spark.functions.sampling import estimate_tokens
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.dml import merge_into
+    from projectone_spark.streaming import (
+        StreamTrigger,
+        read_stream_parquet,
+        write_stream,
+    )
+
+    # split the corpus into several files so availableNow genuinely
+    # processes MULTIPLE micro-batches (order must not matter)
+    src_dir = tempfile.mkdtemp(prefix="po_st12_src_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    store = TableStore(tempfile.mkdtemp(prefix="po_st12_store_"))
+
+    stream = read_stream_parquet(
+        spark, src_dir, "doc_id bigint, text string, n_chars bigint",
+        max_files_per_trigger=1)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = (batch_df
+               .select(F.col("doc_id"),
+                       content_hash("text").alias("content_md5"),
+                       estimate_tokens("n_chars").alias("toks"))
+               .groupBy("content_md5")
+               .agg(F.min("doc_id").alias("keeper"),
+                    F.count(F.lit(1)).alias("n_dups"),
+                    F.sum("toks").alias("total_tokens")))
+        if store.manifest("st12") is None:
+            store.append(spark, agg, "st12", stats_columns=["content_md5"])
+            return
+        merge_into(
+            store, spark, "st12", agg, ["content_md5"],
+            when_matched_update={
+                "keeper": "least(target.keeper, source.keeper)",
+                "n_dups": "target.n_dups + source.n_dups",
+                "total_tokens": "target.total_tokens + source.total_tokens",
+            })
+
+    q = write_stream(stream, foreach_batch=merge_batch,
+                     trigger=StreamTrigger(available_now=True),
+                     checkpoint=tempfile.mkdtemp(prefix="po_st12_ckpt_"))
+    q.awaitTermination(300)
+    return (store.read(spark, "st12")
+            .select("content_md5", "keeper", "n_dups", "total_tokens"))
