@@ -404,19 +404,20 @@ def dedup_token_accounting(df: DataFrame, text_col: str = "text",
     (p02/p05) actually needs, since raw token mass double-counts
     duplicated content.
 
-    Plan shape: keepers are elected with a WINDOW min over the 16-byte
-    content hash — one shuffle, one computation of the normalize+md5
-    pipeline. (The first draft used groupBy + join back on the hash,
-    which re-computed the whole scan-side pipeline for the keeper branch
-    — a referenced frame is re-computed, not shared — and ran 2x the
-    scan: 12.6 s → 4.4 s on the 20x amplified probe.) Then a group-by
-    over the small group domain. No collects, no UDFs.
+    Plan shape: the (id, group, tokens, hash) projection is checkpointed
+    ONCE, keepers are elected with a groupBy min (map-side partial
+    aggregation — skew-safe under massively-duplicated content, where a
+    window over the hash would pin one unsplittable partition per hot
+    hash), and the join back on the hash gets AQE skew splitting. The
+    first draft joined WITHOUT the checkpoint and re-computed the whole
+    scan-side normalize+md5 pipeline for the keeper branch — a referenced
+    frame is re-planned, not shared (12.6 s → 4.4 s on the 20x amplified
+    probe after the fix). Then a group-by over the small group domain.
+    No collects, no UDFs.
 
     Returns (group_col, n_docs, n_unique, total_tokens, unique_tokens,
     dup_token_ratio) with the ratio rounded to 6 decimals.
     """
-    from pyspark.sql import Window
-
     from projectone_spark.functions.sampling import estimate_tokens
 
     toks = (tokens_col if tokens_col is not None
@@ -424,8 +425,9 @@ def dedup_token_accounting(df: DataFrame, text_col: str = "text",
     d = df.select(F.col(id_col), F.col(group_col),
                   toks.alias("__toks"),
                   content_hash(text_col).alias("__h"))
-    d = d.withColumn("__keeper",
-                     F.min(id_col).over(Window.partitionBy("__h")))
+    d = d.localCheckpoint(eager=False)
+    keepers = d.groupBy("__h").agg(F.min(id_col).alias("__keeper"))
+    d = d.join(keepers, "__h")
     is_keeper = (F.col(id_col) == F.col("__keeper")).cast("long")
     return (d.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -455,17 +457,19 @@ def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
     (``array_distinct`` before the explode, so the distinct needs no
     shuffle), then each (doc, gram) row shrinks to (doc, xxhash64(gram))
     BEFORE the one corpus-scale shuffle — 8 bytes per gram instead of the
-    ~9-word string. The per-gram document count attaches via a WINDOW
-    count over the gram key, not a groupBy + self-join: a join would plan
-    the whole scan→normalize→explode subtree TWICE (verified by
-    .explain — Spark re-computes, it doesn't share, a referenced frame),
-    while the window computes the pipeline once and adds only the one
-    hash exchange. A 64-bit collision needs ~10^9 distinct grams for even
-    one expected false merge; at larger corpora raise to a 128-bit key
-    (concat of two seeds) rather than shuffling strings.
+    ~9-word string. The (doc, hash) frame is checkpointed ONCE and feeds
+    both the gram-frequency aggregate and the join back: without the
+    checkpoint Spark re-computes the whole scan→normalize→explode subtree
+    per consumer (verified by .explain — a referenced frame is re-planned,
+    not shared). A WINDOW count over the gram key was tried instead (one
+    shuffle, no join) and rejected: a window partition cannot split, so a
+    boilerplate gram shared by a large fraction of the corpus pins one
+    task, while groupBy gets map-side partial aggregation and the join
+    gets AQE skew splitting — the shapes that survive hot keys at 100 TB.
+    A 64-bit collision needs ~10^9 distinct grams for even one expected
+    false merge; at larger corpora raise to a 128-bit key (concat of two
+    seeds) rather than shuffling strings.
     """
-    from pyspark.sql import Window
-
     base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
                   parallelism)
     base = base.withColumn("__toks", tokens_of_norm("__norm"))
@@ -474,9 +478,9 @@ def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
             F.explode(F.array_distinct(ngram_join(F.col("__toks"), n)))
              .alias("__gram"))
           .select(F.col(id_col), F.xxhash64("__gram").alias("__g")))
-    gd = gd.withColumn("__nd",
-                       F.count(F.lit(1)).over(Window.partitionBy("__g")))
-    return (gd
+    gd = gd.localCheckpoint(eager=False)
+    counts = gd.groupBy("__g").agg(F.count(F.lit(1)).alias("__nd"))
+    return (gd.join(counts, "__g")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_grams"),
                  F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))

@@ -114,14 +114,15 @@ def test_q37_outer_join_preserved(spark):
     assert "LeftOuter" in df._jdf.queryExecution().optimizedPlan().toString()
 
 
-def test_d10_single_scan_no_self_join(spark):
-    """Cross-doc n-gram dedup must plan ONE scan of documents: the gram
-    frequency attaches via a window over the gram key, never a groupBy +
-    self-join (which would compute the scan→normalize→explode subtree
-    twice and try to broadcast a corpus-scale relation)."""
+def test_d10_computes_gram_pipeline_once(spark):
+    """Cross-doc n-gram dedup must compute the scan→normalize→explode
+    pipeline ONCE: the (doc, gram-hash) frame is checkpointed, so both the
+    frequency aggregate and the join back reference the same RDD (two
+    'Scan ExistingRDD' nodes, ZERO parquet scans in the query plan). An
+    uncheckpointed groupBy+join re-plans the parquet scan per branch; a
+    window instead of the join was rejected for hot-gram skew (a window
+    partition cannot split — PLANS.md)."""
     df = queries()["d10_crossdoc_ngram_dedup"](spark, SF_DIR)
-    # simple mode prints each physical node once (formatted repeats them
-    # in the details section)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 1
-    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
