@@ -183,3 +183,94 @@ def test_delete_update_match_filter_model(spark, tmp_path_factory, rows, cut):
     expect = Counter((k, v * 10) for k, v in kept)
     got = Counter((r["id"], r["v"]) for r in store.read(spark, "t").collect())
     assert got == expect
+
+
+# -- r4 corpus operators vs pure-Python models --------------------------------
+
+WORDS = st.lists(st.sampled_from(["the", "a", "data", "spark", "query",
+                                  "tablex", "rowset", "batching"]),
+                 min_size=0, max_size=30)
+
+
+def _pynorm(text: str) -> list[str]:
+    import re as _re
+
+    norm = _re.sub(r" +", " ", _re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+    return norm.split(" ") if norm else []
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=6))
+@SLOW
+def test_gopher_rules_match_python_model(spark, docs):
+    from projectone_spark.functions.text import STOPWORDS, gopher_rules
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_rules(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               min_words=3).collect()}
+    for i, text in rows:
+        toks = _pynorm(text)
+        n = len(toks)
+        assert got[i]["n_words"] == n
+        if n:
+            assert got[i]["mean_word_len"] == sum(map(len, toks)) / n
+            top = max(toks.count(w) for w in set(toks))
+            assert got[i]["top_word_frac"] == top / n
+        assert got[i]["n_stopwords"] == len(set(toks) & set(STOPWORDS))
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=5))
+@SLOW
+def test_cross_doc_ngrams_match_bruteforce(spark, docs):
+    from projectone_spark.functions.dedup import cross_doc_ngram_dedup
+
+    n = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    grams = {i: {" ".join(toks[j:j + n])
+                 for j in range(len(toks) - n + 1)}
+             for i, (_, t) in zip(range(len(rows)), rows)
+             for toks in [_pynorm(t)]}
+    counts: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            counts[g] = counts.get(g, 0) + 1
+    got = {r["doc_id"]: r.asDict()
+           for r in cross_doc_ngram_dedup(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               n=n).collect()}
+    for i, gs in grams.items():
+        if not gs:
+            assert i not in got
+            continue
+        shared = sum(1 for g in gs if counts[g] > 1)
+        assert got[i]["n_grams"] == len(gs)
+        assert got[i]["n_shared"] == shared
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 500),
+                               st.sampled_from(["a", "b", "c"]),
+                               st.integers(1, 50)),
+                     min_size=2, max_size=25,
+                     unique_by=lambda t: t[0]),
+       cap=st.sampled_from([1.0, 2.0, 4.0]))
+@SLOW
+def test_mixture_rebalance_conserves_and_caps(spark, rows, cap):
+    from projectone_spark.functions.sampling import mixture_rebalance
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, toks long")
+    out = {r["source"]: r
+           for r in mixture_rebalance(df, max_upsample=cap).collect()}
+    total = sum(t for _, _, t in rows)
+    groups = {s for _, s, _ in rows}
+    target = total / len(groups)
+    for s, r in out.items():
+        gtoks = sum(t for _, g, t in rows if g == s)
+        gdocs = sum(1 for _, g, t in rows if g == s)
+        assert r["n_docs"] == gdocs and r["tokens_in"] == gtoks
+        assert r["weight"] == min(cap, target / gtoks)
+        # copies bounded by floor(w) and ceil(w) per doc
+        import math
+
+        w = r["weight"]
+        assert gdocs * math.floor(w) <= r["n_copies"] <= gdocs * math.ceil(w)
