@@ -53,3 +53,18 @@ def test_harness_prefix_contract():
     assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
+
+
+def test_queries_md_in_sync():
+    """QUERIES.md's registry table must match the live registry — the
+    driver and judges read it as the query index (regenerate with
+    ``python tools/gen_queries_md.py``)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_queries_md import HEADER, render_table
+
+    current = open(os.path.join(os.path.dirname(__file__),
+                                "..", "QUERIES.md")).read()
+    assert HEADER + current.split(HEADER)[1] == render_table()
