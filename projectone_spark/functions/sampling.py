@@ -238,3 +238,35 @@ def mixture_rebalance(df: DataFrame, group_col: str = "source",
                  F.first("__w").alias("weight"),
                  F.sum("__c").alias("n_copies"),
                  F.sum(F.col("__c") * F.col("__t")).alias("tokens_out")))
+
+
+def export_shards(df: DataFrame, out_dir: str, *,
+                  split_col: str = "split",
+                  max_records_per_file: int = 10_000) -> DataFrame:
+    """Size-governed training-set export: write the frame as parquet
+    partitioned by ``split_col`` with ``maxRecordsPerFile`` capping every
+    file — the knob that keeps shards loader-friendly at 100 TB (without
+    it, one task can emit a multi-GB file a downstream dataloader cannot
+    parallelize over; with it, Spark rolls files at the cap with no extra
+    shuffle). Returns the re-read frame so callers verify the ROUND TRIP,
+    not the writer's intent.
+
+    The cap is enforced per written file post-hoc (parquet footer row
+    counts), raising loudly rather than silently producing jumbo shards.
+    """
+    (df.write.mode("overwrite")
+       .option("maxRecordsPerFile", str(max_records_per_file))
+       .partitionBy(split_col)
+       .parquet(out_dir))
+    import pyarrow.parquet as pq
+
+    spark = df.sparkSession
+    for dirpath, _, files in __import__("os").walk(out_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n = pq.ParquetFile(f"{dirpath}/{fn}").metadata.num_rows
+                if n > max_records_per_file:
+                    raise RuntimeError(
+                        f"shard {dirpath}/{fn} holds {n} rows > cap "
+                        f"{max_records_per_file}")
+    return spark.read.parquet(out_dir)

@@ -16,6 +16,7 @@ both engines), so nothing needs rounding.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.functions.text import STOPWORDS
@@ -154,3 +155,45 @@ def p07_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load(spark, sf_dir, "documents")
             .select("doc_id", "source", estimate_tokens("n_chars").alias("toks")))
     return mixture_rebalance(docs)
+
+
+_P08_SQL = """
+WITH b AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+  FROM documents)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens
+FROM b GROUP BY split
+"""
+
+
+@register("p08_sharded_export", _P08_SQL,
+          doc="size-governed sharded export round trip: md5-bucket split "
+              "assignment, parquet written partitioned by split with "
+              "maxRecordsPerFile capping every shard (footer row counts "
+              "verified in-query), then the aggregate recomputed FROM THE "
+              "EXPORTED FILES — proving write+read equivalence, not "
+              "writer intent",
+          tags=("sampling", "export", "llm"))
+def p08_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from projectone_spark.functions.sampling import (
+        deterministic_split,
+        estimate_tokens,
+        export_shards,
+    )
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", estimate_tokens("n_chars").alias("toks")))
+    assigned = deterministic_split(docs)
+    out = export_shards(assigned, tempfile.mkdtemp(prefix="po_p08_"),
+                        max_records_per_file=200)
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").alias("n_tokens")))
