@@ -155,3 +155,50 @@ def x01_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("n_regionkey"))
             .agg(F.count(F.lit(1)).alias("n_nations"),
                  F.min("n_name").alias("first_nation")))
+
+
+_O02_SQL = """
+SELECT CAST(timestamp '2024-01-01' + (i % 28) * INTERVAL 1 DAY
+            AS VARCHAR) AS mod_day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(i) AS BIGINT) AS min_id,
+       CAST(max(i) AS BIGINT) AS max_id
+FROM range(40) t(i)
+GROUP BY 1
+"""
+
+
+@register("o02_odata_incremental_stream", _O02_SQL,
+          doc="OData micro-batch streaming read end-to-end: ModifiedOn "
+              "watermark offsets from the 2000-01-01 epoch, batches "
+              "ordered+paged through $filter/$orderby/$skip/$top against "
+              "the offline mock, drained to a memory sink (Spark runs "
+              "SimpleDataSourceStreamReader as a single-batch fallback "
+              "under availableNow), aggregated per modification day — the "
+              "oracle recomputes the mock's closed-form timeline",
+          tags=("source", "odata", "streaming"))
+def o02_odata_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.session import configure
+    from projectone_spark.sources.odata import register as register_odata
+    from projectone_spark.streaming import run_to_memory
+
+    configure(spark)
+    register_odata(spark)
+    stream = (spark.readStream.format("odata")
+              .option("url", "mock://svc").option("entity", "Accounts")
+              .option("transport",
+                      "projectone_spark.sources.odata:MockODataTransport")
+              .option("incremental_field", "ModifiedOn")
+              .option("rows_per_page", "7")
+              .load())
+    out = run_to_memory(
+        stream.groupBy(F.col("ModifiedOn").alias("mod_day"))
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.min("Id").alias("min_id"),
+                   F.max("Id").alias("max_id")),
+        output_mode="complete")
+    # ModifiedOn is parsed to TIMESTAMP by the connector (UTC session);
+    # rendered back to a string it matches the oracle's closed-form
+    # timeline byte-for-byte
+    return out.select(F.col("mod_day").cast("string"), "n_rows",
+                      "min_id", "max_id")
