@@ -422,9 +422,13 @@ def dedup_token_accounting(df: DataFrame, text_col: str = "text",
 
     toks = (tokens_col if tokens_col is not None
             else estimate_tokens(F.length(F.col(text_col))))
+    # NULL text hashes to NULL; coalesce to a sentinel so those rows form
+    # one cluster and SURVIVE the inner equi-join below (NULL keys never
+    # match) — same grouping a window over the raw hash would give
     d = df.select(F.col(id_col), F.col(group_col),
                   toks.alias("__toks"),
-                  content_hash(text_col).alias("__h"))
+                  F.coalesce(content_hash(text_col),
+                             F.lit("__null_text__")).alias("__h"))
     d = d.localCheckpoint(eager=False)
     keepers = d.groupBy("__h").agg(F.min(id_col).alias("__keeper"))
     d = d.join(keepers, "__h")

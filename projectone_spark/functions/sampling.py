@@ -251,22 +251,23 @@ def export_shards(df: DataFrame, out_dir: str, *,
     shuffle). Returns the re-read frame so callers verify the ROUND TRIP,
     not the writer's intent.
 
-    The cap is enforced per written file post-hoc (parquet footer row
-    counts), raising loudly rather than silently producing jumbo shards.
+    The cap is enforced per written file post-hoc and DISTRIBUTED — a
+    group-by on ``input_file_name()`` over the re-read — so it works on
+    any filesystem Spark can read (s3a/hdfs/local alike; a driver-side
+    os.walk would silently validate nothing on object stores), raising
+    loudly rather than silently producing jumbo shards.
     """
     (df.write.mode("overwrite")
        .option("maxRecordsPerFile", str(max_records_per_file))
        .partitionBy(split_col)
        .parquet(out_dir))
-    import pyarrow.parquet as pq
-
-    spark = df.sparkSession
-    for dirpath, _, files in __import__("os").walk(out_dir):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                n = pq.ParquetFile(f"{dirpath}/{fn}").metadata.num_rows
-                if n > max_records_per_file:
-                    raise RuntimeError(
-                        f"shard {dirpath}/{fn} holds {n} rows > cap "
-                        f"{max_records_per_file}")
-    return spark.read.parquet(out_dir)
+    back = df.sparkSession.read.parquet(out_dir)
+    over = (back.groupBy(F.input_file_name().alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_records_per_file)
+            .limit(1).collect())
+    if over:
+        raise RuntimeError(
+            f"shard {over[0]['__f']} holds {over[0]['__n']} rows > cap "
+            f"{max_records_per_file}")
+    return back

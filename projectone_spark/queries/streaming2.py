@@ -121,6 +121,14 @@ def st12_stream_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between the merge commit
+        # and the checkpoint commit re-delivers the batch, and the +=
+        # folds below would double-count. The (app_id, batch_id) txn
+        # watermark is recorded INSIDE the same atomic manifest commit as
+        # the data (exactly_once_appender's pattern, threaded through
+        # merge_into), so a replayed batch is detected and skipped.
+        if batch_id <= store.txn_version("st12", "st12_dedup"):
+            return
         agg = (batch_df
                .select(F.col("doc_id"),
                        content_hash("text").alias("content_md5"),
@@ -130,7 +138,8 @@ def st12_stream_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).alias("n_dups"),
                     F.sum("toks").alias("total_tokens")))
         if store.manifest("st12") is None:
-            store.append(spark, agg, "st12", stats_columns=["content_md5"])
+            store.append(spark, agg, "st12", stats_columns=["content_md5"],
+                         txn=("st12_dedup", batch_id))
             return
         merge_into(
             store, spark, "st12", agg, ["content_md5"],
@@ -138,11 +147,15 @@ def st12_stream_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "keeper": "least(target.keeper, source.keeper)",
                 "n_dups": "target.n_dups + source.n_dups",
                 "total_tokens": "target.total_tokens + source.total_tokens",
-            })
+            },
+            txn=("st12_dedup", batch_id))
 
     q = write_stream(stream, foreach_batch=merge_batch,
                      trigger=StreamTrigger(available_now=True),
                      checkpoint=tempfile.mkdtemp(prefix="po_st12_ckpt_"))
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st12 stream did not finish in 300s — refusing "
+                           "to read a partially-merged dedup table")
     return (store.read(spark, "st12")
             .select("content_md5", "keeper", "n_dups", "total_tokens"))

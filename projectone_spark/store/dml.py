@@ -60,7 +60,8 @@ def _all_files(dirs: Sequence[str]) -> list[str]:
 
 def _rewrite(store: TableStore, spark: SparkSession, name: str,
              predicates: Sequence[tuple[str, str, object]],
-             transform, operation: str) -> int | None:
+             transform, operation: str,
+             txn: tuple[str, int] | None = None) -> int | None:
     """Shared copy-on-write machinery: link untouched files, apply
     ``transform(candidate_df, residual_sql) -> DataFrame`` to the touched
     subset, commit. Returns the new version, or None when pruning proves
@@ -145,6 +146,7 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
         stats_columns=cols,
         set_columns=m.get("set_columns") or [],
         files=store._stats_for([nd], cols, m.get("set_columns") or []),
+        txn=txn,
         # a concurrent commit since our snapshot read means this rewrite
         # would drop its rows — fail, don't clobber (Delta's
         # ConcurrentAppendException for DELETE/UPDATE/MERGE)
@@ -197,6 +199,7 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
                not_matched_condition: str | None = None,
                when_not_matched_by_source_delete: str | bool = False,
                schema_evolution: bool = False,
+               txn: tuple[str, int] | None = None,
                ) -> int | None:
     """General ``MERGE INTO`` (Delta ``DeltaTable.merge`` surface — the
     reference's SCD writers are specializations of this; ``scd1/2/3`` in
@@ -325,7 +328,7 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
             out_cols.append(val.alias(c))
         return joined.filter(keep).select(*out_cols)
 
-    v = _rewrite(store, spark, name, predicates, apply, "merge")
+    v = _rewrite(store, spark, name, predicates, apply, "merge", txn=txn)
     if v is None and when_not_matched_insert:
         # every target file pruned, but source-only rows still insert
         ins = source.alias("source")
@@ -338,5 +341,5 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
                 F.col(f.name) if f.name in source.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in fields])
-            return store.append(spark, aligned, name)
+            return store.append(spark, aligned, name, txn=txn)
     return v

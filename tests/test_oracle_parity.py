@@ -66,5 +66,5 @@ def test_queries_md_in_sync():
     from gen_queries_md import HEADER, render_table
 
     current = open(os.path.join(os.path.dirname(__file__),
-                                "..", "QUERIES.md")).read()
+                                "..", "QUERIES.md"), encoding="utf-8").read()
     assert HEADER + current.split(HEADER)[1] == render_table()

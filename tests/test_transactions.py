@@ -112,3 +112,34 @@ def test_concurrent_appends_all_land(spark, store):
     assert store.read(spark, "orders").count() == 4 * 21
     versions = [m["version"] for m in store.history("orders")]
     assert versions == list(range(20, -1, -1))
+
+
+def test_merge_into_records_txn_watermark(spark, tmp_path):
+    """Review regression (r4): merge_into must be usable in an
+    exactly-once foreachBatch — the (app_id, batch_id) txn watermark is
+    recorded inside the SAME manifest commit as the merged data, so a
+    replayed micro-batch (at-least-once delivery) is detected by the
+    caller's txn_version check and skipped instead of double-folding
+    `target.n + source.n` updates (st12's pattern)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.dml import merge_into
+
+    store = TableStore(str(tmp_path / "store"))
+    base = spark.createDataFrame([("a", 1), ("b", 1)], "k string, n long")
+    store.append(spark, base, "t", txn=("app", 0))
+    batch = spark.createDataFrame([("a", 1), ("c", 1)], "k string, n long")
+
+    def replayable_merge(batch_df, batch_id):
+        if batch_id <= store.txn_version("t", "app"):
+            return  # replay detected
+        merge_into(store, spark, "t", batch_df, ["k"],
+                   when_matched_update={"n": "target.n + source.n"},
+                   txn=("app", batch_id))
+
+    replayable_merge(batch, 1)
+    replayable_merge(batch, 1)  # at-least-once redelivery: must be a no-op
+    got = {r["k"]: r["n"] for r in store.read(spark, "t").collect()}
+    assert got == {"a": 2, "b": 1, "c": 1}
+    assert store.txn_version("t", "app") == 1

@@ -33,11 +33,11 @@ def render_table() -> str:
 
 def regenerate(path: str = "QUERIES.md") -> bool:
     """Rewrite the table in place; returns True when the file changed."""
-    old = open(path).read()
+    old = open(path, encoding="utf-8").read()
     prose = old.split(HEADER)[0]
     new = prose + render_table()
     if new != old:
-        open(path, "w").write(new)
+        open(path, "w", encoding="utf-8").write(new)
         return True
     return False
 
