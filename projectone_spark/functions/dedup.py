@@ -496,3 +496,52 @@ def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
                 ((F.col("n_shared").cast("double")
                   / F.col("n_grams").cast("double"))
                  <= max_dup_frac).alias("keep")))
+
+
+def incremental_lsh_pairs(base: DataFrame, delta: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_hashes: int = 4, k: int = 5,
+                          band_chars: int = 2,
+                          parallelism: int | None = None) -> DataFrame:
+    """Incremental near-dup candidates when ``delta`` documents join an
+    existing corpus: every LSH candidate pair with AT LEAST ONE delta
+    side — delta×base and delta×delta, never base×base (those were
+    emitted when the base was built). This is the operational dedup shape
+    at 100 TB: a daily crawl increment must not re-run the corpus-wide
+    self-join, only probe the delta against the standing buckets.
+
+    Scale shape: both signature pipelines are computed once (checkpointed
+    union), and the join's LEFT side is only the delta — a band-key
+    equi-join the optimizer can broadcast when the delta is small, with
+    the full corpus side streamed through it; cost is O(delta × bucket
+    width), independent of |base|². Pair identity matches the batch
+    ``lsh_candidate_pairs`` exactly: a delta-delta pair is ordered by id
+    (found once), a delta-base pair carries least/greatest ids.
+    """
+    sigs = (minhash_signatures(base, text_col, id_col, num_hashes, k,
+                               parallelism)
+            .withColumn("__new", F.lit(False))
+            .unionByName(
+                minhash_signatures(delta, text_col, id_col, num_hashes, k,
+                                   parallelism)
+                .withColumn("__new", F.lit(True)))
+            .withColumn("band", F.substring(F.col("mh0"), 1, band_chars))
+            .localCheckpoint(eager=False))
+    a = sigs.filter(F.col("__new")).alias("a")
+    b = sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & (~F.col("b.__new")
+           | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))))
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    eq_terms = [F.when(F.col(f"a.{c}") == F.col(f"b.{c}"), 1).otherwise(0)
+                for c in mh_cols]
+    est = (sum(eq_terms[1:], eq_terms[0]).cast("double")
+           / F.lit(float(num_hashes)))
+    return pairs.select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_id_a"),
+        F.greatest(F.col(f"a.{id_col}"),
+                   F.col(f"b.{id_col}")).alias("doc_id_b"),
+        F.round(est, 4).alias("est_jaccard"))

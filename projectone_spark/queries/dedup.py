@@ -320,3 +320,39 @@ def d08_connected_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             F.col("n").alias("n1"))), "b1")
             .filter((F.col("n0") >= 2) | (F.col("n1") >= 2))
             .select("doc_id", "component"))
+
+
+_D11_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id, (doc_id % 10 = 0) AS is_new,
+         {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+         {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+  FROM documents),
+banded AS (SELECT *, substr(mh0, 1, 2) AS band FROM sigs)
+SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
+       greatest(a.doc_id, b.doc_id) AS doc_id_b,
+       round((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) / 4.0, 4)
+         AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.is_new
+ AND a.doc_id <> b.doc_id
+ AND (NOT b.is_new OR a.doc_id < b.doc_id)
+"""
+
+
+@register("d11_incremental_lsh_pairs", _D11_SQL,
+          doc="incremental near-dup: every-10th document plays a daily "
+              "delta probing the standing LSH buckets — delta×base and "
+              "delta×delta candidate pairs only, never a re-run of the "
+              "base×base self-join; join cost is O(delta × bucket width), "
+              "independent of the standing corpus squared",
+          tags=("dedup", "minhash", "lsh", "incremental", "llm"))
+def d11_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.dedup import incremental_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return incremental_lsh_pairs(docs.filter(F.col("doc_id") % 10 != 0),
+                                 docs.filter(F.col("doc_id") % 10 == 0))

@@ -85,3 +85,25 @@ def test_mixture_rebalance_deterministic(spark):
     a = sorted(map(tuple, mixture_rebalance(df).collect()))
     b = sorted(map(tuple, mixture_rebalance(df.repartition(7)).collect()))
     assert a == b  # stable under re-runs and repartitioning
+
+
+def test_incremental_lsh_pairs_completes_the_batch_pair_set(spark):
+    """base-only pairs ∪ incremental(delta) pairs must equal the full
+    batch candidate-pair set — the invariant that makes daily-increment
+    dedup sound (no pair lost, no base×base pair recomputed)."""
+    from projectone_spark.functions.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared words {'x' * (i % 3)} tail piece number {i % 4}")
+         for i in range(24)],
+        "doc_id long, text string")
+    base = docs.filter("doc_id % 5 != 0")
+    delta = docs.filter("doc_id % 5 = 0")
+    full = {(r[0], r[1]) for r in lsh_candidate_pairs(docs).collect()}
+    base_only = {(r[0], r[1]) for r in lsh_candidate_pairs(base).collect()}
+    inc = {(r[0], r[1]) for r in incremental_lsh_pairs(base, delta).collect()}
+    assert base_only | inc == full
+    assert base_only & inc == set()
