@@ -39,11 +39,25 @@ class TaskNode:
     #: ``core/schemas/deploy.py:158-183``): a node may BE a nested
     #: pipeline; it runs as one unit and succeeds iff every inner task does
     subtasks: list["TaskNode"] | None = None
+    #: "thread" (default — shared session, the scale path) or
+    #: "subprocess" — the reference's isolation mode (``local.py:242-430``:
+    #: each task a ``python -m ...task.cli run`` child process with its own
+    #: session); use it for tasks that must not share JVM/session state
+    #: (conflicting spark confs, native-library crashes, memory isolation)
+    isolation: str = "thread"
 
     def __post_init__(self):
         if (self.config is None) == (self.subtasks is None):
             raise ValueError(
                 f"task '{self.name}' needs exactly one of config/subtasks")
+        if self.isolation not in ("thread", "subprocess"):
+            raise ValueError(
+                f"task '{self.name}': isolation must be 'thread' or "
+                f"'subprocess', got {self.isolation!r}")
+        if self.isolation == "subprocess" and self.subtasks is not None:
+            raise ValueError(
+                f"task '{self.name}': a nested pipeline cannot run as a "
+                f"single subprocess — set isolation on its leaf tasks")
 
 
 @dataclass
@@ -112,6 +126,8 @@ class PipelineRunner:
                     if failed:
                         run.status = "FAILED"
                         run.error = f"nested tasks failed: {sorted(failed)}"
+                elif t.isolation == "subprocess":
+                    _run_subprocess_task(t, run)
                 else:
                     SparkTask(t.config, self.spark).execute()
             except Exception as e:  # noqa: BLE001 - recorded, not swallowed
@@ -135,6 +151,34 @@ class PipelineRunner:
                     for f in done:
                         runs[futures.pop(f)] = f.result()
         return runs
+
+
+def _run_subprocess_task(t: TaskNode, run: "TaskRun") -> None:
+    """The reference's isolation mode: the task config round-trips through
+    JSON and runs as ``python -m projectone_spark.task.cli run -c <file>``
+    in a child process with its own SparkSession (``local.py:242-430``).
+    Stdout/stderr are captured into the TaskRun on failure."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+
+    cfg_path = tempfile.mktemp(prefix=f"po_task_{t.name}_", suffix=".json")
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        json.dump(t.config.model_dump(mode="json"), f)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "projectone_spark.task.cli", "run",
+         "-c", cfg_path],
+        capture_output=True, text=True, env=env)
+    if proc.returncode != 0:
+        run.status = "FAILED"
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-15:]
+        run.error = (f"subprocess task exited {proc.returncode}: "
+                     + " | ".join(tail))
 
 
 # -- contract reference resolution ------------------------------------------

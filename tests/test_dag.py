@@ -263,3 +263,51 @@ def test_format_environment_variables_keeps_types():
     assert got["n"] == 3
     assert got["nested"] == [{"v": "x"}]
     assert got["obj"] == {"a": 1}  # whole-string reference keeps the type
+
+
+def test_subprocess_isolation_task(spark, tmp_path):
+    """Reference isolation parity (local.py:242-430): a TaskNode with
+    isolation='subprocess' runs as `python -m projectone_spark.task.cli
+    run` in a child process with its own session; the written table is
+    visible to the parent afterwards, and a failing child marks
+    downstream tasks SKIPPED like any other failure."""
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+    from projectone_spark.task.dag import PipelineRunner, TaskNode
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                          "id long, v long").write.parquet(src)
+    ok = (SparkTask.builder
+          .setName("sub_ok")
+          .setInput(name="src", path=src, source="parquet",
+                    read_options={"filter": "v >= 20"})
+          .setOutput(name="out", table="t_sub", write_type="overwrite")
+          .setStateLocation(str(tmp_path / "state"))
+          .setStoreLocation(str(tmp_path / "store"))
+          .create())
+    bad = (SparkTask.builder
+           .setName("sub_bad")
+           .setInput(name="src", path=str(tmp_path / "missing"),
+                     source="parquet")
+           .setOutput(name="out", table="t_bad", write_type="overwrite")
+           .setStateLocation(str(tmp_path / "state"))
+           .setStoreLocation(str(tmp_path / "store"))
+           .create())
+    down = (SparkTask.builder
+            .setName("downstream")
+            .setInput(name="src", path=src, source="parquet")
+            .setOutput(name="out", table="t_down", write_type="overwrite")
+            .setStateLocation(str(tmp_path / "state"))
+            .setStoreLocation(str(tmp_path / "store"))
+            .create())
+    runs = PipelineRunner(spark).run([
+        TaskNode("sub_ok", ok.config, isolation="subprocess"),
+        TaskNode("sub_bad", bad.config, isolation="subprocess"),
+        TaskNode("downstream", down.config, depends_on=["sub_bad"]),
+    ])
+    assert runs["sub_ok"].status == "SUCCESS"
+    assert runs["sub_bad"].status == "FAILED" and runs["sub_bad"].error
+    assert runs["downstream"].status == "SKIPPED"
+    got = TableStore(str(tmp_path / "store")).read(spark, "t_sub")
+    assert sorted(r["id"] for r in got.collect()) == [2, 3]
