@@ -141,3 +141,58 @@ def q39_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (flat.groupBy("nation", "o_year")
             .agg(F.round(F.sum("amount"), 2).cast("double")
                  .alias("sum_profit")))
+
+
+_Q40_SQL = f"""
+WITH flat AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         CAST(l.l_extendedprice AS {_DEC})
+           * (1 - CAST(l.l_discount AS {_DEC})) AS volume
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-07-01')
+SELECT c_custkey, c_name, nation,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM flat GROUP BY c_custkey, c_name, nation
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q40_returned_item_customers", _Q40_SQL,
+          doc="TPC-H Q10 shape: top-20 customers by lost revenue on "
+              "returned items in a half-year window — the returnflag and "
+              "date predicates push to the scans, dimensions broadcast, "
+              "one aggregation exchange, and the top-20 plans as "
+              "TakeOrderedAndProject (no global sort); exact decimal "
+              "revenue with an id tie-break",
+          tags=("join", "agg", "topk"))
+def q40_returned_item_customers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+
+    vol = (F.col("l_extendedprice").cast(_DEC)
+           * (F.lit(1) - F.col("l_discount").cast(_DEC)))
+    flat = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .select("c_custkey", "c_name", "nation", vol.alias("volume")))
+    return (flat.groupBy("c_custkey", "c_name", "nation")
+            .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
