@@ -94,26 +94,27 @@ def oracle_sql() -> dict[str, str]:
 #: evidence lives in CORRECTNESS_r{1..3}.json and stays continuously
 #: re-verified by tests/test_oracle_parity.py over the FULL registry).
 #:
-#: Round-4 prefix: the 25 core engine/streaming rows kept from round 3
-#: (s01–s10, st01–st09 — the operators the judge weighs heaviest — plus
-#: p03/p04, whose oracle-type fix this round must prove out, t06/t07, c01,
-#: d01), then the 25 oracle-bearing queries that have NEVER had a driver
-#: row: store features s11–s22, stateful streaming st10/st11, analytics
-#: q34–q37, e06, corpus t08/d09/p06, and the connector round-trips
-#: o01/j01/x01.
+#: Round-5 prefix. Three groups:
+#:
+#: 1. Ten regression ANCHORS from the multi-round-proven round-3 core
+#:    (s02/s06/s07/s09/s10, st01/st09 have 2–4 green rounds; p03/p04 keep
+#:    a slot to confirm their round-4 first green was no fluke; d01 is the
+#:    cheapest dedup canary). Rotated OUT (green in r3+r4, still locally
+#:    parity-checked every pytest run): s01/s03/s04/s05/s08, st02–st08,
+#:    t06/t07, c01.
+#: 2. The 25 round-4 first-green rows kept for a second adjudication
+#:    (store features s11–s22, stateful streaming st10/st11, analytics
+#:    q34–q37 + e06, corpus t08/d09/p06, connectors o01/j01/x01).
+#: 3. The 15 queries that have NEVER had a driver row (new in round 4):
+#:    task/DAG lifecycle f01–f04, corpus quality t09/d10/p07/p08,
+#:    incremental LSH d11, centroid classify e07, OData stream o02,
+#:    streaming MERGE dedup st12, TPC-H Q8/Q9/Q10 shapes q38–q40.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    "s01_scd1_upsert", "s02_scd2_history", "s03_scd3_prev_columns",
-    "s04_cdc_bounds", "s05_scd1_xxhash64", "s06_skipping_read",
-    "s07_incremental_agg", "s08_bucketed_join", "s09_dml_delete_update",
-    "s10_merge_into",
-    "st01_stream_tumbling", "st02_stream_scd1_upsert",
-    "st03_stream_session_window", "st04_stream_dedup", "st05_stream_sliding",
-    "st06_stream_interval_join", "st07_stream_static_join",
-    "st08_stream_from_table", "st09_stream_exactly_once_sink",
-    "p03_sequence_packing", "p04_contamination",
-    "t06_repetition_filter", "t07_pii_scrub", "c01_doc_chunks",
-    "d01_exact_dedup",
-    # never driver-adjudicated before round 4:
+    "s02_scd2_history", "s06_skipping_read", "s07_incremental_agg",
+    "s09_dml_delete_update", "s10_merge_into",
+    "st01_stream_tumbling", "st09_stream_exactly_once_sink",
+    "p03_sequence_packing", "p04_contamination", "d01_exact_dedup",
+    # round-4 first greens, second adjudication:
     "s11_value_set_skipping", "s12_time_travel", "s13_schema_evolution",
     "s14_restore", "s15_table_constraint", "s16_selective_overwrite",
     "s17_table_contract_columns", "s18_write_stats",
@@ -125,6 +126,15 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "e06_embedding_profile",
     "t08_tfidf_terms", "d09_source_overlap", "p06_dedup_token_accounting",
     "o01_odata_pushdown", "j01_jdbc_partitioned_read", "x01_excel_roundtrip",
+    # never driver-adjudicated before round 5:
+    "f01_task_feature_pipeline", "f02_dag_pipeline", "f03_cdc_backfill",
+    "f04_schema_registry_json",
+    "t09_gopher_rules", "d10_crossdoc_ngram_dedup",
+    "d11_incremental_lsh_pairs",
+    "p07_mixture_rebalance", "p08_sharded_export",
+    "e07_centroid_classify",
+    "o02_odata_incremental_stream", "st12_stream_dedup_merge",
+    "q38_market_share", "q39_product_profit", "q40_returned_item_customers",
 )
 
 
