@@ -175,6 +175,18 @@ def _validate_condition_tree(tree) -> None:
                 if type(op).__name__ not in _ALLOWED_CMP:
                     raise ValueError(f"operator {type(op).__name__} not "
                                      f"allowed in event conditions")
+        if (isinstance(node, ast.UnaryOp)
+                and isinstance(node.op, (ast.USub, ast.UAdd))):
+            # unary +/- exists in the grammar only for signed numeric
+            # literals ("delta > -1"); over any other operand it would
+            # validate here but TypeError at dispatch time — reject at
+            # compile time instead
+            if not (isinstance(node.operand, ast.Constant)
+                    and isinstance(node.operand.value, (int, float))
+                    and not isinstance(node.operand.value, bool)):
+                raise ValueError(
+                    "unary +/- in event conditions applies only to "
+                    "numeric literals")
         if isinstance(node, ast.Name) and node.id not in fields:
             raise ValueError(f"unknown event field '{node.id}' "
                              f"(have {sorted(fields)})")

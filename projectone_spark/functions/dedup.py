@@ -338,8 +338,14 @@ def source_overlap(df: DataFrame, text_col: str = "text",
              .select(F.element_at(src_arr, F.col("sid") + 1).alias("src"),
                      "n_sh"))
     right = ex.select(F.col("m").alias("m2"), F.col("sid").alias("ib"))
+    # the exploded mask table is ≤ 2^n·n rows WORST case — tiny for the
+    # usual handful of sources, but past ~16 sources the bound (>1M rows)
+    # no longer justifies forcing a broadcast; leave the strategy to AQE's
+    # actual runtime stats there instead of risking a driver-memory cliff
+    if n <= 16:
+        right = F.broadcast(right)
     inter = (ex.withColumnRenamed("sid", "ia")
-             .join(F.broadcast(right),
+             .join(right,
                    (F.col("m") == F.col("m2")) & (F.col("ia") < F.col("ib")))
              .groupBy("ia", "ib").agg(F.sum("cnt").alias("n_common"))
              .select(F.element_at(src_arr, F.col("ia") + 1).alias("source_a"),

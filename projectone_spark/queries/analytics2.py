@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from projectone_spark.functions.joins import asof_join, range_join
 from projectone_spark.queries import load, register
+from projectone_spark.session import scratch_dir
 
 def _rev() -> F.Column:
     """Revenue expression; a function because Column construction needs a
@@ -649,7 +650,6 @@ def q33_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           tags=("sketch", "incremental", "store", "llm"))
 def a02_incremental_distinct_sketch(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
-    import tempfile
 
     from projectone_spark.functions.incremental import (
         distinct_view, refresh_distinct,
@@ -657,7 +657,7 @@ def a02_incremental_distinct_sketch(spark: SparkSession,
     from projectone_spark.store import TableStore
     from projectone_spark.store.state import StateStore
 
-    root = tempfile.mkdtemp(prefix="pos-hll-")
+    root = scratch_dir(prefix="pos-hll-")
     st = TableStore(root)
     state = StateStore(root + "_state")
     orders = load(spark, sf_dir, "orders")

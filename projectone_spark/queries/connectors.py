@@ -14,12 +14,12 @@ partitioned reads.
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import load, register
+from projectone_spark.session import scratch_dir
 
 _O01_SQL = """
 SELECT i AS Id,
@@ -100,7 +100,7 @@ GROUP BY o_custkey % 10
 def j01_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.sources import read_jdbc
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='po_j01_')}/db;create=true"
+    url = f"jdbc:derby:{scratch_dir(prefix='po_j01_')}/db;create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice")
@@ -148,7 +148,7 @@ def x01_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey")
     rows = [[r.n_nationkey, r.n_name, r.n_regionkey]
             for r in nation.orderBy("n_nationkey").collect()]  # 25-row dim
-    path = os.path.join(tempfile.mkdtemp(prefix="po_x01_"), "nation.xlsx")
+    path = os.path.join(scratch_dir(prefix="po_x01_"), "nation.xlsx")
     write_xlsx_stdlib(path, ["n_nationkey", "n_name", "n_regionkey"], rows)
     back = read_excel(spark, path)
     return (back.groupBy(F.col("n_regionkey").cast("bigint")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from projectone_spark.functions.text import STOPWORDS
 from projectone_spark.queries import load, register
 from projectone_spark.queries._sql_fragments import _NORM, _TOKS
+from projectone_spark.session import scratch_dir
 
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
@@ -181,7 +182,6 @@ FROM b GROUP BY split
               "writer intent",
           tags=("sampling", "export", "llm"))
 def p08_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from projectone_spark.functions.sampling import (
         deterministic_split,
@@ -192,7 +192,7 @@ def p08_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load(spark, sf_dir, "documents")
             .select("doc_id", estimate_tokens("n_chars").alias("toks")))
     assigned = deterministic_split(docs)
-    out = export_shards(assigned, tempfile.mkdtemp(prefix="po_p08_"),
+    out = export_shards(assigned, scratch_dir(prefix="po_p08_"),
                         max_records_per_file=200)
     return (out.groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import load, register
 from projectone_spark.writers.merge import scd1_merge, scd2_apply, scd3_apply
+from projectone_spark.session import scratch_dir
 
 _CUT = "1997-01-01"
 _T0 = "2024-01-01"
@@ -174,14 +175,13 @@ def _skipping_store(spark: SparkSession, sf_dir: str):
     """Materialize orders into a TableStore clustered on o_orderdate, once
     per (session, sf_dir). The write + optimize cost is part of what s06
     benchmarks: layout work is what buys the pruned read."""
-    import tempfile
 
     from projectone_spark.store import TableStore
     from projectone_spark.store.skipping import optimize
 
     st = _SKIP_STORES.get(sf_dir)
     if st is None:
-        st = TableStore(tempfile.mkdtemp(prefix="pos-skip-"))
+        st = TableStore(scratch_dir(prefix="pos-skip-"))
         orders = load(spark, sf_dir, "orders")
         st.overwrite(spark, orders.repartition(8), "orders",
                      stats_columns=["o_orderdate"])
@@ -234,14 +234,13 @@ FROM orders GROUP BY o_custkey
               "by construction",
           tags=("store", "cdf", "incremental", "perf"))
 def s07_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from projectone_spark.functions.incremental import agg_view, refresh_agg
     from projectone_spark.store import TableStore
     from projectone_spark.store.state import StateStore
 
     orders = load(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="pos-incr-")
+    root = scratch_dir(prefix="pos-incr-")
     st = TableStore(root)
     state = StateStore(root + "_state")
     st.overwrite(spark, orders.filter(F.col("o_orderdate") < _ts(_CUT)),
@@ -281,14 +280,13 @@ GROUP BY c.c_custkey
               "write time, reused by every later query)",
           tags=("store", "bucketing", "join", "perf"))
 def s08_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from projectone_spark.store import TableStore
     from projectone_spark.store.bucketing import read_bucketed, write_bucketed
 
     st = _BUCKET_STORES.get(sf_dir)
     if st is None:
-        st = TableStore(tempfile.mkdtemp(prefix="pos-bkt-"))
+        st = TableStore(scratch_dir(prefix="pos-bkt-"))
         write_bucketed(st, spark, load(spark, sf_dir, "orders"),
                        "orders", ["o_custkey"], 8, sort_by=["o_custkey"])
         write_bucketed(st, spark, load(spark, sf_dir, "customer"),
@@ -330,12 +328,11 @@ GROUP BY o_orderstatus
               "update CASE inline",
           tags=("store", "dml", "write"))
 def s09_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from projectone_spark.store import TableStore
     from projectone_spark.store.dml import delete_where, update_where
 
-    st = TableStore(tempfile.mkdtemp(prefix="pos-dml-"))
+    st = TableStore(scratch_dir(prefix="pos-dml-"))
     orders = load(spark, sf_dir, "orders")
     st.overwrite(spark, orders.repartitionByRange(8, "o_orderdate"),
                  "orders", stats_columns=["o_orderdate"])
@@ -377,12 +374,11 @@ GROUP BY o_orderstatus
               "(0.5x is FP-exact, so both engines agree bit-for-bit)",
           tags=("store", "dml", "merge", "write"))
 def s10_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from projectone_spark.store import TableStore
     from projectone_spark.store.dml import merge_into
 
-    st = TableStore(tempfile.mkdtemp(prefix="pos-mrg-"))
+    st = TableStore(scratch_dir(prefix="pos-mrg-"))
     orders = load(spark, sf_dir, "orders")
     st.overwrite(spark, orders.repartitionByRange(8, "o_orderkey"),
                  "orders", stats_columns=["o_orderkey"])

@@ -9,12 +9,12 @@ reshuffle; they still run in bench and the local parity suite.
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import load, register
+from projectone_spark.session import scratch_dir
 
 _S11_SQL = """
 SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price
@@ -37,7 +37,7 @@ def s11_value_set_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         add_value_set_stats, read_where, skipping_report,
     )
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s11_"))
+    store = TableStore(scratch_dir(prefix="po_s11_"))
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     statuses = [r[0] for r in
@@ -75,7 +75,7 @@ FROM orders WHERE o_orderkey % 2 = 0
 def s12_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s12_"))
+    store = TableStore(scratch_dir(prefix="po_s12_"))
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     store.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0),
                     "orders")
@@ -103,7 +103,7 @@ def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
     from projectone_spark.store.maintenance import append_evolve, read_merged
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s13_"))
+    store = TableStore(scratch_dir(prefix="po_s13_"))
     orders = load(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_totalprice")
     store.overwrite(spark, base.filter(F.col("o_orderkey") % 2 == 0),
@@ -133,7 +133,7 @@ def s14_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
     from projectone_spark.store.maintenance import restore
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s14_"))
+    store = TableStore(scratch_dir(prefix="po_s14_"))
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     store.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0),
                     "orders")

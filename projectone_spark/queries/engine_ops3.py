@@ -14,12 +14,12 @@ so the oracle match certifies behavior, not just the final projection.
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import load, register
+from projectone_spark.session import scratch_dir
 
 _S15_SQL = """
 SELECT o.o_orderstatus,
@@ -46,7 +46,7 @@ def s15_table_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ConstraintViolation, check_table_constraints, write_append,
     )
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s15_"))
+    store = TableStore(scratch_dir(prefix="po_s15_"))
     cust = load(spark, sf_dir, "customer").select("c_custkey")
     store.overwrite(spark, cust, "customer")
     orders = (load(spark, sf_dir, "orders")
@@ -97,7 +97,7 @@ def s16_selective_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
     from projectone_spark.writers import write_selective_overwrite
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s16_"))
+    store = TableStore(scratch_dir(prefix="po_s16_"))
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice")
     store.overwrite(spark, orders, "orders", partition_by=["o_orderstatus"])
@@ -139,7 +139,7 @@ def s17_table_contract_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore, create_if_not_exists
     from projectone_spark.writers.columns import apply_table_features
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s17_"))
+    store = TableStore(scratch_dir(prefix="po_s17_"))
     contract = Table(name="orders_enriched", columns=[
         TableColumn(name="o_orderkey", type="bigint", nullable=False),
         TableColumn(name="o_orderstatus", type="string"),
@@ -180,7 +180,7 @@ SELECT 'overwrite' AS op_v0, 'append' AS op_v1, 1 AS version,
 def s18_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore, last_commit_stats
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s18_"))
+    store = TableStore(scratch_dir(prefix="po_s18_"))
     orders = load(spark, sf_dir, "orders").select("o_orderkey")
     store.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0),
                     "orders")
@@ -214,7 +214,7 @@ def s19_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
     from projectone_spark.store.maintenance import compact, table_files
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s19_"))
+    store = TableStore(scratch_dir(prefix="po_s19_"))
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus")
     # 8 fragmented commits: one small file each
@@ -254,7 +254,7 @@ def s20_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
     from projectone_spark.store.maintenance import vacuum
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s20_"))
+    store = TableStore(scratch_dir(prefix="po_s20_"))
     orders = load(spark, sf_dir, "orders").select("o_orderkey")
     store.overwrite(spark, orders.filter(F.col("o_orderkey") % 3 == 0),
                     "orders")                                    # v0
@@ -296,7 +296,7 @@ def s21_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
     from projectone_spark.store.maintenance import clone
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s21_"))
+    store = TableStore(scratch_dir(prefix="po_s21_"))
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus")
     store.overwrite(spark, orders, "orders")
@@ -338,7 +338,7 @@ def s22_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.config.data_objects import View
     from projectone_spark.store import TableStore, register_catalog
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_s22_"))
+    store = TableStore(scratch_dir(prefix="po_s22_"))
     store.overwrite(spark, load(spark, sf_dir, "orders")
                     .select("o_custkey", "o_totalprice"), "orders")
     store.overwrite(spark, load(spark, sf_dir, "customer")

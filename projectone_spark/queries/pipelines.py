@@ -27,13 +27,12 @@ binding, writer, store read-back — not just the leaf operators:
 
 from __future__ import annotations
 
-import tempfile
 import textwrap
 
 from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import register
-from projectone_spark.session import configure
+from projectone_spark.session import configure, scratch_dir
 
 _F01_SQL = """
 SELECT o_custkey, count(*) AS n_orders,
@@ -59,7 +58,7 @@ def f01_task_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.task import SparkTask
 
     configure(spark)
-    root = tempfile.mkdtemp(prefix="po_f01_store_")
+    root = scratch_dir(prefix="po_f01_store_")
     body = textwrap.dedent("""
         import pyspark.sql.functions as F
         def revenue_by_cust(src, min_orders=1):
@@ -87,7 +86,7 @@ def f01_task_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .setRefreshPolicy(type="backfill", start_value="1997-01-01",
                               end_value="1998-12-31")
             .setSecrets({"flt": {"min_price": "1000.0"}})
-            .setStateLocation(tempfile.mkdtemp(prefix="po_f01_state_"))
+            .setStateLocation(scratch_dir(prefix="po_f01_state_"))
             .setStoreLocation(root)
             .setSession(spark)
             .create())
@@ -122,8 +121,8 @@ def f02_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.task.dag import PipelineRunner, TaskNode
 
     configure(spark)
-    root = tempfile.mkdtemp(prefix="po_f02_store_")
-    state = tempfile.mkdtemp(prefix="po_f02_state_")
+    root = scratch_dir(prefix="po_f02_store_")
+    state = scratch_dir(prefix="po_f02_state_")
 
     body_a = textwrap.dedent("""
         import pyspark.sql.functions as F
@@ -204,7 +203,7 @@ def f03_cdc_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.task import SparkTask
 
     configure(spark)
-    root = tempfile.mkdtemp(prefix="po_f03_store_")
+    root = scratch_dir(prefix="po_f03_store_")
     body = textwrap.dedent("""
         import pyspark.sql.functions as F
         def project(ev):
@@ -221,7 +220,7 @@ def f03_cdc_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .setRefreshPolicy(type="backfill",
                               start_value="2024-01-08 00:00:00",
                               end_value="2024-01-21 23:59:59")
-            .setStateLocation(tempfile.mkdtemp(prefix="po_f03_state_"))
+            .setStateLocation(scratch_dir(prefix="po_f03_state_"))
             .setStoreLocation(root)
             .setSession(spark)
             .create())
@@ -254,7 +253,7 @@ def f04_schema_registry_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.task import SparkTask
 
     configure(spark)
-    root = tempfile.mkdtemp(prefix="po_f04_store_")
+    root = scratch_dir(prefix="po_f04_store_")
     body = textwrap.dedent("""
         import pyspark.sql.functions as F
         def unpack(ev):
@@ -271,7 +270,7 @@ def f04_schema_registry_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "target_column": "props_t"}])
             .setExecution(name="unpack", body=body)
             .setOutput(name="out", table="f04_out", write_type="overwrite")
-            .setStateLocation(tempfile.mkdtemp(prefix="po_f04_state_"))
+            .setStateLocation(scratch_dir(prefix="po_f04_state_"))
             .setStoreLocation(root)
             .setSession(spark)
             .create())

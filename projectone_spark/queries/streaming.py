@@ -10,12 +10,12 @@ trigger too, ``core/schemas/sources.py:88-110``).
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import load, register
+from projectone_spark.session import scratch_dir
 from projectone_spark.streaming import (
     dedup_within_watermark,
     foreach_batch_writer,
@@ -115,7 +115,7 @@ def st02_stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
     from projectone_spark.writers import write_overwrite
 
-    store = TableStore(tempfile.mkdtemp(prefix="po_st02_"))
+    store = TableStore(scratch_dir(prefix="po_st02_"))
     orders = load(spark, sf_dir, "orders")
     seed = orders.select("o_orderkey",
                          F.round("o_totalprice", 2).alias("total_price"))
@@ -308,7 +308,7 @@ def st08_stream_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.store import TableStore
 
     orders = load(spark, sf_dir, "orders")
-    st = TableStore(tempfile.mkdtemp(prefix="pos-ssrc-"))
+    st = TableStore(scratch_dir(prefix="pos-ssrc-"))
     st.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0)
                  .repartition(4), "orders")
     # the complement by predicate, not exceptAll: same rows (o_orderkey is
@@ -351,7 +351,7 @@ def st09_stream_exactly_once_sink(spark: SparkSession, sf_dir: str
     )
 
     configure(spark)  # UTC casts regardless of the caller's session tz
-    store = TableStore(tempfile.mkdtemp(prefix="po_st09_"))
+    store = TableStore(scratch_dir(prefix="po_st09_"))
     sel = (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
 
     def run_stream() -> None:

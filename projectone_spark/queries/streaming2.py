@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import load, register
 from projectone_spark.queries.streaming import _stream_events
+from projectone_spark.session import scratch_dir
 
 _ST11_SQL = """
 WITH cutoff AS (SELECT max(ts) - INTERVAL 4 HOUR AS c FROM events),
@@ -97,7 +98,6 @@ FROM d GROUP BY content_md5
               "O(batch + matched clusters), never O(corpus)",
           tags=("streaming", "dedup", "merge", "llm"))
 def st12_stream_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from projectone_spark.functions.dedup import content_hash
     from projectone_spark.functions.sampling import estimate_tokens
@@ -111,10 +111,10 @@ def st12_stream_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # split the corpus into several files so availableNow genuinely
     # processes MULTIPLE micro-batches (order must not matter)
-    src_dir = tempfile.mkdtemp(prefix="po_st12_src_")
+    src_dir = scratch_dir(prefix="po_st12_src_")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     docs.repartition(4).write.mode("overwrite").parquet(src_dir)
-    store = TableStore(tempfile.mkdtemp(prefix="po_st12_store_"))
+    store = TableStore(scratch_dir(prefix="po_st12_store_"))
 
     stream = read_stream_parquet(
         spark, src_dir, "doc_id bigint, text string, n_chars bigint",
@@ -152,7 +152,7 @@ def st12_stream_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = write_stream(stream, foreach_batch=merge_batch,
                      trigger=StreamTrigger(available_now=True),
-                     checkpoint=tempfile.mkdtemp(prefix="po_st12_ckpt_"))
+                     checkpoint=scratch_dir(prefix="po_st12_ckpt_"))
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("st12 stream did not finish in 300s — refusing "

@@ -28,7 +28,6 @@ task never share offsets.
 
 from __future__ import annotations
 
-import tempfile
 import time
 import uuid
 from collections.abc import Callable, Sequence
@@ -42,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 from projectone_spark.store import TableStore
 from projectone_spark.writers import WRITERS
 
+from projectone_spark.session import scratch_dir
 from projectone_spark.streaming.windows import (  # noqa: F401  (re-export)
     dedup_within_watermark,
     session_window_agg,
@@ -134,7 +134,7 @@ def write_stream(df: DataFrame, *,
               .outputMode(output_mode)
               .trigger(**trigger.kwargs()))
     writer = writer.option("checkpointLocation",
-                           checkpoint or tempfile.mkdtemp(prefix="po_ckpt_"))
+                           checkpoint or scratch_dir(prefix="po_ckpt_"))
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     if foreach_batch is not None:
@@ -216,7 +216,7 @@ def read_stream_parquet(spark: SparkSession, path: str, schema_ddl: str,
     import os
 
     if os.path.isfile(path):
-        d = tempfile.mkdtemp(prefix="po_streamsrc_")
+        d = scratch_dir(prefix="po_streamsrc_")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
     reader = spark.readStream.schema(schema_ddl)

@@ -163,17 +163,27 @@ def _run_subprocess_task(t: TaskNode, run: "TaskRun") -> None:
     import sys
     import tempfile
 
-    cfg_path = tempfile.mktemp(prefix=f"po_task_{t.name}_", suffix=".json")
-    with open(cfg_path, "w", encoding="utf-8") as f:
-        json.dump(t.config.model_dump(mode="json"), f)
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    env = dict(os.environ)
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.run(
-        [sys.executable, "-m", "projectone_spark.task.cli", "run",
-         "-c", cfg_path],
-        capture_output=True, text=True, env=env)
+    # The serialized config includes TaskConfig.secrets in plaintext, so the
+    # file must be 0600 from birth (mkstemp, not mktemp — no TOCTOU window,
+    # no world-readable default) and must not outlive the child process.
+    fd, cfg_path = tempfile.mkstemp(prefix=f"po_task_{t.name}_",
+                                    suffix=".json")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(t.config.model_dump(mode="json"), f)
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-m", "projectone_spark.task.cli", "run",
+             "-c", cfg_path],
+            capture_output=True, text=True, env=env)
+    finally:
+        try:
+            os.unlink(cfg_path)
+        except OSError:
+            pass
     if proc.returncode != 0:
         run.status = "FAILED"
         tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-15:]

@@ -301,6 +301,12 @@ def test_subprocess_isolation_task(spark, tmp_path):
             .setStateLocation(str(tmp_path / "state"))
             .setStoreLocation(str(tmp_path / "store"))
             .create())
+    import glob
+    import os
+    import tempfile
+
+    cfg_glob = os.path.join(tempfile.gettempdir(), "po_task_*")
+    before = set(glob.glob(cfg_glob))
     runs = PipelineRunner(spark).run([
         TaskNode("sub_ok", ok.config, isolation="subprocess"),
         TaskNode("sub_bad", bad.config, isolation="subprocess"),
@@ -311,3 +317,7 @@ def test_subprocess_isolation_task(spark, tmp_path):
     assert runs["downstream"].status == "SKIPPED"
     got = TableStore(str(tmp_path / "store")).read(spark, "t_sub")
     assert sorted(r["id"] for r in got.collect()) == [2, 3]
+    # r5 advice: the serialized config (which may carry plaintext secrets)
+    # must not persist in shared temp space after the child exits
+    leftovers = sorted(set(glob.glob(cfg_glob)) - before)
+    assert leftovers == [], leftovers

@@ -297,3 +297,19 @@ def test_condition_grammar_accepts_negative_literals():
     f = _compile_condition("detail['delta'] > -1 and ts > -5")
     assert f(Event("x", detail={"delta": 0}))
     assert not f(Event("x", detail={"delta": -3}))
+
+
+def test_condition_unary_minus_rejects_non_literal_operands():
+    """r5 advice: `-severity > 1` or `-[1,2]` used to validate at compile
+    time and TypeError only when an event was dispatched — the grammar now
+    confines unary +/- to numeric literals so bad rules fail at subscribe."""
+    import pytest
+
+    from projectone_spark.events import _compile_condition
+
+    for bad in ("-severity > 1", "ts > -[1,2]", "ts > -'x'",
+                "-detail['k'] > 1", "ts > --1", "ts > -True"):
+        with pytest.raises(ValueError, match="numeric literals"):
+            _compile_condition(bad)
+    # signed literals still work
+    assert _compile_condition("ts > -1.5 and ts > +0")
