@@ -202,3 +202,46 @@ def o02_odata_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timeline byte-for-byte
     return out.select(F.col("mod_day").cast("string"), "n_rows",
                       "min_id", "max_id")
+
+
+_O03_SQL = _O02_SQL  # same closed-form timeline; only the drive differs
+
+
+@register("o03_odata_multibatch_stream", _O03_SQL,
+          doc="OData stream driven through REAL multi-batch offset "
+              "progression: max_rows_per_batch=7 rate limit (reference "
+              "ODataMicroStream rateLimit) slices the mock's 40-row/28-day "
+              "timeline into timestamp-bounded watermark windows; a "
+              "processingTime drive loop re-plans each micro-batch from "
+              "the committed offset and the query ASSERTS >=4 non-empty "
+              "batches ran — the offset machinery o02's availableNow "
+              "fallback collapses to a single batch",
+          tags=("source", "odata", "streaming", "offsets"))
+def o03_odata_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.session import configure
+    from projectone_spark.sources.odata import register as register_odata
+    from projectone_spark.streaming import run_to_memory_paced
+
+    configure(spark)
+    register_odata(spark)
+    stream = (spark.readStream.format("odata")
+              .option("url", "mock://svc").option("entity", "Accounts")
+              .option("transport",
+                      "projectone_spark.sources.odata:MockODataTransport")
+              .option("incremental_field", "ModifiedOn")
+              .option("rows_per_page", "7")
+              .option("max_rows_per_batch", "7")
+              .load())
+    out, n_batches = run_to_memory_paced(
+        stream.groupBy(F.col("ModifiedOn").alias("mod_day"))
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.min("Id").alias("min_id"),
+                   F.max("Id").alias("max_id")),
+        total_rows=40, output_mode="complete")
+    # 40 rows / 7-row admission cap with timestamp-boundary extension can
+    # never drain in fewer than 5 windows; >=4 proves multi-batch offsets
+    # beyond doubt even if a boundary merges two windows
+    assert n_batches >= 4, \
+        f"expected >=4 non-empty micro-batches, stream ran {n_batches}"
+    return out.select(F.col("mod_day").cast("string"), "n_rows",
+                      "min_id", "max_id")

@@ -345,7 +345,15 @@ class ODataReader(DataSourceReader):
 class ODataStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch incremental reads over the ``incremental_field``
     timestamp (reference ``ODataMicroStream.scala``): each batch covers
-    ``(last_offset, max(incremental_field)]``."""
+    ``(last_offset, next_watermark]``.
+
+    ``max_rows_per_batch`` is the reference's rate limit
+    (``ODataMicroStream.scala:33-479`` ``getDefaultReadLimit``/rateLimit):
+    a batch admits roughly that many rows, then stops at the nearest
+    incremental-timestamp boundary — rows sharing one timestamp never
+    straddle two batches, because the offset is a timestamp watermark and
+    the next batch's ``gt`` filter would otherwise skip the remainder.
+    Unset (0) = drain everything available per batch."""
 
     def __init__(self, options: dict, schema: StructType):
         self.options = options
@@ -357,6 +365,7 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
         self.earliest = options.get("earliest_time", DEFAULT_EARLIEST_TIME)
         self.rows_per_page = int(options.get("rows_per_page",
                                              DEFAULT_ROWS_PER_PAGE))
+        self.max_rows = int(options.get("max_rows_per_batch", 0))
 
     def initialOffset(self) -> dict:
         return {"watermark": self.earliest}
@@ -370,10 +379,27 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
             rows.extend(self.client.page(skip, self.rows_per_page,
                                          filter_expr=filter_expr,
                                          orderby=self.field))
+            if self.max_rows and len(rows) > self.max_rows:
+                # fetched past the admission cap AND past the boundary
+                # timestamp → no more pages needed for this batch (pages
+                # arrive ordered by the incremental field)
+                if rows[-1][self.field] > rows[self.max_rows - 1][self.field]:
+                    break
+        if self.max_rows and len(rows) > self.max_rows:
+            # cut at the timestamp boundary: keep every row sharing the
+            # cap row's timestamp, drop rows strictly after it (ISO-8601
+            # strings of one format order lexicographically = temporally)
+            cut = rows[self.max_rows - 1][self.field]
+            rows = [r for r in rows if r[self.field] <= cut]
         hi = max((r[self.field] for r in rows), default=lo)
-        # a LIST, not a generator: Spark's prefetch cache copy.copy()s it
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s a
+        # non-empty batch. EXCEPT when the offset did not advance (drained
+        # source): that path next()-probes the value to confirm emptiness,
+        # so it must be an (empty) iterator, not a list.
         out = [tuple(_coerce(r.get(f.name), f.dataType)
                      for f in self._schema.fields) for r in rows]
+        if not out:
+            return iter(out), {"watermark": hi}
         return out, {"watermark": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:

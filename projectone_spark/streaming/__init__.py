@@ -190,6 +190,52 @@ def run_to_memory(df: DataFrame, *, output_mode: str = "complete",
     return spark.table(name)
 
 
+def run_to_memory_paced(df: DataFrame, *, total_rows: int,
+                        output_mode: str = "complete",
+                        timeout_seconds: float = 120.0,
+                        state_partitions: int | None = 8
+                        ) -> tuple[DataFrame, int]:
+    """Drive a stream on a continuous (processingTime=0) trigger until the
+    source has admitted ``total_rows`` input rows, then stop; returns the
+    memory-sink result and the number of NON-EMPTY micro-batches that ran.
+
+    availableNow serves a ``SimpleDataSourceStreamReader`` as one catch-up
+    batch, so a rate-limited source's offset machinery degenerates there;
+    this drive loop re-plans every micro-batch from the committed offset,
+    exercising real multi-batch offset progression (each batch = one
+    watermark window). Only for finite, known-cardinality test/bench
+    sources — a production stream has no terminal row count.
+    """
+    spark = df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    with shuffle_partitions(spark, state_partitions):
+        q = write_stream(
+            df, query_name=name, output_mode=output_mode,
+            trigger=StreamTrigger(processing_time="0 seconds"),
+            sink_format="memory")
+        try:
+            deadline = time.monotonic() + timeout_seconds
+            while True:
+                # recentProgress entries are emitted AFTER a batch commits,
+                # so every counted row is already in the sink
+                seen = sum(p["numInputRows"] for p in q.recentProgress)
+                if seen >= total_rows:
+                    break
+                if q.exception() is not None:
+                    raise q.exception()
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"stream admitted {seen}/{total_rows} rows within "
+                        f"{timeout_seconds}s")
+                time.sleep(0.05)
+            n_nonempty = sum(1 for p in q.recentProgress
+                             if p["numInputRows"] > 0)
+        finally:
+            q.stop()
+        stream_wait_close([q], timeout_seconds=30)
+    return spark.table(name), n_nonempty
+
+
 @contextmanager
 def shuffle_partitions(spark: SparkSession, n: int | None):
     """Pin ``spark.sql.shuffle.partitions`` for the block (restored after);
@@ -229,6 +275,7 @@ __all__ = [
     "StreamTrigger", "checkpoint_location", "foreach_batch_writer",
     "exactly_once_appender",
     "write_stream", "stream_wait_close", "run_to_memory",
+    "run_to_memory_paced",
     "read_stream_parquet", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "dedup_within_watermark",
 ]

@@ -186,3 +186,54 @@ def test_scan_cache_reuses_pushed_filters_upstream_behavior(odata_spark):
     assert df.filter(F.col("Id") >= 35).count() == 5
     assert df.count() == 5               # ← upstream stale-cache behavior
     assert _read(odata_spark).count() == 40  # fresh load is unaffected
+
+
+def test_stream_rate_limit_slices_timestamp_bounded_windows():
+    """max_rows_per_batch (reference ODataMicroStream rateLimit): each
+    read() admits ~cap rows, extends to the incremental-timestamp boundary
+    (rows sharing a timestamp never straddle batches), offsets advance
+    monotonically, and the capped drain equals the uncapped read exactly,
+    disjointly."""
+    from pyspark.sql.types import StructType
+
+    from projectone_spark.sources.odata import MockODataTransport, ODataClient, ODataStreamReader
+
+    opts = {"url": OPTS["url"], "entity": OPTS["entity"],
+            "transport": OPTS["transport"],
+            "incremental_field": "ModifiedOn", "rows_per_page": "7",
+            "max_rows_per_batch": "7"}
+    schema = ODataClient(opts["url"], opts["entity"],
+                         opts["transport"]).schema()
+    capped = ODataStreamReader(dict(opts), schema)
+    full = ODataStreamReader({k: v for k, v in opts.items()
+                              if k != "max_rows_per_batch"}, schema)
+
+    all_rows, _ = full.read(full.initialOffset())
+    all_rows = list(all_rows)
+    assert len(all_rows) == 40
+
+    ts_idx = [f.name for f in schema.fields].index("ModifiedOn")
+    offset = capped.initialOffset()
+    batches, offsets = [], [offset["watermark"]]
+    for _ in range(100):
+        rows, offset = capped.read(offset)
+        rows = list(rows)
+        if not rows:
+            assert offset["watermark"] == offsets[-1]  # drained: no advance
+            break
+        batches.append(rows)
+        assert offset["watermark"] > offsets[-1]  # monotone watermark
+        offsets.append(offset["watermark"])
+        # timestamp-boundary extension keeps the overshoot below one
+        # timestamp group's worth (mock: <=2 rows per ModifiedOn day)
+        assert len(rows) <= 7 + 1
+        # batch covers (prev_watermark, new_watermark] exactly
+        assert max(r[ts_idx] for r in rows).isoformat() + "Z" \
+            >= offsets[-1].replace("+00:00", "Z").replace("Z", "Z")
+    else:
+        raise AssertionError("stream never drained")
+
+    assert len(batches) >= 5  # 40 rows / 7-row cap
+    flat = [r for b in batches for r in b]
+    assert len(flat) == len(set(flat)) == 40  # disjoint, complete
+    assert sorted(flat) == sorted(all_rows)  # equals the uncapped read
