@@ -44,6 +44,15 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        # memory-sink streaming queries leave their result tables registered
+        # (each holds its rows in driver memory); the noop write above has
+        # already consumed the result, so drop them to keep the shared
+        # session's footprint flat across the whole registry (r5 drift A/B:
+        # accumulation measured harmless at this scale — 17 tiny tables —
+        # but unbounded by design without this)
+        for t in spark.catalog.listTables():
+            if t.name.startswith("mem_"):
+                spark.catalog.dropTempView(t.name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver captures only ~2 KB of stdout tail; with 95 queries a
