@@ -96,26 +96,27 @@ def oracle_sql() -> dict[str, str]:
 #:
 #: Round-5 prefix. Three groups:
 #:
-#: 1. Nine regression ANCHORS from the multi-round-proven round-3 core
-#:    (s02/s06/s07/s09/s10, st09 have 2–4 green rounds; p03/p04 keep
-#:    a slot to confirm their round-4 first green was no fluke; d01 is the
-#:    cheapest dedup canary). Rotated OUT (green in r3+r4, still locally
-#:    parity-checked every pytest run): s01/s03/s04/s05/s08, st01–st08,
-#:    t06/t07, c01.
+#: 1. Seven regression ANCHORS from the multi-round-proven round-3 core
+#:    (s02/s07/s09/s10, st09 have 2–4 green rounds; p03/p04 keep a slot
+#:    to confirm their round-4 first green was no fluke). Rotated OUT
+#:    (green in r3+r4, still locally parity-checked every pytest run):
+#:    s01/s03/s04/s05/s06/s08, st01–st08, t06/t07, c01, d01.
 #: 2. The 25 round-4 first-green rows kept for a second adjudication
 #:    (store features s11–s22, stateful streaming st10/st11, analytics
 #:    q34–q37 + e06, corpus t08/d09/p06, connectors o01/j01/x01).
-#: 3. The 16 queries that have NEVER had a driver row: task/DAG
+#: 3. The 18 queries that have NEVER had a driver row: task/DAG
 #:    lifecycle f01–f04, corpus quality t09/d10/p07/p08, incremental LSH
 #:    d11, centroid classify e07, OData streams o02 + o03 (o03 is new in
 #:    round 5: rate-limited REAL multi-batch offsets, >=4 batches
 #:    asserted in-query), streaming MERGE dedup st12, TPC-H Q8/Q9/Q10
-#:    shapes q38–q40.
+#:    shapes q38–q40, and the round-5 compositions d12 (dedup-then-
+#:    contamination) + f05 (Gopher-filter → mixture rebalance through the
+#:    SparkTask lifecycle).
 _DRIVER_PREFIX: tuple[str, ...] = (
-    "s02_scd2_history", "s06_skipping_read", "s07_incremental_agg",
+    "s02_scd2_history", "s07_incremental_agg",
     "s09_dml_delete_update", "s10_merge_into",
     "st09_stream_exactly_once_sink",
-    "p03_sequence_packing", "p04_contamination", "d01_exact_dedup",
+    "p03_sequence_packing", "p04_contamination",
     # round-4 first greens, second adjudication:
     "s11_value_set_skipping", "s12_time_travel", "s13_schema_evolution",
     "s14_restore", "s15_table_constraint", "s16_selective_overwrite",
@@ -138,6 +139,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "o02_odata_incremental_stream", "o03_odata_multibatch_stream",
     "st12_stream_dedup_merge",
     "q38_market_share", "q39_product_profit", "q40_returned_item_customers",
+    "d12_neardup_aware_contamination", "f05_quality_mixture_pipeline",
 )
 
 
@@ -173,6 +175,7 @@ def _ensure_loaded() -> None:
         corpus2,  # new-in-r4 tail: gopher rules, cross-doc ngrams, mixture
         embeddings2,  # new-in-r4 tail: centroid-classification confusion
         analytics4,  # new-in-r4 tail: TPC-H Q8/Q9 shapes
+        corpus3,  # new-in-r5: composed dedup+contamination / quality+mixture
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}
