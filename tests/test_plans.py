@@ -126,3 +126,18 @@ def test_d10_computes_gram_pipeline_once(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0
     assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_d12_one_broadcast_no_cartesian(spark):
+    """d12 (r5 composition): the ONLY broadcast hint is the benchmark
+    shingle set (bounded: 1/97th of the corpus, distinct shingles); the
+    keeper-election join and the per-source rollups carry none — and no
+    cartesian product appears anywhere in the plan."""
+    df = queries()["d12_neardup_aware_contamination"](spark, SF_DIR)
+    analyzed = _analyzed(df)
+    assert analyzed.count("ResolvedHint") == 1, (
+        "d12 must broadcast exactly the benchmark shingle set; the corpus "
+        "side and keeper join are data-scaled")
+    formatted = _formatted(df)
+    assert "CartesianProduct" not in formatted
+    assert "BroadcastNestedLoopJoin" not in formatted
