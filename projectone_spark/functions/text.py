@@ -16,6 +16,8 @@ these fast at scale (learned from .explain + bench):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -316,7 +318,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  max_mean_word_len: float = 10.0,
                  min_distinct_stopwords: int = 2,
                  max_top_word_frac: float = 0.08,
-                 parallelism: int | None = None) -> DataFrame:
+                 parallelism: int | None = None,
+                 keep_cols: Sequence[str] = ()) -> DataFrame:
     """Gopher-style document filter battery (Rae et al. 2021, §A1.1): the
     per-rule verdicts pretraining pipelines AND together before a document
     enters the corpus — word-count bounds, mean-word-length bounds, a
@@ -331,8 +334,17 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     row-local and bounded by document size, so it parallelizes with the
     scan. All divisions are int/int in doubles — bit-identical across
     engines, emitted unrounded.
+
+    ``keep_cols`` carries extra input columns through to the output so a
+    filter-then-continue pipeline needs NO join back to the source frame:
+    a self-join against a gopher-derived frame makes the analyzer
+    deduplicate and re-optimize this (large) expression tree on both
+    sides — measured ~8 s of per-run DRIVER time at any data scale in the
+    f05 composition; the pass-through form plans in milliseconds.
     """
-    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+    base = spread(df.select(F.col(id_col),
+                            *[F.col(c) for c in keep_cols],
+                            normalize(text_col).alias("__norm")),
                   parallelism)
     base = base.withColumn("__toks", tokens_of_norm("__norm"))
     toks = F.col("__toks")
@@ -359,6 +371,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     out = base.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n.alias("n_words"),
         mean_len.alias("mean_word_len"),
         n_stop.cast("bigint").alias("n_stopwords"),

@@ -194,9 +194,18 @@ def f05_quality_mixture_pipeline(spark: SparkSession,
             from projectone_spark.functions.sampling import (
                 estimate_tokens, mixture_rebalance)
             from projectone_spark.functions.text import gopher_rules
-            kept = (gopher_rules(docs.select("doc_id", "text"))
-                    .filter("keep").select("doc_id"))
-            base = (docs.join(kept, "doc_id")
+            # keep_cols pass-through instead of a join back to docs (a
+            # self-join doubles analyzer/codegen work on the large gopher
+            # tree), and the checkpoint sits BEFORE the filter: inlining
+            # the four rule trees into one filter predicate re-generates
+            # a pathological codegen body on EVERY run (~6 s driver time,
+            # data-size independent); against the checkpointed frame the
+            # filter is a plain boolean-column test, and the same barrier
+            # serves mixture_rebalance's three input references
+            # (mass / corpus-total scalar / final join).
+            stats = (gopher_rules(docs, keep_cols=["source", "n_chars"])
+                     .localCheckpoint(eager=False))
+            base = (stats.filter("keep")
                     .select("doc_id", "source",
                             estimate_tokens("n_chars").alias("toks")))
             return mixture_rebalance(base)

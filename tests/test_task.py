@@ -280,3 +280,18 @@ def test_backfill_range_is_explicit(spark, tmp_path, source_dir):
     rp = task.config.refresh_policy
     assert (rp.range_start, rp.range_end) == ("2020-01-01T00:00:00",
                                               "2020-06-30T00:00:00")
+
+
+def test_scratch_dirs_share_one_reaped_root():
+    """r5 advice: all query/stream scratch lives under ONE process-scoped
+    root (registered for atexit removal), so repeated harness runs cannot
+    accumulate unbounded /tmp data; each call still gets a fresh dir."""
+    import os
+
+    from projectone_spark import session as s
+
+    a = s.scratch_dir("po_probe_a_")
+    b = s.scratch_dir("po_probe_b_")
+    assert a != b and os.path.isdir(a) and os.path.isdir(b)
+    assert os.path.dirname(a) == os.path.dirname(b) == s._SCRATCH_ROOT
+    assert os.path.basename(s._SCRATCH_ROOT).startswith("po_scratch_")
