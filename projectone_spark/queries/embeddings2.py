@@ -44,3 +44,40 @@ def e07_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return centroid_classify(emb)
+
+
+_E08_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({_dot('q.qe', 'v.e')} / ({_norm('q.qe')} * {_norm('v.e')}), 6) AS score
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("e08_knn_ivf_fullprobe", _E08_SQL,
+          doc="IVF at nprobe = n_clusters carries a FULL exact-KNN oracle "
+              "(the brute-force SQL): probing every cell must reproduce "
+              "exact top-5 bit-for-bit, so the whole IVF machinery - "
+              "driver-trained coarse quantizer, cell assignment, probe "
+              "routing, in-cell exact scoring, tie-break ranking - is "
+              "oracle-adjudicated, not just recall-floor-tested; e04 "
+              "remains the production nprobe<clusters shape",
+          tags=("embeddings", "knn", "ann", "llm"))
+def e08_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import knn_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (knn_ivf(emb, queries, k=5, n_clusters=8, nprobe=8)
+            .select("query_id", "neighbor_id", "score", "rank"))
