@@ -81,3 +81,33 @@ def e08_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return (knn_ivf(emb, queries, k=5, n_clusters=8, nprobe=8)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+_E09_SQL = _E08_SQL  # full-shortlist PQ must equal the same exact top-5
+
+
+@register("e09_knn_pq_fullshortlist", _E09_SQL,
+          doc="PQ search scaffold under the exact-KNN oracle: with the "
+              "shortlist sized to the whole corpus (ceil(n/k)) the "
+              "two-stage search - ADC candidate scoring, per-query "
+              "shortlist window, exact-cosine re-rank join, tie-break "
+              "top-k - must reproduce brute force bit-for-bit; ADC "
+              "estimate ACCURACY stays recall-floor-tested (e05, "
+              "test_embeddings_ivf.py) since a full shortlist passes any "
+              "estimate through",
+          tags=("embeddings", "knn", "ann", "pq", "llm"))
+def e09_knn_pq_fullshortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import knn_pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # one bounded driver scalar (same cost class as CDC bound resolution)
+    # sizes the shortlist to cover every candidate at any sf
+    n = emb.count()
+    return (knn_pq(emb, queries, k=5, m=8, n_codes=16,
+                   shortlist=math.ceil(n / 5))
+            .select("query_id", "neighbor_id", "score", "rank"))
