@@ -174,7 +174,8 @@ GROUP BY 1
               "ordered+paged through $filter/$orderby/$skip/$top against "
               "the offline mock, drained to a memory sink (Spark runs "
               "SimpleDataSourceStreamReader as a single-batch fallback "
-              "under availableNow), aggregated per modification day — the "
+              "under availableNow — o03 drives the REAL multi-batch "
+              "offset path), aggregated per modification day — the "
               "oracle recomputes the mock's closed-form timeline",
           tags=("source", "odata", "streaming"))
 def o02_odata_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
