@@ -227,9 +227,10 @@ def test_stream_rate_limit_slices_timestamp_bounded_windows():
         # timestamp-boundary extension keeps the overshoot below one
         # timestamp group's worth (mock: <=2 rows per ModifiedOn day)
         assert len(rows) <= 7 + 1
-        # batch covers (prev_watermark, new_watermark] exactly
-        assert max(r[ts_idx] for r in rows).isoformat() + "Z" \
-            >= offsets[-1].replace("+00:00", "Z").replace("Z", "Z")
+        # the new watermark IS the batch's max timestamp (offset = the
+        # ISO string of the last admitted ModifiedOn)
+        assert offsets[-1] == \
+            max(r[ts_idx] for r in rows).isoformat() + "Z"
     else:
         raise AssertionError("stream never drained")
 
