@@ -246,3 +246,49 @@ def o03_odata_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"expected >=4 non-empty micro-batches, stream ran {n_batches}"
     return out.select(F.col("mod_day").cast("string"), "n_rows",
                       "min_id", "max_id")
+
+
+_J02_SQL = """
+SELECT o_custkey % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice >= 1000.0
+GROUP BY o_custkey % 10
+"""
+
+
+@register("j02_jdbc_query_pushdown", _J02_SQL,
+          doc="JDBC custom-SQL pushdown (reference jdbc_source.py query "
+              "surface): the WHERE + GROUP BY aggregation runs INSIDE "
+              "Derby via the query option — Spark receives <=10 "
+              "pre-aggregated rows (asserted), not the orders table; "
+              "DECIMAL(18,2) sums keep the database-side fold exact so "
+              "the value hash matches the parquet-side oracle",
+          tags=("source", "jdbc", "pushdown"))
+def j02_jdbc_query_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.sources import read_jdbc
+
+    url = f"jdbc:derby:{scratch_dir(prefix='po_j02_')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    (orders.write.format("jdbc")
+     .option("url", url).option("dbtable", "ORDERS")
+     .option("driver", driver).mode("overwrite").save())
+    # Spark's JDBC writer creates QUOTED (case-sensitive, lowercase)
+    # column names in Derby, so the pushed SQL must quote them too
+    q = ('SELECT MOD("o_custkey", 10) AS bucket, '
+         'CAST(COUNT(*) AS BIGINT) AS n_orders, '
+         'SUM(CAST("o_totalprice" AS DECIMAL(18,2))) AS total_sum '
+         'FROM ORDERS WHERE "o_totalprice" >= 1000.0 '
+         'GROUP BY MOD("o_custkey", 10)')
+    back = read_jdbc(spark, url, query=q, options={"driver": driver})
+    # the database did the aggregation: Spark sees the 10-row result
+    # relation, not the orders table
+    assert len(back.columns) == 3 and back.count() <= 10
+    return back.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("total_sum"), 2).cast("double").alias("total_price"))
