@@ -292,3 +292,55 @@ def j02_jdbc_query_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("bigint").alias("bucket"),
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.round(F.col("total_sum"), 2).cast("double").alias("total_price"))
+
+
+_O04_SQL = """
+SELECT i AS Id,
+       round(100.0 * CAST(i AS DOUBLE) + 0.5, 2) AS Balance
+FROM range(40) t(i)
+WHERE i % 2 = 1
+"""
+
+
+@register("o04_odata_oauth_read", _O04_SQL,
+          doc="OData OAuth2 client-credentials flow driver-adjudicated "
+              "end-to-end: the auth-ENFORCING mock 401s any request "
+              "without the Bearer token the offline identity service "
+              "issues, so $metadata schema inference, $count planning and "
+              "every executor page read prove the token fetch/cache/"
+              "header path (executors rebuild clients via pickle and "
+              "fetch their own tokens, reference ODataClient.scala:"
+              "110-190); odd Ids filtered post-scan, values vs the "
+              "closed-form oracle",
+          tags=("source", "odata", "oauth"))
+def o04_odata_oauth_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.session import configure
+    from projectone_spark.sources.odata import register as register_odata
+
+    configure(spark)
+    register_odata(spark)
+    df = (spark.read.format("odata")
+          .option("url", "mock://svc").option("entity", "Accounts")
+          .option("transport",
+                  "projectone_spark.sources.odata:MockSecureODataTransport")
+          .option("client_id", "svc")
+          .option("client_secret", "s3cret")
+          .option("identity_service", "https://id.example")
+          .option("token_transport",
+                  "projectone_spark.sources.odata:MockTokenTransport")
+          .option("rows_per_page", "16")
+          .load())
+    # same conf discipline as o01: the reader implements pushFilters, so
+    # the session conf must be on while THIS scan plans, and restored so
+    # it never leaks into other queries sharing the session
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        out = df.filter(F.col("Id") % 2 == 1).select("Id", "Balance")
+        out.rdd.getNumPartitions()  # force planning while the conf holds
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prior)
+    return out
