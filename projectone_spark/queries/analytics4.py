@@ -196,3 +196,44 @@ def q40_returned_item_customers(spark: SparkSession,
             .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
             .limit(20))
+
+
+_Q41_SQL = """
+WITH dim(l_returnflag, label) AS (
+  VALUES ('F', 'finished'), ('N', 'open'), ('R', 'returned'))
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN dim USING (l_returnflag)
+GROUP BY label
+"""
+
+
+@register("q41_skew_salted_pipeline", _Q41_SQL,
+          doc="skew-mitigation helpers under an exact oracle: the whole "
+              "lineitem fact (3 hot return-flag keys) goes through "
+              "salted_join (big side salted per-row, 3-row dim exploded "
+              "8x, hot keys spread over 8 reducers) then salted_agg "
+              "(per-salt partials, combine) — DECIMAL money sums make "
+              "the two-phase fold order-independent, so the salted "
+              "result hashes identically to the plain JOIN + GROUP BY",
+          tags=("skew", "salt", "join", "agg", "perf"))
+def q41_skew_salted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.skew import salted_agg, salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount")
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("N", "open"), ("R", "returned")],
+        "l_returnflag string, label string")
+    joined = salted_join(li, dim, ["l_returnflag"], n=8)
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return salted_agg(
+        joined, ["label"], 8,
+        partial=[F.count(F.lit(1)).alias("__c"), F.sum(rev).alias("__s")],
+        final=lambda g: g.agg(
+            F.sum("__c").alias("n_items"),
+            F.round(F.sum("__s"), 2).cast("double").alias("revenue")))
