@@ -269,3 +269,170 @@ def from_avro_df(df: DataFrame, source_column: str, schema: dict, *,
             yield out
 
     return df.mapInPandas(decode_batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# encoding (the sink-side twin of the decoder)
+# ---------------------------------------------------------------------------
+
+def _zigzag_encode(n: int, out: bytearray) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _compile_encoder(schema: Any) -> Callable[[Any, bytearray], None]:
+    """Compile an Avro schema to ``fn(value, out_bytearray)`` — the exact
+    inverse of :func:`_compile`, covering the same registry-payload
+    subset (primitives, records, arrays, maps, ``["null", T]`` unions,
+    timestamp/date logical types)."""
+    if isinstance(schema, list):  # union — registry shape ["null", T]
+        branches = schema
+        null_idx = next((i for i, b in enumerate(branches) if b == "null"), None)
+        others = [(i, _compile_encoder(b)) for i, b in enumerate(branches)
+                  if b != "null"]
+        if null_idx is None or len(others) != 1:
+            raise AvroDecodeError(f"unsupported union for encoding: {schema}")
+        val_idx, val_enc = others[0]
+
+        def union(v: Any, out: bytearray) -> None:
+            if v is None:
+                _zigzag_encode(null_idx, out)
+            else:
+                _zigzag_encode(val_idx, out)
+                val_enc(v, out)
+
+        return union
+
+    t = schema if isinstance(schema, str) else schema.get("type")
+    logical = schema.get("logicalType") if isinstance(schema, dict) else None
+    if t in ("int", "long"):
+        if logical in ("timestamp-millis", "timestamp-micros"):
+            unit = 1_000 if logical == "timestamp-millis" else 1_000_000
+
+            def ts(v: Any, out: bytearray) -> None:
+                if isinstance(v, datetime):
+                    base = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+                    v = int((base - _EPOCH).total_seconds() * unit)
+                _zigzag_encode(int(v), out)
+
+            return ts
+        if logical == "date":
+            def d(v: Any, out: bytearray) -> None:
+                if isinstance(v, date):
+                    v = (v - _EPOCH_DATE).days
+                _zigzag_encode(int(v), out)
+
+            return d
+        return lambda v, out: _zigzag_encode(int(v), out)
+    if t == "boolean":
+        return lambda v, out: out.append(1 if v else 0)
+    if t == "float":
+        return lambda v, out: out.extend(struct.pack("<f", float(v)))
+    if t == "double":
+        return lambda v, out: out.extend(struct.pack("<d", float(v)))
+    if t in ("string", "bytes"):
+        def s(v: Any, out: bytearray) -> None:
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            _zigzag_encode(len(b), out)
+            out.extend(b)
+
+        return s
+    if t == "null":
+        return lambda v, out: None
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+
+        def enum(v: Any, out: bytearray) -> None:
+            _zigzag_encode(index[v], out)
+
+        return enum
+    if t == "record":
+        fields = [(f["name"], _compile_encoder(f["type"]))
+                  for f in schema["fields"]]
+
+        def record(v: Any, out: bytearray) -> None:
+            for name, enc in fields:
+                enc(v[name], out)
+
+        return record
+    if t == "array":
+        item = _compile_encoder(schema["items"])
+
+        def arr(v: Any, out: bytearray) -> None:
+            items = list(v)
+            if items:
+                _zigzag_encode(len(items), out)
+                for x in items:
+                    item(x, out)
+            _zigzag_encode(0, out)
+
+        return arr
+    if t == "map":
+        val = _compile_encoder(schema["values"])
+
+        def m(v: Any, out: bytearray) -> None:
+            entries = dict(v)
+            if entries:
+                _zigzag_encode(len(entries), out)
+                for k, x in entries.items():
+                    b = k.encode("utf-8")
+                    _zigzag_encode(len(b), out)
+                    out.extend(b)
+                    val(x, out)
+            _zigzag_encode(0, out)
+
+        return m
+    raise AvroDecodeError(f"unsupported Avro type for encoding: {schema!r}")
+
+
+def encode_avro(value: Any, schema: Any, *,
+                confluent_wire: bool = False, schema_id: int = 0) -> bytes:
+    """Encode one value (driver-side/test helper; the distributed path is
+    :func:`to_avro_df`)."""
+    out = bytearray()
+    if confluent_wire:
+        out.append(0)
+        out.extend(schema_id.to_bytes(4, "big"))
+    _compile_encoder(schema)(value, out)
+    return bytes(out)
+
+
+def to_avro_df(df: DataFrame, source_column: str, schema: dict, *,
+               target_column: str | None = None,
+               confluent_wire: bool = False,
+               schema_id: int = 0) -> DataFrame:
+    """Encode a struct column to Avro binary — the jar-free twin of
+    ``pyspark.sql.avro.functions.to_avro`` and the sink-side mirror of
+    :func:`from_avro_df`. Arrow-batched ``mapInPandas``; every other
+    column passes through untouched."""
+    import pandas as pd
+
+    target = target_column or source_column
+    out_fields = [f for f in df.schema.fields if f.name != target]
+    out_schema = StructType(out_fields + [StructField(target, BinaryType(), True)])
+    header = bytes([0]) + schema_id.to_bytes(4, "big") if confluent_wire else b""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = _compile_encoder(schema)
+
+        def one(v: Any) -> Any:
+            if v is None:
+                return None
+            out = bytearray(header)
+            enc(v, out)
+            return bytes(out)
+
+        for pdf in batches:
+            encoded = [one(v) for v in pdf[source_column]]
+            out = pdf[[f.name for f in out_fields]].copy()
+            out[target] = encoded
+            yield out
+
+    return df.mapInPandas(encode_batches, out_schema)

@@ -277,3 +277,45 @@ def f04_schema_registry_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     task.execute()
     return (TableStore(root).read(spark, "f04_out")
             .select("event_id", "event_type", "k"))
+
+
+_F06_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("f06_avro_roundtrip", _F06_SQL,
+          doc="jar-free Avro codec round trip, distributed end-to-end: "
+              "events pack into a record struct, encode to Confluent-wire "
+              "Avro binary (magic + schema id + zigzag/varint body) in "
+              "one Arrow-batched stage, decode back through the "
+              "schema-registry read path in another, and the aggregate "
+              "runs on the DECODED fields — the oracle recomputes from "
+              "the original table, so any codec corruption breaks the "
+              "value hash",
+          tags=("features", "avro", "schema-registry", "codec", "llm"))
+def f06_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.avro import from_avro_df, to_avro_df
+    from projectone_spark.queries import load
+
+    configure(spark)
+    schema = {"type": "record", "name": "ev", "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "value", "type": "double"}]}
+    ev = (load(spark, sf_dir, "events")
+          .select(F.struct("event_id", "event_type", "value").alias("rec")))
+    enc = to_avro_df(ev, "rec", schema, confluent_wire=True, schema_id=42)
+    dec = from_avro_df(enc, "rec", schema, confluent_wire=True)
+    return (dec.select("rec.event_id", "rec.event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")))

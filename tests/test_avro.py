@@ -211,3 +211,52 @@ def test_from_avro_df_instant_is_session_tz_invariant(spark):
             assert got == when_us, f"instant shifted in session tz {tz}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_encode_decode_identity():
+    """r5 encoder: encode_avro is the exact inverse of decode_avro over
+    the registry-payload subset, including the Confluent wire header."""
+    from projectone_spark.functions.avro import decode_avro, encode_avro
+
+    row = dict(_ROW)
+    expect = decode_avro(_encode(**row), _SCHEMA)
+    assert decode_avro(encode_avro(expect, _SCHEMA), _SCHEMA) == expect
+    wire = encode_avro(expect, _SCHEMA, confluent_wire=True, schema_id=7)
+    assert wire[0] == 0 and int.from_bytes(wire[1:5], "big") == 7
+    assert decode_avro(wire, _SCHEMA, confluent_wire=True) == expect
+
+
+def test_encode_decode_identity_null_union_and_empty_collections():
+    from projectone_spark.functions.avro import decode_avro, encode_avro
+
+    v = decode_avro(
+        _encode(id_=1, name="", score=0.0, flags=[], attrs={}, note=None,
+                kind_idx=0, when_us=0, day_days=0), _SCHEMA)
+    assert decode_avro(encode_avro(v, _SCHEMA), _SCHEMA) == v
+
+
+def test_to_avro_df_roundtrip_distributed(spark):
+    """Struct column → avro binary → struct again across mapInPandas
+    stages; values survive bit-for-bit including the null union."""
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.avro import from_avro_df, to_avro_df
+
+    schema = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"}]}
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"n{i}", i / 4) for i in range(50)],
+        "id long, name string, score double")
+    packed = df.select(F.struct("id", "name", "score").alias("rec"),
+                       F.col("id").alias("orig_id"))
+    enc = to_avro_df(packed, "rec", schema, confluent_wire=True, schema_id=3)
+    assert dict(enc.dtypes)["rec"] == "binary"
+    dec = from_avro_df(enc, "rec", schema, confluent_wire=True)
+    rows = {r["orig_id"]: r["rec"] for r in dec.collect()}
+    assert len(rows) == 50
+    for i in range(50):
+        assert rows[i]["id"] == i
+        assert rows[i]["name"] == (None if i % 3 == 0 else f"n{i}")
+        assert rows[i]["score"] == i / 4
