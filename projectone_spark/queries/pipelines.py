@@ -319,3 +319,60 @@ def f06_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("event_id").alias("min_id"),
                  F.max("event_id").alias("max_id")))
+
+
+_V01_SQL = """
+SELECT 'kept_' || o_orderstatus AS metric,
+       CAST(count(*) AS BIGINT) AS value
+FROM orders WHERE o_totalprice >= 50000 GROUP BY o_orderstatus
+UNION ALL
+SELECT '__rows__', CAST(count(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'low_price', CAST(sum(CASE WHEN o_totalprice >= 50000
+                                  THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'status_open', CAST(sum(CASE WHEN o_orderstatus = 'O'
+                                    THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+"""
+
+
+@register("v01_row_expectations", _V01_SQL,
+          doc="DLT-style row expectations in ONE pass (observe + gate + "
+              "write): the drop rule removes low-price orders before the "
+              "store write, the warn rule counts open-status rows without "
+              "removing them, and the Observation's violation counters — "
+              "collected during the write action itself, no second scan — "
+              "are emitted as metric rows the oracle recomputes, alongside "
+              "the per-status counts of what the store actually received",
+          tags=("quality", "expectations", "write", "observability"))
+def v01_row_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.quality import (
+        Expectation,
+        expect_and_write,
+    )
+    from projectone_spark.queries import load
+    from projectone_spark.store import TableStore
+    from projectone_spark.writers import write_overwrite
+
+    configure(spark)
+    store = TableStore(scratch_dir(prefix="po_v01_"))
+    rules = [
+        Expectation("low_price", "o_totalprice >= 50000", action="drop"),
+        Expectation("status_open", "o_orderstatus <> 'O'", action="warn"),
+    ]
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    counts = expect_and_write(
+        orders, rules,
+        lambda clean: write_overwrite(spark, store, clean, "v01_out"))
+    kept = (store.read(spark, "v01_out")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("value"))
+            .select(F.concat(F.lit("kept_"), F.col("o_orderstatus"))
+                    .alias("metric"), "value"))
+    metrics = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(counts.items())],
+        "metric string, value long")
+    return kept.unionByName(metrics)
