@@ -376,3 +376,64 @@ def v01_row_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, int(v)) for k, v in sorted(counts.items())],
         "metric string, value long")
     return kept.unionByName(metrics)
+
+
+_F07_SQL = """
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name) AS first_nation
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("f07_post_task_cleanup", _F07_SQL,
+          doc="post_task_execution source cleanup through the task "
+              "lifecycle (reference file_source.py:622-672 + "
+              "Runtime.atexit): the nation file is staged into scratch, "
+              "consumed by the task, written to the store, and the "
+              "post-success delete feature removes the consumed source — "
+              "deletion asserted in-query, results read back FROM THE "
+              "STORE so the aggregate proves the data outlived its "
+              "deleted source",
+          tags=("task", "cleanup", "features", "framework"))
+def f07_post_task_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from projectone_spark.queries import load
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+
+    configure(spark)
+    staged = scratch_dir(prefix="po_f07_src_")
+    shutil.copy(f"{sf_dir}/nation.parquet",
+                os.path.join(staged, "nation.parquet"))
+    root = scratch_dir(prefix="po_f07_store_")
+    task = (SparkTask.builder
+            .setName("f07")
+            .setInput(name="nation",
+                      path=os.path.join(staged, "nation.parquet"),
+                      source="parquet",
+                      features=[
+                          {"name": "select_columns",
+                           "columns": "n_nationkey, n_name, n_regionkey"},
+                          {"name": "post_task_execution",
+                           "operation": "delete",
+                           "path": os.path.join(staged, "*.parquet")},
+                      ])
+            .setOutput(name="out", table="f07_out", write_type="overwrite")
+            .setStateLocation(scratch_dir(prefix="po_f07_state_"))
+            .setStoreLocation(root)
+            .setSession(spark)
+            .create())
+    task.execute()
+    leftover = glob.glob(os.path.join(staged, "*.parquet"))
+    assert leftover == [], f"post_task_execution left sources: {leftover}"
+    return (TableStore(root).read(spark, "f07_out")
+            .groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.min("n_name").alias("first_nation")))
