@@ -437,3 +437,54 @@ def f07_post_task_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
             .agg(F.count(F.lit(1)).alias("n_nations"),
                  F.min("n_name").alias("first_nation")))
+
+
+_F08_SQL = """
+WITH c AS (
+  SELECT o_orderstatus AS s, count(*) AS n FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT 'status_' || s AS name,
+       'FAIL' AS severity,
+       CAST(n AS BIGINT) AS n
+FROM c, t WHERE n * 3 > total
+"""
+
+
+@register("f08_event_handlers", _F08_SQL,
+          doc="event bus + webhook notification handler adjudicated on "
+              "data-derived events (reference core/event/manager.py:"
+              "10-112): per-status order counts become events (FAIL when "
+              "the status holds more than its fair third of orders), the "
+              "consumer's compiled condition grammar filters them, and "
+              "the rows are what the webhook transport actually RECEIVED "
+              "— envelope fields, severity routing and condition "
+              "evaluation all hash-checked against the recomputed counts",
+          tags=("events", "webhook", "framework"))
+def f08_event_handlers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from projectone_spark.events import Event, EventManager, webhook_handler
+    from projectone_spark.queries import load
+
+    configure(spark)
+    counts = (load(spark, sf_dir, "orders")
+              .groupBy("o_orderstatus").count().collect())  # bounded: 3 rows
+    total = sum(r["count"] for r in counts)
+    received: list[dict] = []
+
+    def transport(url: str, body: bytes, headers=None):
+        received.append(json.loads(body))
+
+    bus = EventManager(synchronous=True)
+    bus.subscribe("*", webhook_handler(
+        "mock://hook", transport,
+        condition="severity == 'FAIL' and detail['kind'] in ('status',)"))
+    for r in sorted(counts, key=lambda r: r["o_orderstatus"]):
+        n = r["count"]
+        bus.dispatch(Event(
+            f"status_{r['o_orderstatus']}",
+            severity="FAIL" if n * 3 > total else "CONTINUE",
+            detail={"kind": "status", "n": n}))
+    return spark.createDataFrame(
+        [(p["name"], p["severity"], p["detail"]["n"]) for p in received],
+        "name string, severity string, n long")
