@@ -488,3 +488,80 @@ def f08_event_handlers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(p["name"], p["severity"], p["detail"]["n"]) for p in received],
         "name string, severity string, n long")
+
+
+_F09_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("f09_file_path_cdc", _F09_SQL,
+          doc="file_path_cdc_feed window semantics end-to-end (reference "
+              "file_source.py:727-813): orders split into two staged "
+              "files with controlled mtimes; run 1's (0, t1] window "
+              "admits only the older file, the persisted watermark makes "
+              "run 2's (t1, t2] window admit only the newer one, a third "
+              "run raises NoSourceData (all asserted in-query) — the "
+              "union of the two disjoint batches must hash-equal the "
+              "whole table",
+          tags=("cdc", "files", "task", "framework"))
+def f09_file_path_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from projectone_spark.queries import load
+    from projectone_spark.sources.file_clients import (
+        LocalFileClient,
+        NoSourceData,
+        modified_files_cdc,
+        save_file_cdc,
+    )
+    from projectone_spark.store.state import StateStore
+
+    configure(spark)
+    staged = scratch_dir(prefix="po_f09_src_")
+
+    def stage(df, name: str, mtime: float) -> str:
+        tmp = os.path.join(staged, f"__tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(staged, f"{name}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+        return dst
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    older = stage(orders.filter(F.col("o_orderkey") % 2 == 0), "a", 100.0)
+    newer = stage(orders.filter(F.col("o_orderkey") % 2 == 1), "b", 200.0)
+
+    state = StateStore(scratch_dir(prefix="po_f09_state_"))
+    client = LocalFileClient()
+    pattern = os.path.join(staged, "*.parquet")
+    files1, wm1 = modified_files_cdc(client, pattern, state, "src",
+                                     now_epoch=150.0)
+    assert files1 == [older], files1  # (0, 150] admits only mtime=100
+    save_file_cdc(state, "src", wm1)
+    files2, wm2 = modified_files_cdc(client, pattern, state, "src",
+                                     now_epoch=300.0)
+    assert files2 == [newer], files2  # (150, 300] admits only mtime=200
+    save_file_cdc(state, "src", wm2)
+    try:
+        modified_files_cdc(client, pattern, state, "src", now_epoch=400.0)
+        raise AssertionError("empty window must raise NoSourceData")
+    except NoSourceData:
+        pass
+    return (spark.read.parquet(*files1, *files2)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
