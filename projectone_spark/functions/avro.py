@@ -276,6 +276,10 @@ def from_avro_df(df: DataFrame, source_column: str, schema: dict, *,
 # ---------------------------------------------------------------------------
 
 def _zigzag_encode(n: int, out: bytearray) -> None:
+    if not (-(1 << 63) <= n < (1 << 63)):
+        # out-of-range ints would encode to a longer varint the decoder
+        # reads back as a DIFFERENT value — fail at encode time instead
+        raise AvroDecodeError(f"long out of signed 64-bit range: {n}")
     n = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
     while True:
         b = n & 0x7F

@@ -342,6 +342,14 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sides — measured ~8 s of per-run DRIVER time at any data scale in the
     f05 composition; the pass-through form plans in milliseconds.
     """
+    reserved = {id_col, "n_words", "mean_word_len", "n_stopwords",
+                "top_word_frac", "rule_word_count", "rule_mean_word_len",
+                "rule_stopwords", "rule_top_word", "keep", "__norm", "__toks"}
+    bad = [c for c in keep_cols if c in reserved]
+    if bad or len(set(keep_cols)) != len(keep_cols):
+        raise ValueError(
+            f"gopher_rules keep_cols collide with output/reserved columns "
+            f"or repeat: {bad or sorted(set(c for c in keep_cols if list(keep_cols).count(c) > 1))}")
     base = spread(df.select(F.col(id_col),
                             *[F.col(c) for c in keep_cols],
                             normalize(text_col).alias("__norm")),

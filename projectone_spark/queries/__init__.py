@@ -44,6 +44,14 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
     return wrap
 
 
+def check(cond: bool, msg: object = "in-query adjudication failed") -> None:
+    """In-query adjudication gate. Unlike a bare ``assert``, this raises
+    under ``python -O`` too, so an adjudicated property can never silently
+    stop being proven."""
+    if not cond:
+        raise AssertionError(msg() if callable(msg) else msg)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one driver-provided parquet table (column pruning/pushdown apply).
 
@@ -94,52 +102,53 @@ def oracle_sql() -> dict[str, str]:
 #: evidence lives in CORRECTNESS_r{1..3}.json and stays continuously
 #: re-verified by tests/test_oracle_parity.py over the FULL registry).
 #:
-#: Round-5 prefix. Three groups:
+#: Round-6 prefix. Three groups:
 #:
-#: 1. Seven regression ANCHORS from the multi-round-proven round-3 core
-#:    (s02/s07/s09/s10, st09 have 2–4 green rounds; p03/p04 keep a slot
-#:    to confirm their round-4 first green was no fluke). Rotated OUT
-#:    (green in r3+r4, still locally parity-checked every pytest run):
-#:    s01/s03/s04/s05/s06/s08, st01–st08, t06/t07, c01, d01.
-#: 2. The 25 round-4 first-green rows kept for a second adjudication
-#:    (store features s11–s22, stateful streaming st10/st11, analytics
-#:    q34–q37 + e06, corpus t08/d09/p06, connectors o01/j01/x01).
-#: 3. The 18 queries that have NEVER had a driver row: task/DAG
-#:    lifecycle f01–f04, corpus quality t09/d10/p07/p08, incremental LSH
-#:    d11, centroid classify e07, OData streams o02 + o03 (o03 is new in
-#:    round 5: rate-limited REAL multi-batch offsets, >=4 batches
-#:    asserted in-query), streaming MERGE dedup st12, TPC-H Q8/Q9/Q10
-#:    shapes q38–q40, and the round-5 compositions d12 (dedup-then-
-#:    contamination) + f05 (Gopher-filter → mixture rebalance through the
-#:    SparkTask lifecycle).
+#: 1. Five regression ANCHORS from the multi-round-proven core
+#:    (s02/s07/s10/st09 have 3–4 green rounds, p04 has 2). Rotated OUT
+#:    this round (2+ green rounds each, still locally parity-checked
+#:    every pytest run): s09, p03, s12/s14/s16/s18/s20/s22, q35, x01.
+#: 2. The 18 round-5 first-green rows kept for a second adjudication
+#:    (task/DAG lifecycle f01–f05, corpus quality t09/d10/p07/p08,
+#:    incremental LSH d11, centroid classify e07, OData streams o02/o03,
+#:    streaming MERGE dedup st12, TPC-H shapes q38–q40, composition d12).
+#: 3. The 10 queries that have NEVER had a driver row (added in round 5
+#:    after the r5 prefix froze): JDBC custom-SQL pushdown j02, OData
+#:    OAuth2 o04, Avro encode round-trip f06, post-task cleanup f07,
+#:    event bus f08, file-path CDC f09, expectation gates v01, IVF/PQ
+#:    exact-oracle adjudications e08/e09, skew salting q41 — plus the
+#:    new-in-round-6 queries appended at the end of this group.
+#: 4. Third-look fillers from the r4 cohort (2 green rounds each) using
+#:    the remaining slots; first to give way to new queries.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    "s02_scd2_history", "s07_incremental_agg",
-    "s09_dml_delete_update", "s10_merge_into",
-    "st09_stream_exactly_once_sink",
-    "p03_sequence_packing", "p04_contamination",
-    # round-4 first greens, second adjudication:
-    "s11_value_set_skipping", "s12_time_travel", "s13_schema_evolution",
-    "s14_restore", "s15_table_constraint", "s16_selective_overwrite",
-    "s17_table_contract_columns", "s18_write_stats",
-    "s19_compact_small_files", "s20_vacuum_retention", "s21_zero_copy_clone",
-    "s22_catalog_sql",
-    "st10_stateful_running_totals", "st11_stream_outer_interval_join",
-    "q34_priority_late_orders", "q35_two_nation_volume",
-    "q36_range_interval_frame", "q37_customer_distribution",
-    "e06_embedding_profile",
-    "t08_tfidf_terms", "d09_source_overlap", "p06_dedup_token_accounting",
-    "o01_odata_pushdown", "j01_jdbc_partitioned_read", "x01_excel_roundtrip",
-    # never driver-adjudicated before round 5:
+    "s02_scd2_history", "s07_incremental_agg", "s10_merge_into",
+    "st09_stream_exactly_once_sink", "p04_contamination",
+    # round-5 first greens, second adjudication:
     "f01_task_feature_pipeline", "f02_dag_pipeline", "f03_cdc_backfill",
-    "f04_schema_registry_json",
+    "f04_schema_registry_json", "f05_quality_mixture_pipeline",
     "t09_gopher_rules", "d10_crossdoc_ngram_dedup",
-    "d11_incremental_lsh_pairs",
+    "d11_incremental_lsh_pairs", "d12_neardup_aware_contamination",
     "p07_mixture_rebalance", "p08_sharded_export",
     "e07_centroid_classify",
     "o02_odata_incremental_stream", "o03_odata_multibatch_stream",
     "st12_stream_dedup_merge",
     "q38_market_share", "q39_product_profit", "q40_returned_item_customers",
-    "d12_neardup_aware_contamination", "f05_quality_mixture_pipeline",
+    # never driver-adjudicated (new in r5 tail / new in r6):
+    "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
+    "f06_avro_roundtrip", "f07_post_task_cleanup", "f08_event_handlers",
+    "f09_file_path_cdc", "v01_row_expectations",
+    "e08_knn_ivf_fullprobe", "e09_knn_pq_fullshortlist",
+    "q41_skew_salted_pipeline",
+    # third-look fillers (r4 cohort, 2 greens) — replaced as new queries land:
+    "s11_value_set_skipping", "s13_schema_evolution",
+    "s15_table_constraint", "s17_table_contract_columns",
+    "s19_compact_small_files", "s21_zero_copy_clone",
+    "st10_stateful_running_totals", "st11_stream_outer_interval_join",
+    "q34_priority_late_orders", "q36_range_interval_frame",
+    "q37_customer_distribution",
+    "e06_embedding_profile", "t08_tfidf_terms", "d09_source_overlap",
+    "p06_dedup_token_accounting",
+    "o01_odata_pushdown", "j01_jdbc_partitioned_read",
 )
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from projectone_spark.queries import load, register
+from projectone_spark.queries import check, load, register
 from projectone_spark.session import scratch_dir
 
 _O01_SQL = """
@@ -69,8 +69,8 @@ def o01_odata_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         # planning sees fewer pages than the full scan; this assert also
         # forces planning NOW, so the scan (cached on the relation) keeps
         # its pushed filters after the conf is restored below
-        assert out.rdd.getNumPartitions() < n_full, \
-            "Id >= 10 was not pushed down to $filter"
+        check(out.rdd.getNumPartitions() < n_full,
+              "Id >= 10 was not pushed down to $filter")
     finally:
         if prior is None:
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
@@ -112,7 +112,7 @@ def j01_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                      partition_column="o_orderkey",
                      lower_bound=lo, upper_bound=hi, num_partitions=4,
                      options={"driver": driver})
-    assert back.rdd.getNumPartitions() == 4
+    check(back.rdd.getNumPartitions() == 4, "JDBC read must use 4 partitions")
     return (back.groupBy((F.col("o_custkey") % 10).alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
@@ -242,8 +242,8 @@ def o03_odata_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 40 rows / 7-row admission cap with timestamp-boundary extension can
     # never drain in fewer than 5 windows; >=4 proves multi-batch offsets
     # beyond doubt even if a boundary merges two windows
-    assert n_batches >= 4, \
-        f"expected >=4 non-empty micro-batches, stream ran {n_batches}"
+    check(n_batches >= 4,
+          f"expected >=4 non-empty micro-batches, stream ran {n_batches}")
     return out.select(F.col("mod_day").cast("string"), "n_rows",
                       "min_id", "max_id")
 
@@ -287,7 +287,8 @@ def j02_jdbc_query_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_jdbc(spark, url, query=q, options={"driver": driver})
     # the database did the aggregation: Spark sees the 10-row result
     # relation, not the orders table
-    assert len(back.columns) == 3 and back.count() <= 10
+    check(len(back.columns) == 3 and back.count() <= 10,
+          "pushed GROUP BY must return the 10-row aggregated relation")
     return back.select(
         F.col("bucket").cast("bigint").alias("bucket"),
         F.col("n_orders").cast("bigint").alias("n_orders"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from projectone_spark.queries import load, register
+from projectone_spark.queries import check, load, register
 from projectone_spark.session import scratch_dir
 
 _S11_SQL = """
@@ -54,8 +54,8 @@ def s11_value_set_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = [("o_orderstatus", "in", ("F", "P")),
              ("o_orderdate", ">=", "1997-01-01 00:00:00")]
     rep = skipping_report(store, "orders", preds)
-    assert rep["files_kept"] < rep["files_total"], \
-        f"value-set index pruned nothing: {rep}"
+    check(rep["files_kept"] < rep["files_total"],
+          f"value-set index pruned nothing: {rep}")
     return (read_where(store, spark, "orders", preds)
             .select("o_orderkey", "o_orderstatus",
                     F.round("o_totalprice", 2).alias("total_price")))
@@ -80,7 +80,7 @@ def s12_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.overwrite(spark, orders.filter(F.col("o_orderkey") % 2 == 0),
                     "orders")
     store.append(spark, orders.filter(F.col("o_orderkey") % 2 == 1), "orders")
-    assert store.version("orders") == 1  # commits number from 0
+    check(store.version("orders") == 1)  # commits number from 0
     return (store.read_version(spark, "orders", 0)
             .select("o_orderkey", F.round("o_totalprice", 2)
                     .alias("total_price")))
@@ -139,7 +139,7 @@ def s14_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "orders")
     store.append(spark, orders.filter(F.col("o_orderkey") % 2 == 1), "orders")
     v = restore(store, "orders", 0)
-    assert v == 2, f"restore must publish a NEW commit, got {v}"
+    check(v == 2, f"restore must publish a NEW commit, got {v}")
     return (store.read(spark, "orders")
             .select("o_orderkey", F.round("o_totalprice", 2)
                     .alias("total_price")))

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from projectone_spark.queries import load, register
+from projectone_spark.queries import check, load, register
 from projectone_spark.session import scratch_dir
 
 _S15_SQL = """
@@ -148,7 +148,7 @@ def s17_table_contract_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         TableColumn(name="priority", type="string", default="UNSPECIFIED"),
     ])
     created = create_if_not_exists(store, spark, contract)
-    assert created == 0 and create_if_not_exists(store, spark, contract) is None
+    check(created == 0 and create_if_not_exists(store, spark, contract) is None)
 
     src = (load(spark, sf_dir, "orders")
            .filter(F.col("o_orderkey") % 7 == 0)
@@ -187,7 +187,7 @@ def s18_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     op_v0 = last_commit_stats(store, "orders")["operation"]
     store.append(spark, orders.filter(F.col("o_orderkey") % 2 != 0), "orders")
     stats = last_commit_stats(store, "orders")
-    assert stats["num_files"] > 0 and stats["num_bytes"] > 0
+    check(stats["num_files"] > 0 and stats["num_bytes"] > 0)
     n_rows = store.read(spark, "orders").count()
     return spark.createDataFrame(
         [(op_v0, stats["operation"], stats["version"], n_rows)],
@@ -228,7 +228,7 @@ def s19_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = len(table_files(store, "orders"))
     v = compact(store, spark, "orders", target_file_bytes=256 * 1024 * 1024)
     after = len(table_files(store, "orders"))
-    assert v is not None and after < before, (before, after)
+    check(v is not None and after < before, (before, after))
     return (store.read(spark, "orders")
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -263,7 +263,7 @@ def s20_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.append(spark, orders.filter(F.col("o_orderkey") % 3 == 2),
                  "orders")                                       # v2
     dropped = vacuum(store, "orders", keep_versions=2)
-    assert dropped, "vacuum removed nothing"
+    check(bool(dropped), "vacuum removed nothing")
     try:
         store.read_version(spark, "orders", 0).count()
     except Exception:
@@ -271,7 +271,7 @@ def s20_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # pragma: no cover - guards the retention claim
         raise AssertionError("vacuumed version 0 still readable")
     # the retained previous version must still read
-    assert store.read_version(spark, "orders", 1).count() > 0
+    check(store.read_version(spark, "orders", 1).count() > 0)
     return (store.read(spark, "orders")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.countDistinct("o_orderkey").alias("n_keys")))
@@ -305,7 +305,7 @@ def s21_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.append(spark, orders.limit(100), "orders")
     n_src = store.read(spark, "orders").count()
     n_clone = store.read(spark, "orders_clone").count()
-    assert n_src == n_clone + 100, (n_src, n_clone)
+    check(n_src == n_clone + 100, (n_src, n_clone))
     return (store.read(spark, "orders_clone")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum((F.col("o_orderstatus") == "O").cast("bigint"))

@@ -31,7 +31,7 @@ import textwrap
 
 from pyspark.sql import DataFrame, SparkSession
 
-from projectone_spark.queries import register
+from projectone_spark.queries import check, register
 from projectone_spark.session import configure, scratch_dir
 
 _F01_SQL = """
@@ -228,7 +228,7 @@ def f03_cdc_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persisted CDC state must record the backfill window (reference
     # persists post-success, task.py:519-544)
     saved = task.state.get_value("ev_cdc_value", folder="sources")
-    assert saved and saved["load_type"] == "backfill", saved
+    check(bool(saved) and saved["load_type"] == "backfill", saved)
     return (TableStore(root).read(spark, "f03_out")
             .select("event_id", "event_type", F.col("value").cast("double")))
 
@@ -432,7 +432,7 @@ def f07_post_task_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .create())
     task.execute()
     leftover = glob.glob(os.path.join(staged, "*.parquet"))
-    assert leftover == [], f"post_task_execution left sources: {leftover}"
+    check(leftover == [], f"post_task_execution left sources: {leftover}")
     return (TableStore(root).read(spark, "f07_out")
             .groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
             .agg(F.count(F.lit(1)).alias("n_nations"),
@@ -549,11 +549,11 @@ def f09_file_path_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern = os.path.join(staged, "*.parquet")
     files1, wm1 = modified_files_cdc(client, pattern, state, "src",
                                      now_epoch=150.0)
-    assert files1 == [older], files1  # (0, 150] admits only mtime=100
+    check(files1 == [older], files1)  # (0, 150] admits only mtime=100
     save_file_cdc(state, "src", wm1)
     files2, wm2 = modified_files_cdc(client, pattern, state, "src",
                                      now_epoch=300.0)
-    assert files2 == [newer], files2  # (150, 300] admits only mtime=200
+    check(files2 == [newer], files2)  # (150, 300] admits only mtime=200
     save_file_cdc(state, "src", wm2)
     try:
         modified_files_cdc(client, pattern, state, "src", now_epoch=400.0)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from projectone_spark.queries import load, register
+from projectone_spark.queries import check, load, register
 from projectone_spark.session import scratch_dir
 from projectone_spark.streaming import (
     dedup_within_watermark,
@@ -368,7 +368,7 @@ def st09_stream_exactly_once_sink(spark: SparkSession, sf_dir: str
     run_stream()
     v_after_first = store.version("orders")
     run_stream()  # full replay, fresh checkpoint: every batch id repeats
-    assert store.version("orders") == v_after_first, "replay must be no-op"
+    check(store.version("orders") == v_after_first, "replay must be no-op")
     return (store.read(spark, "orders")
             .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
             .agg(F.count(F.lit(1)).alias("n_orders"),

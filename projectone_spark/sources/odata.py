@@ -403,8 +403,27 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
         return out, {"watermark": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        it, _ = self.read(start)
-        return it
+        # Failure-recovery replay of a COMMITTED batch: the offsets pin a
+        # real (start, end] watermark window, so drain exactly that window
+        # — no rate-limit cut, no dependence on how much the source has
+        # grown since the original read (deterministic replay). Inherent
+        # caveat shared by every timestamp-watermark CDC (incl. the
+        # reference's ModifiedOn scheme): a row that arrives AFTER commit
+        # carrying a timestamp <= end is indistinguishable from the
+        # original window and will appear in a replay; rows beyond end —
+        # the normal growth path — are excluded exactly.
+        lo, hi = start["watermark"], end["watermark"]
+        if hi <= lo:
+            return iter(())
+        filter_expr = f"{self.field} gt {lo} and {self.field} le {hi}"
+        n = self.client.count(filter_expr)
+        rows: list[dict] = []
+        for skip in range(0, n, self.rows_per_page):
+            rows.extend(self.client.page(skip, self.rows_per_page,
+                                         filter_expr=filter_expr,
+                                         orderby=self.field))
+        return iter([tuple(_coerce(r.get(f.name), f.dataType)
+                           for f in self._schema.fields) for r in rows])
 
 
 def _coerce(v: Any, dt) -> Any:
@@ -545,6 +564,26 @@ class MockODataTransport:
         return {"eq": have == val, "ne": have != val, "gt": str(have) > str(val)
                 if isinstance(have, str) else have > val,
                 "ge": have >= val, "lt": have < val, "le": have <= val}[op]
+
+
+class GrowingMockTransport(MockODataTransport):
+    """Mock service whose row count can be grown mid-run (class-level so
+    the spec-loaded instance and the caller share state) — models a live
+    source that keeps ingesting between a batch's commit and its
+    failure-recovery replay. Growth lands strictly AFTER the base
+    timeline (days 29+), the case the replay contract must exclude."""
+
+    extra = 0  # rows 40..40+extra-1, on days after the base timeline
+
+    def _rows(self) -> list[dict[str, Any]]:
+        rows = super()._rows()
+        for i in range(self.N, self.N + type(self).extra):
+            rows.append({"Id": i, "Name": f"Account {i:03d}",
+                         "Balance": round(100.0 * i + 0.5, 2),
+                         "Active": True,
+                         "ModifiedOn": f"2024-01-{29 + (i - self.N) % 3:02d}"
+                                       f"T00:00:00Z"})
+        return rows
 
 
 class MockTokenTransport:

@@ -215,10 +215,18 @@ def run_to_memory_paced(df: DataFrame, *, total_rows: int,
             sink_format="memory")
         try:
             deadline = time.monotonic() + timeout_seconds
+            # Accumulate per-batch counts keyed by batchId rather than
+            # re-summing recentProgress: Spark caps that buffer at
+            # numRecentProgressUpdates (default 100), so on a slow source
+            # idle progress events would evict early non-empty batches
+            # and the sum would undercount forever.
+            batch_rows: dict[int, int] = {}
             while True:
-                # recentProgress entries are emitted AFTER a batch commits,
+                # progress entries are emitted AFTER a batch commits,
                 # so every counted row is already in the sink
-                seen = sum(p["numInputRows"] for p in q.recentProgress)
+                for p in q.recentProgress:
+                    batch_rows[p["batchId"]] = p["numInputRows"]
+                seen = sum(batch_rows.values())
                 if seen >= total_rows:
                     break
                 if q.exception() is not None:
@@ -228,8 +236,7 @@ def run_to_memory_paced(df: DataFrame, *, total_rows: int,
                         f"stream admitted {seen}/{total_rows} rows within "
                         f"{timeout_seconds}s")
                 time.sleep(0.05)
-            n_nonempty = sum(1 for p in q.recentProgress
-                             if p["numInputRows"] > 0)
+            n_nonempty = sum(1 for n in batch_rows.values() if n > 0)
         finally:
             q.stop()
         stream_wait_close([q], timeout_seconds=30)

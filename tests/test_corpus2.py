@@ -107,3 +107,16 @@ def test_incremental_lsh_pairs_completes_the_batch_pair_set(spark):
     inc = {(r[0], r[1]) for r in incremental_lsh_pairs(base, delta).collect()}
     assert base_only | inc == full
     assert base_only & inc == set()
+
+
+def test_gopher_rules_keep_cols_collision_raises(spark):
+    docs = spark.createDataFrame([(1, "hello world", 5)],
+                                 "doc_id int, text string, n_words int")
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_cols"):
+        gopher_rules(docs, keep_cols=["n_words"])  # reserved output name
+    with pytest.raises(ValueError, match="keep_cols"):
+        gopher_rules(docs, keep_cols=["doc_id"])  # duplicates id_col
+    with pytest.raises(ValueError, match="keep_cols"):
+        gopher_rules(docs, keep_cols=["text", "text"])  # repeated

@@ -238,3 +238,49 @@ def test_stream_rate_limit_slices_timestamp_bounded_windows():
     flat = [r for b in batches for r in b]
     assert len(flat) == len(set(flat)) == 40  # disjoint, complete
     assert sorted(flat) == sorted(all_rows)  # equals the uncapped read
+
+
+def test_replay_between_offsets_is_deterministic():
+    """readBetweenOffsets(start, end) must return exactly the committed
+    (start, end] window even after the source grew past the committed
+    end watermark (ADVICE r5: the old delegate-to-read(start) replay
+    re-ran the rate-limit cut against CURRENT source state, so replaying
+    a short drain batch after growth leaked rows beyond the committed
+    end — breaking deterministic replay)."""
+    from projectone_spark.sources.odata import GrowingMockTransport, ODataStreamReader
+
+    opts = {"url": OPTS["url"], "entity": OPTS["entity"],
+            "transport": "projectone_spark.sources.odata:GrowingMockTransport",
+            "incremental_field": "ModifiedOn", "rows_per_page": "7",
+            "max_rows_per_batch": "7"}
+    schema = ODataClient(opts["url"], opts["entity"],
+                         opts["transport"]).schema()
+    reader = ODataStreamReader(dict(opts), schema)
+
+    GrowingMockTransport.extra = 0
+    try:
+        committed = []  # [(start, end, rows)] — drain the whole timeline
+        off = reader.initialOffset()
+        for _ in range(100):
+            rows, nxt = reader.read(off)
+            rows = list(rows)
+            if not rows:
+                break
+            committed.append((off, nxt, rows))
+            off = nxt
+        assert len(committed) >= 5  # 40 rows / 7-row cap
+        # the final batch is a SHORT drain (< cap) — the exact shape the
+        # old replay got wrong once the source grew
+        assert len(committed[-1][2]) < 7
+
+        # source grows BEYOND the last committed watermark (days 29+)
+        GrowingMockTransport.extra = 6
+
+        for s, e, original in committed:
+            replayed = list(reader.readBetweenOffsets(s, e))
+            assert sorted(replayed) == sorted(original), (s, e)
+        # the growth is real: a fresh read from the last offset sees it
+        fresh, _ = reader.read(off)
+        assert len(list(fresh)) == 6
+    finally:
+        GrowingMockTransport.extra = 0

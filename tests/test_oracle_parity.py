@@ -53,6 +53,17 @@ def test_harness_prefix_contract():
     assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
+    # round-6 rotation intent: every query that has never had a driver
+    # correctness row occupies a prefix slot (r5-tail cohort)
+    never_adjudicated = {
+        "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
+        "f06_avro_roundtrip", "f07_post_task_cleanup", "f08_event_handlers",
+        "f09_file_path_cdc", "v01_row_expectations",
+        "e08_knn_ivf_fullprobe", "e09_knn_pq_fullshortlist",
+        "q41_skew_salted_pipeline",
+    }
+    out = never_adjudicated - set(names[:50])
+    assert out == set(), f"never-adjudicated queries outside prefix: {out}"
 
 
 def test_queries_md_in_sync():
