@@ -426,16 +426,53 @@ def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "status", "n")
 
 
-@register("a01_approx_sketches", None, bench=True,
-          doc="approximate aggregates: HLL distinct + approx percentile per "
-              "event type (no SQL oracle — sketch algorithms differ across "
-              "engines; accuracy asserted in tests/test_skew_prune.py)",
+_A01_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       quantile_disc(value, 0.5) AS median_value,
+       TRUE AS sketch_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a01_approx_sketches", _A01_SQL, bench=True,
+          doc="approximate aggregates adjudicated against their exact "
+              "twins: HLL distinct (rsd=0.02) and approx median per event "
+              "type are computed alongside exact countDistinct and "
+              "percentile_disc in ONE aggregation pass; the query ASSERTS "
+              "the sketch error bounds in-query (HLL within 5x rsd, "
+              "approx median inside the exact interquartile band) and "
+              "emits the deterministic exact columns for the oracle — "
+              "sketch internals differ across engines, the bounds do not",
           tags=("agg", "approx"))
 def a01_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.queries import check
+
     ev = load(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
+    both = (ev.groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-                 F.percentile_approx("value", 0.5, 1000).alias("approx_median")))
+                 F.percentile_approx("value", 0.5, 1000).alias("approx_median"),
+                 F.countDistinct("user_id").alias("n_users_exact"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+                 .alias("median_value"),
+                 F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")
+                 .alias("__q1"),
+                 F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")
+                 .alias("__q3")))
+    # one computation for both the bound check and the returned frame
+    # (a frame referenced twice is otherwise re-computed per subtree)
+    both = both.localCheckpoint()
+    rows = both.collect()  # bounded: one row per event_type
+    check(bool(rows), "no event types")
+    for r in rows:
+        check(abs(r["approx_users"] - r["n_users_exact"])
+              <= max(5, 5 * 0.02 * r["n_users_exact"]),
+              f"HLL estimate outside 5x rsd: {r}")
+        check(r["__q1"] <= r["approx_median"] <= r["__q3"],
+              f"approx median outside exact IQR band: {r}")
+    return (both.select("event_type", "n_users_exact", "median_value",
+                        F.lit(True).alias("sketch_within_bound")))
 
 
 _Q30_SQL = """
@@ -639,21 +676,32 @@ def q33_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("a02_incremental_distinct_sketch", None, bench=True,
+_A02_SQL = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs_exact,
+       TRUE AS sketch_within_bound
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("a02_incremental_distinct_sketch", _A02_SQL, bench=True,
           doc="maintained approximate distinct customers per order status "
-              "via mergeable HLL sketches: batch 1 sketches half the "
-              "table, batch 2 sketches ONLY the appended commit and unions "
-              "binary sketches per group — O(delta) refresh with "
-              "fixed-size state, the only way distinct folds from a "
-              "change feed (no SQL oracle: sketch estimates; 5% accuracy "
-              "asserted in tests/test_incremental.py)",
+              "via mergeable HLL sketches, adjudicated against the exact "
+              "count: batch 1 sketches half the table, batch 2 sketches "
+              "ONLY the appended commit and unions binary sketches per "
+              "group — O(delta) refresh with fixed-size state, the only "
+              "way distinct folds from a change feed; the query ASSERTS "
+              "the maintained estimate lands within 5% of the exact "
+              "distinct per group and emits the exact columns for the "
+              "oracle",
           tags=("sketch", "incremental", "store", "llm"))
 def a02_incremental_distinct_sketch(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
-
     from projectone_spark.functions.incremental import (
         distinct_view, refresh_distinct,
     )
+    from projectone_spark.queries import check
     from projectone_spark.store import TableStore
     from projectone_spark.store.state import StateStore
 
@@ -670,6 +718,20 @@ def a02_incremental_distinct_sketch(spark: SparkSession,
     st.append(spark, orders.filter(F.col("o_orderkey") % 2 == 1), "orders")
     refresh_distinct(st, spark, "orders", "sk", ["o_orderstatus"],
                      "o_custkey", state)
-    return (distinct_view(st, spark, "sk", ["o_orderstatus"])
-            .select("o_orderstatus",
-                    F.col("approx_distinct").cast("bigint")))
+    approx = (distinct_view(st, spark, "sk", ["o_orderstatus"])
+              .select("o_orderstatus",
+                      F.col("approx_distinct").cast("bigint")
+                      .alias("approx")))
+    exact = (st.read(spark, "orders")
+             .groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("n_custs_exact")))
+    both = (exact.join(approx, "o_orderstatus", "left")
+            .localCheckpoint())  # one computation: bound check + output
+    rows = both.collect()  # bounded: one row per order status (3)
+    check(bool(rows), "no order statuses")
+    check(all(r["approx"] is not None
+              and abs(r["approx"] - r["n_custs_exact"])
+              <= 0.05 * r["n_custs_exact"] for r in rows),
+          lambda: f"maintained HLL outside 5% of exact: {rows}")
+    return both.select("o_orderstatus", "n_custs_exact",
+                       F.lit(True).alias("sketch_within_bound"))

@@ -210,13 +210,15 @@ _O03_SQL = _O02_SQL  # same closed-form timeline; only the drive differs
 
 @register("o03_odata_multibatch_stream", _O03_SQL,
           doc="OData stream driven through REAL multi-batch offset "
-              "progression: max_rows_per_batch=7 rate limit (reference "
+              "progression: max_rows_per_batch=10 rate limit (reference "
               "ODataMicroStream rateLimit) slices the mock's 40-row/28-day "
               "timeline into timestamp-bounded watermark windows; a "
               "processingTime drive loop re-plans each micro-batch from "
               "the committed offset and the query ASSERTS >=4 non-empty "
               "batches ran — the offset machinery o02's availableNow "
-              "fallback collapses to a single batch",
+              "fallback collapses to a single batch (cap=10 + a "
+              "single-state-partition drive: the per-batch planning "
+              "scaffold, not the data, dominates this query's cost)",
           tags=("source", "odata", "streaming", "offsets"))
 def o03_odata_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.session import configure
@@ -231,17 +233,18 @@ def o03_odata_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "projectone_spark.sources.odata:MockODataTransport")
               .option("incremental_field", "ModifiedOn")
               .option("rows_per_page", "7")
-              .option("max_rows_per_batch", "7")
+              .option("max_rows_per_batch", "10")
               .load())
     out, n_batches = run_to_memory_paced(
         stream.groupBy(F.col("ModifiedOn").alias("mod_day"))
               .agg(F.count(F.lit(1)).alias("n_rows"),
                    F.min("Id").alias("min_id"),
                    F.max("Id").alias("max_id")),
-        total_rows=40, output_mode="complete")
-    # 40 rows / 7-row admission cap with timestamp-boundary extension can
-    # never drain in fewer than 5 windows; >=4 proves multi-batch offsets
-    # beyond doubt even if a boundary merges two windows
+        total_rows=40, output_mode="complete", state_partitions=1)
+    # 40 rows / 10-row admission cap with timestamp-boundary extension
+    # drains in exactly 4 windows on the mock's 2-rows-per-day timeline;
+    # any regression to fewer (i.e. the rate limit stopped slicing) fails
+    # here loudly
     check(n_batches >= 4,
           f"expected >=4 non-empty micro-batches, stream ran {n_batches}")
     return out.select(F.col("mod_day").cast("string"), "n_rows",

@@ -112,4 +112,9 @@ def test_m05_groups_are_consistent(spark):
     rows = df.collect()
     assert sum(r["n_images"] for r in rows) == 500  # every doc grouped once
     assert all(r["n_images"] >= 1 for r in rows)
-    assert len(rows) < 500  # the synthetic params do collide
+    # round 6: groups are exactly the (w, h) classes — 4 widths x 3
+    # heights — because fill (brightness) and texture (contrast) are
+    # dhash-invariant by construction; the query asserts this in-query
+    assert len(rows) == 12
+    assert {(r["w"], r["h"]) for r in rows} == {
+        (16 + a, 8 + b) for a in range(4) for b in range(3)}

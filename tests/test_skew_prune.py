@@ -73,21 +73,25 @@ def test_scd1_partition_prune_relinks_untouched(spark, tmp_path):
 
 
 def test_approx_sketches_accuracy(spark):
-    """a01 has no SQL oracle (sketches are engine-specific); assert the
-    approximations land within tolerance of exact answers instead."""
+    """a01 asserts its own sketch bounds in-query (round 6); here we
+    verify the exact columns it emits match a direct computation and the
+    constant sketch_within_bound flag survived the in-query gates."""
     from projectone_spark.queries import REGISTRY, queries
 
     queries()
     df = REGISTRY["a01_approx_sketches"].fn(spark, "/root/testdata/sf0.001")
-    approx = {r["event_type"]: r for r in df.collect()}
+    got = {r["event_type"]: r for r in df.collect()}
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     exact = {r["event_type"]: r for r in
              ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n"),
-                  F.expr("percentile(value, 0.5)").alias("m")).collect()}
+                  F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+                  .alias("m")).collect()}
+    assert set(got) == set(exact)
     for et, ex in exact.items():
-        assert abs(approx[et]["approx_users"] - ex["n"]) <= max(2, 0.05 * ex["n"])
-        assert abs(approx[et]["approx_median"] - ex["m"]) <= 0.1 * max(1.0, abs(ex["m"]))
+        assert got[et]["n_users_exact"] == ex["n"]
+        assert got[et]["median_value"] == ex["m"]
+        assert got[et]["sketch_within_bound"] is True
 
 
 def test_blocked_lsh_pairs_identical_to_plain(spark):
