@@ -231,6 +231,11 @@ class TaskConfig(BaseModel):
     state_location: str | None = None
     store_location: str | None = None
     secrets: dict[str, dict[str, str]] = Field(default_factory=dict)
+    #: persist per-stage task metrics (run/CPU/GC time, shuffle, spill,
+    #: peak memory) per output write to the task's state logs — the
+    #: reference's scheduler-listener harness
+    #: (``core/observability/spark_listener.py:99-180``)
+    observe_stages: bool = False
 
     @model_validator(mode="after")
     def _stream_consistency(self) -> "TaskConfig":

@@ -11,12 +11,12 @@ reach natively in Spark 4:
   ``spark_listener.py:55-97``);
 - ``StreamMetricsListener`` — a ``StreamingQueryListener`` persisting
   per-batch progress (numInputRows, batchDuration, processedRowsPerSecond)
-  to the task's StateStore logs (``spark_listener.py:374-478``).
-
-Per-stage task metrics (shuffle bytes, spill, GC) live JVM-side; the
-scheduler-listener bridge needs a py4j callback server, which this engine
-intentionally avoids on the hot path — the history server + job groups
-carry that duty at production scale.
+  to the task's StateStore logs (``spark_listener.py:374-478``);
+- ``stage_metrics`` / ``log_stage_metrics`` — the reference's per-stage
+  task metrics (run/CPU/GC time, shuffle read/write, spill, peak memory;
+  ``spark_listener.py:99-180``), pulled from Spark's in-memory
+  ``AppStatusStore`` instead of a py4j-callback-server push listener: same
+  numbers, no callback server on the hot path, works with the UI disabled.
 """
 
 from __future__ import annotations
@@ -103,6 +103,93 @@ def stream_metrics(spark: SparkSession,
         yield lst
     finally:
         spark.streams.removeListener(lst)
+
+
+#: the reference's per-stage task-metric names
+#: (``spark_listener.py:99-180``) → the v1.StageData getter carrying the
+#: same quantity in Spark's AppStatusStore
+_STAGE_METRIC_GETTERS = (
+    "numTasks", "numCompleteTasks", "numFailedTasks",
+    "executorRunTime", "executorCpuTime",
+    "executorDeserializeTime", "resultSerializationTime",
+    "jvmGcTime",
+    "memoryBytesSpilled", "diskBytesSpilled", "peakExecutionMemory",
+    "inputBytes", "inputRecords", "outputBytes", "outputRecords",
+    "shuffleReadBytes", "shuffleReadRecords",
+    "shuffleWriteBytes", "shuffleWriteRecords",
+)
+
+
+def stage_metrics(spark: SparkSession, *,
+                  group: str | None = None) -> list[dict[str, Any]]:
+    """Per-stage task metrics (run/CPU/GC time, shuffle read/write bytes,
+    spill, peak memory — the reference's ``onStageCompleted`` payload,
+    ``spark_listener.py:99-180``) snapshotted from Spark's in-memory
+    ``AppStatusStore``.
+
+    The reference collects these through a py4j-callback-server scheduler
+    listener; this engine reads the SAME numbers from the status store the
+    Spark UI / REST API is served from — a pull, not a push, so there is
+    no callback server on the hot path, it works with ``spark.ui.enabled=
+    false``, and a missed poll can never lose a batch (the store retains
+    ``spark.ui.retainedStages`` stages, default 1000).
+
+    ``group`` restricts the snapshot to stages of jobs tagged with that
+    job group (the per-output ``output_{name}`` tag).
+    """
+    jstore = spark.sparkContext._jsc.sc().statusStore()  # type: ignore[attr-defined]
+    wanted: set[int] | None = None
+    job_of_stage: dict[int, int] = {}
+    jobs = jstore.jobsList(None)
+    for i in range(jobs.size()):
+        j = jobs.apply(i)
+        grp = j.jobGroup()
+        grp_val = grp.get() if grp.isDefined() else None
+        if group is not None and grp_val != group:
+            continue
+        sids = j.stageIds()
+        for k in range(sids.size()):
+            sid = sids.apply(k)
+            job_of_stage[sid] = j.jobId()
+            if group is not None:
+                wanted = wanted or set()
+                wanted.add(sid)
+    out: list[dict[str, Any]] = []
+    for sid in sorted(job_of_stage):
+        if wanted is not None and sid not in wanted:
+            continue
+        try:
+            sd = jstore.lastStageAttempt(sid)
+        except Exception:  # skipped stage: no attempt data
+            continue
+        if str(sd.status()) == "SKIPPED":
+            # a reused exchange/cached result: no tasks ran, no metrics —
+            # the reference's onStageCompleted never fires for these
+            continue
+        row: dict[str, Any] = {
+            "stageId": sid,
+            "jobId": job_of_stage[sid],
+            "name": sd.name(),
+            "status": str(sd.status()),
+        }
+        for g in _STAGE_METRIC_GETTERS:
+            row[g] = getattr(sd, g)()
+        sub, comp = sd.submissionTime(), sd.completionTime()
+        row["submissionTime"] = str(sub.get()) if sub.isDefined() else None
+        row["completionTime"] = str(comp.get()) if comp.isDefined() else None
+        out.append(row)
+    return out
+
+
+def log_stage_metrics(state: StateStore, name: str, spark: SparkSession, *,
+                      group: str | None = None) -> int:
+    """Persist a :func:`stage_metrics` snapshot to the task's StateStore
+    logs (the reference persists its listener payload the same way,
+    ``spark_listener.py:374-478``)."""
+    return state.set(f"{name}_stage_metrics",
+                     {"captured_at": time.time(), "group": group,
+                      "stages": stage_metrics(spark, group=group)},
+                     folder="state")
 
 
 def write_event_log(state: StateStore, severity: str, message: str,

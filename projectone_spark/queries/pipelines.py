@@ -565,3 +565,120 @@ def f09_file_path_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.min("o_orderkey").alias("min_key"),
                  F.max("o_orderkey").alias("max_key")))
+
+
+_F10_SQL = """
+SELECT 'orders' AS src, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS measure
+FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'lineitem' AS src, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS measure
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+"""
+
+
+@register("f10_stream_multi_output_task", _F10_SQL,
+          doc="two-input/two-output STREAM task driven end-to-end: both "
+              "inputs stream from parquet directories, one execution "
+              "function returns a dict of two DataFrames, each output "
+              "runs its own writeStream whose checkpoint DEFAULTS to "
+              "{state_location}/checkpoints/{output} (reference "
+              "output.py:100-110) — asserted in-query along with the "
+              "N-inputs/N-outputs stream validation (reference "
+              "task.py:239-266: 2 stream inputs with 3 outputs must be "
+              "rejected); the oracle recomputes both written tables from "
+              "the source relations",
+          tags=("task", "streaming", "framework", "multi-output"))
+def f10_stream_multi_output_task(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyspark.sql.functions as F
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+
+    configure(spark)
+    store_root = scratch_dir(prefix="po_f10_store_")
+    state_root = scratch_dir(prefix="po_f10_state_")
+
+    # file streams need a DIRECTORY source + explicit schema: symlink the
+    # driver-provided single-file tables into scratch dirs (zero copy)
+    def stage(table: str) -> tuple[str, str]:
+        d = scratch_dir(prefix=f"po_f10_{table}_")
+        os.symlink(f"{sf_dir}/{table}.parquet",
+                   os.path.join(d, f"{table}.parquet"))
+        ddl = ", ".join(f"{c} {t}"
+                        for c, t in spark.read.parquet(
+                            f"{sf_dir}/{table}.parquet").dtypes)
+        return d, ddl
+
+    orders_dir, orders_ddl = stage("orders")
+    items_dir, items_ddl = stage("lineitem")
+
+    body = textwrap.dedent("""
+        import pyspark.sql.functions as F
+        def split_streams(orders, items):
+            return {
+                "out_orders": orders.filter(
+                    F.col("o_orderpriority") == "1-URGENT"),
+                "out_items": items.filter(
+                    F.col("l_shipdate")
+                    >= F.lit("1997-06-01").cast("timestamp")),
+            }
+    """)
+
+    def build(n_outputs: int) -> SparkTask:
+        b = (SparkTask.builder
+             .setName("f10")
+             .setInput(name="orders", path=orders_dir, source="parquet",
+                       source_extract_type="stream",
+                       read_options={"source_schema": orders_ddl})
+             .setInput(name="items", path=items_dir, source="parquet",
+                       source_extract_type="stream",
+                       read_options={"source_schema": items_ddl})
+             .setExecution(name="split_streams", body=body)
+             .setOutput(name="out_orders", table="f10_orders",
+                        write_type="append")
+             .setOutput(name="out_items", table="f10_items",
+                        write_type="append"))
+        if n_outputs == 3:  # deliberately invalid: 2 stream inputs, 3 outs
+            b = b.setOutput(name="extra", table="f10_extra",
+                            write_type="append")
+        return (b.setRefreshPolicy(type="stream")
+                .setStateLocation(state_root)
+                .setStoreLocation(store_root)
+                .setSession(spark)
+                .create())
+
+    # the reference's stream-task constraint: #outputs must equal #inputs
+    # (or 1) — a 2-in/3-out config must be REJECTED at create time
+    try:
+        build(3)
+    except ValueError:
+        pass
+    else:
+        check(False, "2-in/3-out stream task was not rejected")
+
+    task = build(2)
+    results = task.stream_process(timeout_seconds=300)
+    check(all(r.status == "success" for r in results),
+          lambda: f"stream task step failed: {[r.status for r in results]}")
+    # per-output checkpoint defaulting (reference output.py:100-110)
+    for out in ("out_orders", "out_items"):
+        check(os.path.isdir(os.path.join(state_root, "checkpoints", out)),
+              f"missing defaulted checkpoint for {out}")
+
+    store = TableStore(store_root)
+
+    def measure(table: str, label: str, money: str) -> DataFrame:
+        return (store.read(spark, table)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.round(F.sum(F.col(money).cast("decimal(18,2)")), 2)
+                     .cast("double").alias("measure"))
+                .select(F.lit(label).alias("src"), "n_rows", "measure"))
+
+    return (measure("f10_orders", "orders", "o_totalprice")
+            .unionByName(measure("f10_items", "lineitem", "l_extendedprice")))

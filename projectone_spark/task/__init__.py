@@ -133,6 +133,10 @@ class SparkTask:
             self._kw["secrets"] = secrets
             return self
 
+        def setObserveStages(self, on: bool = True) -> "SparkTask.Builder":
+            self._kw["observe_stages"] = on
+            return self
+
         def setSession(self, spark: SparkSession) -> "SparkTask.Builder":
             self._spark = spark
             return self
@@ -299,11 +303,22 @@ class SparkTask:
             check_table_constraints(self.spark, self.store, df,
                                     [(t, cols) for t, cols in out.constraints])
         writer = WRITERS[out.write_type]
-        version = writer(self.spark, self.store, df, out.target,
-                         **self._writer_kwargs(out))
+        from projectone_spark.observability import job_group, log_stage_metrics
+
+        # reference output.py:186-192: every output's jobs run under an
+        # ``output_{name}`` job group so the UI/history server (and the
+        # stage-metrics snapshot below) attribute stages to outputs
+        with job_group(self.spark, f"output_{out.name}"):
+            version = writer(self.spark, self.store, df, out.target,
+                             **self._writer_kwargs(out))
         self.state.set(f"{out.name}_write", {
             "version": version, "write_type": out.write_type,
             "batch_id": self.batch_id}, folder="sink")
+        if self.config.observe_stages:
+            # per-stage run/CPU/GC/shuffle/spill metrics for this output's
+            # jobs (reference spark_listener.py:99-180) into state logs
+            log_stage_metrics(self.state, out.name, self.spark,
+                              group=f"output_{out.name}")
 
     def _bind_and_run_execution(self, inputs: dict[str, DataFrame],
                                 output_names: list[str]) -> dict[str, DataFrame]:

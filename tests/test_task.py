@@ -295,3 +295,52 @@ def test_scratch_dirs_share_one_reaped_root():
     assert a != b and os.path.isdir(a) and os.path.isdir(b)
     assert os.path.dirname(a) == os.path.dirname(b) == s._SCRATCH_ROOT
     assert os.path.basename(s._SCRATCH_ROOT).startswith("po_scratch_")
+
+
+def test_stage_metrics_persisted_per_output(spark, tmp_path, source_dir):
+    """observe_stages: a batch write persists the reference's per-stage
+    task metrics (run/CPU time, shuffle bytes, spill, peak memory —
+    spark_listener.py:99-180) to the task's state logs, scoped to the
+    output's job group."""
+    task = (_base_task(spark, tmp_path, source_dir)
+            .setObserveStages()
+            .create())
+    results = task.execute()
+    assert all(r.status == "success" for r in results)
+
+    snap = task.state.get_value("out_stage_metrics")
+    assert snap and snap["group"] == "output_out"
+    stages = snap["stages"]
+    assert stages, "no stages captured for the output job group"
+    required = {"stageId", "jobId", "name", "status", "numTasks",
+                "executorRunTime", "executorCpuTime", "jvmGcTime",
+                "memoryBytesSpilled", "diskBytesSpilled",
+                "peakExecutionMemory", "inputBytes", "inputRecords",
+                "outputBytes", "outputRecords", "shuffleReadBytes",
+                "shuffleWriteBytes"}
+    for st in stages:
+        assert required <= set(st)
+        assert st["status"] in ("COMPLETE", "FAILED")  # SKIPPED filtered
+        assert st["numTasks"] > 0
+    assert any(st["status"] == "COMPLETE" for st in stages)
+    # the write moved real rows: some stage read the 6-row source
+    assert any(st["inputRecords"] > 0 or st["outputRecords"] > 0
+               for st in stages)
+
+
+def test_stage_metrics_group_scoping(spark):
+    """stage_metrics(group=...) only reports stages of jobs tagged with
+    that job group; other groups' stages stay invisible."""
+    from projectone_spark.observability import job_group, stage_metrics
+
+    with job_group(spark, "grp_a"):
+        spark.range(100000).selectExpr("id % 5 k", "id v") \
+            .groupBy("k").count().collect()
+    with job_group(spark, "grp_b"):
+        spark.range(1000).count()
+    a = stage_metrics(spark, group="grp_a")
+    b = stage_metrics(spark, group="grp_b")
+    assert a and b
+    assert {s["stageId"] for s in a}.isdisjoint({s["stageId"] for s in b})
+    # the grouped agg in grp_a shuffled; its metrics must say so
+    assert any(s["shuffleReadBytes"] > 0 for s in a)
