@@ -143,12 +143,12 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "f09_file_path_cdc", "v01_row_expectations",
     "e08_knn_ivf_fullprobe", "e09_knn_pq_fullshortlist",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
+    "v02_stage_metrics_accounting",
     # third-look fillers (r4 cohort, 2 greens) — replaced as new queries land:
     "a01_approx_sketches", "a02_incremental_distinct_sketch",
     "m05_image_phash_dedup", "s17_table_contract_columns",
     "s19_compact_small_files", "s21_zero_copy_clone",
     "st10_stateful_running_totals", "st11_stream_outer_interval_join",
-    "q36_range_interval_frame",
     "q37_customer_distribution",
     "e06_embedding_profile", "t08_tfidf_terms", "d09_source_overlap",
     "p06_dedup_token_accounting",

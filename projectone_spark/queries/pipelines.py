@@ -682,3 +682,67 @@ def f10_stream_multi_output_task(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (measure("f10_orders", "orders", "o_totalprice")
             .unionByName(measure("f10_items", "lineitem", "l_extendedprice")))
+
+
+_V02_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS metrics_consistent
+FROM orders
+WHERE o_totalprice >= 100000.0
+GROUP BY o_orderstatus
+"""
+
+
+@register("v02_stage_metrics_accounting", _V02_SQL,
+          doc="the per-stage task-metrics surface adjudicated end-to-end: "
+              "a batch task writes filtered orders under observe_stages, "
+              "and the query ASSERTS the AppStatusStore snapshot persisted "
+              "to state logs accounts for the write exactly — the output "
+              "job group's stages sum to outputRecords == the number of "
+              "rows the store actually received (which the oracle "
+              "recomputes from the source relation), with run time and "
+              "task counts present (reference spark_listener.py:99-180)",
+          tags=("task", "observability", "framework"))
+def v02_stage_metrics_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+
+    configure(spark)
+    store_root = scratch_dir(prefix="po_v02_store_")
+    task = (SparkTask.builder
+            .setName("v02")
+            .setInput(name="src", path=f"{sf_dir}/orders.parquet",
+                      source="parquet",
+                      read_options={"filter": "o_totalprice >= 100000.0"})
+            .setOutput(name="out", table="v02_out", write_type="overwrite")
+            .setObserveStages()
+            .setStateLocation(scratch_dir(prefix="po_v02_state_"))
+            .setStoreLocation(store_root)
+            .setSession(spark)
+            .create())
+    results = task.execute()
+    check(all(r.status == "success" for r in results),
+          lambda: f"task step failed: {[r.status for r in results]}")
+
+    snap = task.state.get_value("out_stage_metrics")
+    check(bool(snap) and snap["group"] == f"output_out_{task.batch_id}",
+          "stage-metrics snapshot missing from state logs")
+    stages = snap["stages"]
+    check(bool(stages), "no stages captured for the output job group")
+    check(all(st["status"] == "COMPLETE" and st["numTasks"] > 0
+              and st["executorRunTime"] >= 0 for st in stages),
+          lambda: f"malformed stage rows: {stages}")
+
+    written = TableStore(store_root).read(spark, "v02_out")
+    n_written = written.count()
+    out_records = sum(st["outputRecords"] for st in stages)
+    check(out_records == n_written,
+          f"stage outputRecords {out_records} != rows written {n_written}")
+
+    return (written.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select("o_orderstatus", "n_rows",
+                    F.lit(True).alias("metrics_consistent")))

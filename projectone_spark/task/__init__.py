@@ -307,8 +307,12 @@ class SparkTask:
 
         # reference output.py:186-192: every output's jobs run under an
         # ``output_{name}`` job group so the UI/history server (and the
-        # stage-metrics snapshot below) attribute stages to outputs
-        with job_group(self.spark, f"output_{out.name}"):
+        # stage-metrics snapshot below) attribute stages to outputs; the
+        # batch id scopes the tag to THIS run — the AppStatusStore
+        # accumulates all session jobs, so an unscoped tag would fold a
+        # re-run's stages into the snapshot
+        grp = f"output_{out.name}_{self.batch_id}"
+        with job_group(self.spark, grp):
             version = writer(self.spark, self.store, df, out.target,
                              **self._writer_kwargs(out))
         self.state.set(f"{out.name}_write", {
@@ -317,8 +321,7 @@ class SparkTask:
         if self.config.observe_stages:
             # per-stage run/CPU/GC/shuffle/spill metrics for this output's
             # jobs (reference spark_listener.py:99-180) into state logs
-            log_stage_metrics(self.state, out.name, self.spark,
-                              group=f"output_{out.name}")
+            log_stage_metrics(self.state, out.name, self.spark, group=grp)
 
     def _bind_and_run_execution(self, inputs: dict[str, DataFrame],
                                 output_names: list[str]) -> dict[str, DataFrame]:

@@ -309,7 +309,7 @@ def test_stage_metrics_persisted_per_output(spark, tmp_path, source_dir):
     assert all(r.status == "success" for r in results)
 
     snap = task.state.get_value("out_stage_metrics")
-    assert snap and snap["group"] == "output_out"
+    assert snap and snap["group"] == f"output_out_{task.batch_id}"
     stages = snap["stages"]
     assert stages, "no stages captured for the output job group"
     required = {"stageId", "jobId", "name", "status", "numTasks",
