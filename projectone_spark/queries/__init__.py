@@ -143,14 +143,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "f09_file_path_cdc", "v01_row_expectations",
     "e08_knn_ivf_fullprobe", "e09_knn_pq_fullshortlist",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
-    "v02_stage_metrics_accounting",
+    "v02_stage_metrics_accounting", "e04_knn_ivf", "e05_knn_pq",
     # third-look fillers (r4 cohort, 2 greens) — replaced as new queries land:
     "a01_approx_sketches", "a02_incremental_distinct_sketch",
     "m05_image_phash_dedup", "s17_table_contract_columns",
     "s19_compact_small_files", "s21_zero_copy_clone",
     "st10_stateful_running_totals", "st11_stream_outer_interval_join",
-    "q37_customer_distribution",
-    "e06_embedding_profile", "t08_tfidf_terms", "d09_source_overlap",
+    "t08_tfidf_terms", "d09_source_overlap",
     "p06_dedup_token_accounting",
     "o01_odata_pushdown", "j01_jdbc_partitioned_read",
 )
@@ -162,11 +161,12 @@ def _ensure_loaded() -> None:
 
     Downstream consumers (the driver's correctness gate records a bounded
     prefix of the registry's insertion order) see the explicit prefix
-    first, then every remaining query in module-import order. No-oracle
-    entries (e04/e05 — production-shaped ANN whose exact twins
-    e08/e09 are adjudicated) always land in the tail: their rows
-    can never turn green, so they must not occupy a slot an oracle-checked
-    query could — enforced by test_harness_prefix_contract.
+    first, then every remaining query in module-import order. Since
+    round 6 EVERY registered query carries an oracle (the last no-oracle
+    entries — a01/a02 sketches, m05 dhash, e04/e05 production ANN — were
+    converted to in-query-gated, oracle-checked adjudications), so any
+    query may hold a prefix slot — enforced by
+    test_harness_prefix_contract.
     """
     from projectone_spark.queries import (  # noqa: F401
         engine_ops,

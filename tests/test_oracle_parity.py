@@ -61,6 +61,10 @@ def test_harness_prefix_contract():
         "f09_file_path_cdc", "v01_row_expectations",
         "e08_knn_ivf_fullprobe", "e09_knn_pq_fullshortlist",
         "q41_skew_salted_pipeline",
+        # converted from no-oracle / added in round 6:
+        "a01_approx_sketches", "a02_incremental_distinct_sketch",
+        "m05_image_phash_dedup", "e04_knn_ivf", "e05_knn_pq",
+        "f10_stream_multi_output_task", "v02_stage_metrics_accounting",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
