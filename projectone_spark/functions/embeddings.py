@@ -15,6 +15,8 @@ per-pair work is one dot product, not three.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -209,6 +211,46 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.round(dot(F.col("__qvec"), F.col("__vec"))
                               / (F.col("__qn") * F.col("__vn")), 6).alias("score")))
     return _topk(scored, query_id_col, k)
+
+
+def seed_centroids(df: DataFrame, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """The ``k`` lowest-id vectors as coarse-quantizer centroids — the
+    fully deterministic, SQL-replicable seeding an *adjudicable* index
+    build needs (a trained quantizer is better-balanced but its centroids
+    are not derivable by an external oracle; swap in ``ivf_train`` for
+    production and keep this for verification). Driver collect is bounded
+    by ``k`` rows, the same cost class as ``ivf_train``'s sample.
+
+    Returns ``[(cell_id, components), ...]`` with ``cell_id`` = the
+    centroid row's own id, ordered by id.
+    """
+    rows = (df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col).limit(k).collect())
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Cell id of the nearest centroid by cosine — one struct-sort over
+    per-centroid scores, pure codegen, no shuffle and no per-row join
+    (the scale shape: at ingest this runs inside the scan stage, so an
+    incremental index refresh touches only the delta's rows).
+
+    The ranking score is ``dot(v, c) / |c|`` — ``|v|`` is constant across
+    centroids and drops out of the argmax, and the remaining ops (zip-
+    multiply, sequential fold, one divide) are the exact IEEE sequence a
+    DuckDB oracle reproduces with ``_dot/_norm``. ``|c|`` is folded
+    driver-side in the same element order. Ties go to the lowest cell id.
+    """
+    entries = []
+    for cid, comps in centroids:
+        sq = 0.0
+        for x in comps:
+            sq += x * x
+        entries.append(F.struct(
+            (-(_centroid_dot(vec_col, comps) / F.lit(math.sqrt(sq)))).alias("neg"),
+            F.lit(cid).alias("cid")))
+    return F.sort_array(F.array(*entries))[0]["cid"]
 
 
 # -- product quantization ----------------------------------------------------

@@ -154,6 +154,111 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
                         F.col("n_overlap") / F.col("n_shingles")))
 
 
+def bloom_positions(sh_col: Column | str, m_bits: int = 65536,
+                    n_hashes: int = 2) -> list[Column]:
+    """The ``n_hashes`` bloom-filter bit positions of a shingle in an
+    ``m_bits``-bit space, by Kirsch-Mitzenmacher double hashing over two
+    independent 32-bit halves of md5: ``pos_i = (h1 + i*h2) mod m``.
+    md5-derived (not ``xxhash64``) so any engine reproduces the exact
+    positions — cf. DuckDB ``CAST('0x'||substr(md5(s),1,8) AS BIGINT)``.
+    """
+    c = F.col(sh_col) if isinstance(sh_col, str) else sh_col
+    h1 = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+    return [(h1 + F.lit(i) * h2) % m_bits for i in range(n_hashes)]
+
+
+def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        group_col: str = "source", k: int = 5,
+                        m_bits: int = 65536, n_hashes: int = 2,
+                        parallelism: int | None = None) -> DataFrame:
+    """Benchmark-decontamination screen through a bloom filter — the
+    membership structure large-corpus pipelines (Dolma, DataComp) use when
+    the eval-suite shingle set is too big to broadcast verbatim: the
+    benchmark compresses to ``m_bits`` bits (``m/64`` longs — 8 KiB at the
+    default) no matter how many shingles it holds, and the corpus probe is
+    pure scan-side codegen against that constant-size bitset.
+
+    Build: benchmark shingles → ``n_hashes`` md5 double-hash positions →
+    word/mask pack → ``bit_or`` per 64-bit word → bounded driver collect
+    (≤ ``m/64`` rows) → literal long array. Probe: a shingle is flagged
+    iff ALL its positions' bits are set — no join, no shuffle, no state on
+    the corpus side. Blooms have no false negatives by construction, so
+    the exact broadcast-join verdict (``contamination_report``'s join) is
+    a subset of the flagged set; the caller can measure the false-positive
+    rate from the two counts (e.g. q p09 asserts subset-ness in-query).
+
+    Returns per ``group_col``: n_docs, n_docs_exact (≥1 exact benchmark
+    shingle), n_docs_bloom (≥1 flagged shingle), n_shingles_exact,
+    n_shingles_bloom — all exact integers.
+    """
+
+    def exploded(frame: DataFrame) -> DataFrame:
+        cols = [F.col(id_col)] + ([F.col(group_col)]
+                                  if group_col in frame.columns else [])
+        base = spread(frame.select(*cols, normalize(text_col).alias("__norm")),
+                      parallelism)
+        sh = F.array_distinct(shingles_of_norm("__norm", k))
+        return base.select(*cols, F.explode(sh).alias("__sh"))
+
+    # the benchmark slice is tiny next to the corpus, so recomputing its
+    # shingles for the exact-verdict join costs less than an extra
+    # materialization job would
+    bench_sh = benchmark.transform(exploded).select("__sh").distinct()
+
+    # pack the benchmark's positions into m/64 longs (the actual bloom
+    # bitset) with one bounded aggregation
+    pos = bench_sh.select(F.explode(F.array(
+        *bloom_positions("__sh", m_bits, n_hashes))).alias("__p"))
+    words_rows = (pos.select((F.col("__p") / 64).cast("int").alias("__w"),
+                             F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                    "CAST(__p % 64 AS INT))").alias("__m"))
+                  .groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+                  .collect())  # bounded: ≤ m_bits/64 rows regardless of data
+    words = [0] * (m_bits // 64)
+    for r in words_rows:
+        words[r["__w"]] = r["__bits"]
+    # one array Literal, not CreateArray(1024 exprs): the codegen for the
+    # latter materializes every element as its own expression per probe
+    lit_words = F.lit(words).cast("array<bigint>")
+
+    def with_bloom(frame: DataFrame) -> DataFrame:
+        pcols = [p.alias(f"__p{i}") for i, p in
+                 enumerate(bloom_positions("__sh", m_bits, n_hashes))]
+        out = frame.select("*", *pcols)
+        hit = F.lit(True)
+        for i in range(n_hashes):
+            word = F.get(lit_words, (F.col(f"__p{i}") / 64).cast("int"))
+            mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                          f"CAST(__p{i} % 64 AS INT))")
+            hit = hit & (word.bitwiseAND(mask) != 0)
+        return (out.withColumn("__bloom", hit)
+                .drop(*[f"__p{i}" for i in range(n_hashes)]))
+
+    marked = (corpus.transform(exploded)
+              .transform(with_bloom)
+              .join(F.broadcast(bench_sh.withColumn("__exact", F.lit(True))),
+                    "__sh", "left")
+              .withColumn("__exact", F.coalesce("__exact", F.lit(False))))
+    per_doc = (marked.groupBy(id_col, group_col)
+               .agg(F.sum(F.when(F.col("__exact"), 1).otherwise(0))
+                    .alias("__n_ex"),
+                    F.sum(F.when(F.col("__bloom"), 1).otherwise(0))
+                    .alias("__n_bl"),
+                    F.sum(F.when(F.col("__exact") & ~F.col("__bloom"), 1)
+                          .otherwise(0)).alias("__n_fneg")))
+    return (per_doc.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("__n_ex") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_docs_exact"),
+                 F.sum(F.when(F.col("__n_bl") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_docs_bloom"),
+                 F.sum("__n_ex").cast("bigint").alias("n_shingles_exact"),
+                 F.sum("__n_bl").cast("bigint").alias("n_shingles_bloom"),
+                 F.sum("__n_fneg").cast("bigint").alias("n_false_negatives")))
+
+
 def temperature_quota_sample(df: DataFrame, group_col: str,
                              weight_col: str, *, alpha: float = 0.5,
                              scale: float = 8.0, min_quota: int = 4,

@@ -312,6 +312,66 @@ def distinctive_terms(df: DataFrame, text_col: str = "text",
             .select(group_col, "term", "tf", "df_docs", "score"))
 
 
+def unigram_surprise(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram-LM surprisal score — the engine-native
+    analogue of CCNet-style perplexity filtering (Wenzek et al. 2020
+    rank Common Crawl documents by a language-model perplexity; a unigram
+    model over the corpus's own token distribution is the degenerate case
+    that needs no external model and still separates fluent text from
+    keyword soup: rare-token-heavy documents score high).
+
+    The per-token surprisal proxy is the inverse corpus frequency
+    ``N / c_t``, kept in exact integer micro-units so both engines agree
+    bit-for-bit with no float summation anywhere::
+
+        micro(t)  = (1_000_000 * N) div c_t            -- BIGINT
+        surprise  = Σ_t micro(t) / (1e6 * n_tokens)    -- one final divide
+
+    The sums are integer (order-independent); the closing division is a
+    single correctly-rounded IEEE op on two exactly-represented values.
+    ``1e6 * N`` needs int64 headroom: past ~9e12 corpus tokens drop the
+    scale to milli-units.
+
+    Plan shape at 100 TB: one scan-side explode, a map-side-combining
+    ``(doc, term)`` aggregation, a vocabulary aggregation (bounded by
+    vocabulary size, not corpus size), one equi-join of the doc-term
+    table against the vocabulary (AQE broadcasts it while it fits) and a
+    single-row broadcast of the corpus token count. The vocabulary and
+    corpus-total FOLD the tf table rather than re-exploding, so the
+    corpus is scanned exactly once (ReuseExchange shares the tf shuffle
+    across all three consumers) and the join input stays at distinct
+    doc-term pairs.
+
+    Returns (id, n_tokens, surprise_micro, surprise) for documents with
+    at least one token.
+    """
+    # the explicit isNotNull matches the null filter the optimizer pushes
+    # into the join branches, keeping every branch's scan subtree
+    # canonically identical so AQE stage reuse can deduplicate them
+    exploded = (df.select(F.col(id_col),
+                          F.explode(tokens(text_col)).alias("term"))
+                .filter(F.col("term").isNotNull()))
+    tf = (exploded.groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    # vocabulary counts and the corpus total both fold the tf table, so
+    # all three consumers sit on ONE scan+explode+shuffle (ReuseExchange)
+    # instead of re-reading the corpus per branch
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    return (tf.join(vocab, "term")
+            .crossJoin(F.broadcast(total))
+            .withColumn("__micro",
+                        F.expr("(CAST(1000000 AS BIGINT) * __n) div __c"))
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.sum(F.col("tf") * F.col("__micro")).alias("surprise_micro"))
+            .select(F.col(id_col), F.col("n_tokens"), F.col("surprise_micro"),
+                    F.round(F.col("surprise_micro")
+                            / (F.lit(1000000.0) * F.col("n_tokens")), 6)
+                    .alias("surprise")))
+
+
 def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  min_words: int = 40, max_words: int = 100_000,
                  min_mean_word_len: float = 3.0,

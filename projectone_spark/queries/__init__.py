@@ -122,8 +122,10 @@ def oracle_sql() -> dict[str, str]:
 #:    exact-oracle adjudications (sketch bounds asserted in-query, exact
 #:    columns oracle-checked; dhash grouping vs closed-form class oracle),
 #:    plus third-look fillers from the r4 cohort (2 green rounds each;
-#:    rotated out this round: s11, s13, s15) using the remaining slots —
-#:    fillers are first to give way to new queries.
+#:    rotated out this round: s11, s13, s15, then t08/o01/j01 — each with
+#:    2+ green rounds — as the in-round additions t10/e10/p09 landed)
+#:    using the remaining slots — fillers are first to give way to new
+#:    queries.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "s02_scd2_history", "s07_incremental_agg", "s10_merge_into",
     "st09_stream_exactly_once_sink", "p04_contamination",
@@ -144,14 +146,15 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "e08_knn_ivf_fullprobe", "e09_knn_pq_fullshortlist",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
     "v02_stage_metrics_accounting", "e04_knn_ivf", "e05_knn_pq",
+    "t10_unigram_surprise", "e10_incremental_ivf_maintenance",
+    "p09_bloom_contamination",
     # third-look fillers (r4 cohort, 2 greens) — replaced as new queries land:
     "a01_approx_sketches", "a02_incremental_distinct_sketch",
     "m05_image_phash_dedup", "s17_table_contract_columns",
     "s19_compact_small_files", "s21_zero_copy_clone",
     "st10_stateful_running_totals", "st11_stream_outer_interval_join",
-    "t08_tfidf_terms", "d09_source_overlap",
+    "d09_source_overlap",
     "p06_dedup_token_accounting",
-    "o01_odata_pushdown", "j01_jdbc_partitioned_read",
 )
 
 
@@ -190,6 +193,7 @@ def _ensure_loaded() -> None:
         embeddings2,  # new-in-r4 tail: centroid-classification confusion
         analytics4,  # new-in-r4 tail: TPC-H Q8/Q9 shapes
         corpus3,  # new-in-r5: composed dedup+contamination / quality+mixture
+        corpus4,  # new-in-r6: unigram-surprisal quality scoring
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}

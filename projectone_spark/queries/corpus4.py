@@ -1,0 +1,122 @@
+"""Corpus quality queries added in round 6 (registry tail):
+
+- t10: unigram-LM surprisal scoring (the CCNet-perplexity-filter shape
+  with the corpus's own token distribution as the model);
+- p09: bloom-filter decontamination screen (constant-size bitset
+  membership, the Dolma/DataComp scale path), adjudicated against the
+  exact broadcast-join verdict.
+
+All arithmetic is exact-integer end-to-end (micro-unit inverse
+frequencies / md5 double-hash bit positions, BIGINT sums), so the DuckDB
+oracles are bit-identical by construction — same discipline as corpus2's
+mixture masses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import load, register
+from projectone_spark.queries._sql_fragments import _SHINGLES, _TOKS
+
+_T10_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf.tf * ((1000000 * tot.n) // vocab.c)) AS BIGINT)
+           AS surprise_micro
+  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id)
+SELECT doc_id, n_tokens, surprise_micro,
+       round(CAST(surprise_micro AS DOUBLE) / (1000000.0 * n_tokens), 6)
+         AS surprise
+FROM scored
+"""
+
+
+@register("t10_unigram_surprise", _T10_SQL,
+          doc="CCNet-style quality scoring: per-document mean unigram "
+              "surprisal against the corpus's own token distribution, in "
+              "exact integer micro-units (no float summation anywhere — "
+              "the one closing division is a single correctly-rounded "
+              "IEEE op, bit-identical across engines)",
+          tags=("text", "quality", "llm"))
+def t10_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.text import unigram_surprise
+
+    return unigram_surprise(load(spark, sf_dir, "documents"))
+
+
+# Bloom probe mirror: Kirsch-Mitzenmacher double hashing over two 32-bit
+# md5 halves, identical to functions/sampling.bloom_positions. The SQL
+# "bit set" is the DISTINCT position set — membership in it is exactly the
+# word/mask bit test the Spark side runs against the packed long array.
+_H1 = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+_H2 = "CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT)"
+
+_P09_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest({_SHINGLES}) AS s FROM documents),
+bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+bits AS (
+  SELECT DISTINCT ({_H1} + i * {_H2}) % 65536 AS p
+  FROM bsh CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+probe AS (
+  SELECT doc_id, source,
+         s IN (SELECT s FROM bsh) AS ex,
+         ({_H1} % 65536) IN (SELECT p FROM bits)
+           AND (({_H1} + {_H2}) % 65536) IN (SELECT p FROM bits) AS bl
+  FROM sh WHERE doc_id % 97 <> 0),
+per_doc AS (
+  SELECT doc_id, source,
+         sum(CASE WHEN ex THEN 1 ELSE 0 END) AS nex,
+         sum(CASE WHEN bl THEN 1 ELSE 0 END) AS nbl,
+         sum(CASE WHEN ex AND NOT bl THEN 1 ELSE 0 END) AS nfn
+  FROM probe GROUP BY doc_id, source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nex > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_exact,
+       CAST(sum(CASE WHEN nbl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_bloom,
+       CAST(sum(nex) AS BIGINT) AS n_shingles_exact,
+       CAST(sum(nbl) AS BIGINT) AS n_shingles_bloom,
+       CAST(sum(nfn) AS BIGINT) AS n_false_negatives
+FROM per_doc
+GROUP BY source
+"""
+
+
+@register("p09_bloom_contamination", _P09_SQL,
+          doc="bloom-filter decontamination screen (the Dolma/DataComp "
+              "shape): the benchmark shingle set packs into a constant "
+              "8 KiB bitset (md5 double-hashing, engine-portable) and "
+              "the corpus probe is scan-side codegen with no join; the "
+              "exact broadcast-join verdict runs alongside and the query "
+              "proves in-query that the bloom has zero false negatives, "
+              "with per-source exact + flagged counts oracle-checked",
+          tags=("sampling", "dedup", "llm"))
+def p09_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.sampling import bloom_contamination
+    from projectone_spark.queries import check
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    # checkpoint the (tiny, per-source) result so the adjudication agg and
+    # the returned DataFrame don't each re-run the corpus-wide probe
+    out = bloom_contamination(corpus, bench).localCheckpoint(eager=True)
+    fneg = (out.agg(F.sum("n_false_negatives").alias("n")).first()["n"]) or 0
+    check(fneg == 0, f"bloom produced {fneg} false negatives "
+                     "(impossible for a correct bloom filter)")
+    return out

@@ -111,3 +111,72 @@ def e09_knn_pq_fullshortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (knn_pq(emb, queries, k=5, m=8, n_codes=16,
                    shortlist=math.ceil(n / 5))
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+_E10_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT v.vec_id, c.cid, {_dot('v.e', 'c.ce')} / {_norm('c.ce')} AS s
+  FROM v CROSS JOIN c),
+assigned AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+  FROM scored)
+SELECT cid AS cell_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) FILTER (WHERE vec_id % 4 <> 0) AS BIGINT) AS n_base,
+       CAST(count(*) FILTER (WHERE vec_id % 4 = 0) AS BIGINT) AS n_delta
+FROM assigned WHERE rk = 1
+GROUP BY cid
+"""
+
+
+@register("e10_incremental_ivf_maintenance", _E10_SQL,
+          doc="O(delta) ANN index maintenance: base vectors are assigned "
+              "to deterministic seed centroids and persisted as the IVF "
+              "cell index; a later delta batch is assigned by scanning "
+              "ONLY the delta (scan-side codegen argmax, no shuffle) and "
+              "appended — the query proves the incrementally-maintained "
+              "index equals a full rebuild row-for-row (check, not bare "
+              "assert), and the per-cell occupancy is oracle-checked "
+              "against an argmax-cosine recomputation in SQL",
+          tags=("embeddings", "ann", "incremental", "store", "llm"))
+def e10_incremental_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import assign_cell, seed_centroids
+    from projectone_spark.queries import check
+    from projectone_spark.session import scratch_dir
+    from projectone_spark.store import TableStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, k=8)
+
+    def assigned(df):
+        return df.select("vec_id",
+                         assign_cell(F.col("embedding"), cents).alias("cell_id"))
+
+    st = TableStore(scratch_dir(prefix="pos-ivfidx-"))
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    st.overwrite(spark, assigned(base).withColumn("is_delta", F.lit(False)),
+                 "ivf_index")
+    st.append(spark, assigned(delta).withColumn("is_delta", F.lit(True)),
+              "ivf_index")
+    idx = st.read(spark, "ivf_index")
+
+    # adjudicate: the maintained index must equal a from-scratch rebuild
+    rebuild = assigned(emb).withColumnRenamed("cell_id", "want")
+    n_bad = (idx.join(rebuild, "vec_id", "full")
+             .filter(F.col("cell_id").isNull() | F.col("want").isNull()
+                     | (F.col("cell_id") != F.col("want"))).count())
+    check(n_bad == 0,
+          f"incremental IVF index diverged from full rebuild: {n_bad} rows")
+
+    return (idx.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum(F.when(F.col("is_delta"), 0).otherwise(1))
+                 .cast("bigint").alias("n_base"),
+                 F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+                 .cast("bigint").alias("n_delta")))

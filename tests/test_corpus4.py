@@ -1,0 +1,103 @@
+"""Unigram-surprisal quality scoring (t10): hand-computed arithmetic,
+exclusion of token-less docs, and the scale-shape plan claims."""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from projectone_spark.functions.text import unigram_surprise
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_unigram_surprise_hand_computed(spark):
+    # corpus: N=5 tokens, c(a)=2, c(b)=2, c(c)=1
+    # micro(a)=micro(b)=2_500_000, micro(c)=5_000_000
+    df = _docs(spark, [(1, "a a b"), (2, "b c")])
+    got = {r["doc_id"]: r for r in unigram_surprise(df).collect()}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["surprise_micro"] == 2 * 2_500_000 + 2_500_000
+    assert got[1]["surprise"] == 2.5
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["surprise_micro"] == 2_500_000 + 5_000_000
+    assert got[2]["surprise"] == 3.75
+
+
+def test_unigram_surprise_rare_tokens_score_higher(spark):
+    common = " ".join(["the"] * 20)
+    df = _docs(spark, [(1, common), (2, common + " zyzzyva")])
+    got = {r["doc_id"]: r["surprise"] for r in unigram_surprise(df).collect()}
+    assert got[2] > got[1]
+
+
+def test_unigram_surprise_drops_tokenless_docs(spark):
+    df = _docs(spark, [(1, "a b"), (2, "!!! ???"), (3, "")])
+    ids = {r["doc_id"] for r in unigram_surprise(df).collect()}
+    assert ids == {1}
+
+
+def test_unigram_surprise_integer_columns_are_exact_bigints(spark):
+    df = _docs(spark, [(1, "x y"), (2, "y z")])
+    out = unigram_surprise(df)
+    dt = dict(out.dtypes)
+    assert dt["n_tokens"] == "bigint"
+    assert dt["surprise_micro"] == "bigint"
+    assert dt["surprise"] == "double"
+
+
+def test_unigram_surprise_plan_no_python_no_corpus_broadcast(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        unigram_surprise(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan
+    # the single-row corpus-total is the ONLY hinted broadcast; the
+    # vocabulary join is left to AQE (broadcast while it fits, shuffle
+    # join at 100 TB vocabularies)
+    assert plan.count("ResolvedHint") <= 1
+
+
+def test_bloom_positions_deterministic_in_range(spark):
+    from projectone_spark.functions.sampling import bloom_positions
+
+    df = spark.createDataFrame([("abcde",), ("fghij",)], "s string")
+    rows = df.select(*[p.alias(f"p{i}") for i, p in
+                       enumerate(bloom_positions("s", 65536, 2))]).collect()
+    again = df.select(*[p.alias(f"p{i}") for i, p in
+                        enumerate(bloom_positions("s", 65536, 2))]).collect()
+    assert rows == again
+    for r in rows:
+        assert 0 <= r["p0"] < 65536 and 0 <= r["p1"] < 65536
+
+
+def test_bloom_contamination_no_false_negatives_and_flags_leak(spark):
+    from projectone_spark.functions.sampling import bloom_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog", "ev")],
+        "doc_id bigint, text string, source string")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "a"),   # leaked
+         (2, "zq xv wk jy pf mg bd tn rl cs hx", "a")],             # clean-ish
+        "doc_id bigint, text string, source string")
+    row = bloom_contamination(corpus, bench).filter("source = 'a'").first()
+    assert row["n_false_negatives"] == 0
+    assert row["n_docs_exact"] >= 1          # the verbatim copy is caught
+    assert row["n_shingles_bloom"] >= row["n_shingles_exact"]  # no neg FPs
+
+
+def test_bloom_bitset_is_bounded_by_m(spark):
+    # the driver-side collect in bloom_contamination is <= m/64 rows no
+    # matter the benchmark size; verify the packing math stays in range
+    from projectone_spark.functions.sampling import bloom_positions
+
+    import pyspark.sql.functions as F2
+    df = spark.range(5000).select(F2.md5(F2.col("id").cast("string")).alias("s"))
+    mx = (df.select(F2.explode(F2.array(
+              *bloom_positions("s", 4096, 2))).alias("p"))
+          .agg(F2.max((F2.col("p") / 64).cast("int")).alias("w")).first()["w"])
+    assert mx <= 4096 // 64 - 1

@@ -109,3 +109,62 @@ def test_pq_codes_shape(spark):
     for r in codes:
         assert len(r["c"]) == 8
         assert all(0 <= x < 16 for x in r["c"])
+
+
+def test_seed_centroids_deterministic_lowest_ids(spark):
+    from projectone_spark.functions.embeddings import seed_centroids
+
+    emb = _emb(spark)
+    cents = seed_centroids(emb, k=8)
+    ids = [c for c, _ in cents]
+    low = [r[0] for r in
+           emb.select("vec_id").orderBy("vec_id").limit(8).collect()]
+    assert ids == low
+    assert cents == seed_centroids(emb, k=8)
+
+
+def test_assign_cell_matches_numpy_argmax(spark):
+    import numpy as np
+
+    from projectone_spark.functions.embeddings import assign_cell, seed_centroids
+
+    emb = _emb(spark)
+    cents = seed_centroids(emb, k=8)
+    got = {r[0]: r[1] for r in
+           emb.select("vec_id",
+                      assign_cell(F.col("embedding"), cents).alias("cell"))
+           .collect()}
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = np.array([cid for cid, _ in cents])
+    for r in emb.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        scores = Cn @ v  # |v| drops out of the argmax
+        assert got[r["vec_id"]] == cids[int(np.argmax(scores))]
+
+
+def test_assign_cell_tie_breaks_to_lowest_cell_id(spark):
+    from projectone_spark.functions.embeddings import assign_cell
+
+    # two identical centroids -> identical scores -> lowest cid must win
+    cents = [(7, [1.0, 0.0]), (3, [0.0, 1.0]), (9, [1.0, 0.0])]
+    df = spark.createDataFrame([([1.0, 0.0],)], "embedding array<float>")
+    assert df.select(assign_cell(F.col("embedding"), cents)).first()[0] == 7
+
+
+def test_assign_cell_plan_is_scan_side_codegen(spark):
+    import contextlib
+    import io
+
+    from projectone_spark.functions.embeddings import assign_cell, seed_centroids
+
+    emb = _emb(spark)
+    cents = seed_centroids(emb, k=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        (emb.select("vec_id", assign_cell(F.col("embedding"), cents)
+                    .alias("cell"))
+         .explain("formatted"))
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # assignment never shuffles the corpus

@@ -65,6 +65,8 @@ def test_harness_prefix_contract():
         "a01_approx_sketches", "a02_incremental_distinct_sketch",
         "m05_image_phash_dedup", "e04_knn_ivf", "e05_knn_pq",
         "f10_stream_multi_output_task", "v02_stage_metrics_accounting",
+        "t10_unigram_surprise", "e10_incremental_ivf_maintenance",
+        "p09_bloom_contamination",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
