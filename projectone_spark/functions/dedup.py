@@ -524,14 +524,30 @@ def incremental_lsh_pairs(base: DataFrame, delta: DataFrame,
     ``lsh_candidate_pairs`` exactly: a delta-delta pair is ordered by id
     (found once), a delta-base pair carries least/greatest ids.
     """
-    sigs = (minhash_signatures(base, text_col, id_col, num_hashes, k,
-                               parallelism)
-            .withColumn("__new", F.lit(False))
-            .unionByName(
-                minhash_signatures(delta, text_col, id_col, num_hashes, k,
+    def banded(frame: DataFrame) -> DataFrame:
+        return (minhash_signatures(frame, text_col, id_col, num_hashes, k,
                                    parallelism)
-                .withColumn("__new", F.lit(True)))
-            .withColumn("band", F.substring(F.col("mh0"), 1, band_chars))
+                .withColumn("band", F.substring(F.col("mh0"), 1, band_chars)))
+
+    return lsh_probe_pairs(banded(base), banded(delta), num_hashes, id_col)
+
+
+def lsh_probe_pairs(base_sigs: DataFrame, delta_sigs: DataFrame,
+                    num_hashes: int = 4,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs with at least one delta side, from PRECOMPUTED
+    banded signature frames (columns: id, mh0..mh{n-1}, band) — the
+    persisted-LSH-index probe: the standing corpus keeps only its narrow
+    signature table (store it partitioned/stats'd by band and the probe
+    prunes to touched buckets), a new batch computes signatures for its
+    own rows only and equi-joins the standing bands. Pair identity matches
+    the batch ``lsh_candidate_pairs``: a delta-delta pair is ordered once
+    by id, a delta-base pair carries least/greatest ids — so a standing
+    index folded batch-by-batch accumulates EXACTLY the full corpus pair
+    set, independent of how documents were split into batches.
+    """
+    sigs = (base_sigs.withColumn("__new", F.lit(False))
+            .unionByName(delta_sigs.withColumn("__new", F.lit(True)))
             .localCheckpoint(eager=False))
     a = sigs.filter(F.col("__new")).alias("a")
     b = sigs.alias("b")

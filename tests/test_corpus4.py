@@ -101,3 +101,36 @@ def test_bloom_bitset_is_bounded_by_m(spark):
               *bloom_positions("s", 4096, 2))).alias("p"))
           .agg(F2.max((F2.col("p") / 64).cast("int")).alias("w")).first()["w"])
     assert mx <= 4096 // 64 - 1
+
+
+def test_lsh_probe_batch_split_invariance(spark):
+    """Folding a corpus through the standing-index probe batch-by-batch
+    must accumulate exactly the batch self-join's pair set, for any split
+    — the property st13 relies on."""
+    import pyspark.sql.functions as F2
+
+    from projectone_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        lsh_probe_pairs,
+        minhash_signatures,
+    )
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(120))
+    want = sorted(map(tuple, lsh_candidate_pairs(docs).collect()))
+
+    def banded(frame):
+        return (minhash_signatures(frame)
+                .withColumn("band", F2.substring(F2.col("mh0"), 1, 2)))
+
+    got = []
+    base = None
+    for i in range(3):  # uneven split: 0/1 vs 2 vs rest
+        batch = docs.filter((F2.col("doc_id") % 4) == i) if i < 2 \
+            else docs.filter(F2.col("doc_id") % 4 >= 2)
+        sigs = banded(batch).localCheckpoint(eager=True)
+        if base is None:
+            base = spark.createDataFrame([], sigs.schema)
+        got.extend(map(tuple, lsh_probe_pairs(base, sigs).collect()))
+        base = base.unionByName(sigs)
+    assert sorted(got) == want

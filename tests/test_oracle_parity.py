@@ -66,7 +66,7 @@ def test_harness_prefix_contract():
         "m05_image_phash_dedup", "e04_knn_ivf", "e05_knn_pq",
         "f10_stream_multi_output_task", "v02_stage_metrics_accounting",
         "t10_unigram_surprise", "e10_incremental_ivf_maintenance",
-        "p09_bloom_contamination",
+        "p09_bloom_contamination", "st13_stream_neardup_index",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
