@@ -242,6 +242,9 @@ def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Co
     DuckDB oracle reproduces with ``_dot/_norm``. ``|c|`` is folded
     driver-side in the same element order. Ties go to the lowest cell id.
     """
+    if not centroids:
+        raise ValueError("assign_cell needs at least one centroid "
+                         "(seed_centroids over an empty corpus?)")
     entries = []
     for cid, comps in centroids:
         sq = 0.0

@@ -193,6 +193,14 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
     shingle), n_docs_bloom (≥1 flagged shingle), n_shingles_exact,
     n_shingles_bloom — all exact integers.
     """
+    # a position in a partial trailing word would F.get a null word and
+    # null-propagate into a silent NOT-flagged verdict (a false negative,
+    # exactly what a bloom must never produce) — reject loudly instead
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, "
+                         f"got {m_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
 
     def exploded(frame: DataFrame) -> DataFrame:
         cols = [F.col(id_col)] + ([F.col(group_col)]

@@ -134,3 +134,25 @@ def test_lsh_probe_batch_split_invariance(spark):
         got.extend(map(tuple, lsh_probe_pairs(base, sigs).collect()))
         base = base.unionByName(sigs)
     assert sorted(got) == want
+
+
+def test_bloom_rejects_partial_word_m_bits(spark):
+    import pytest
+
+    from projectone_spark.functions.sampling import bloom_contamination
+
+    df = _docs(spark, [(1, "abcdefghij")]).withColumn(
+        "source", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("a"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_contamination(df, df, m_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_contamination(df, df, n_hashes=0)
+
+
+def test_assign_cell_rejects_empty_centroids():
+    import pytest
+
+    from projectone_spark.functions.embeddings import assign_cell
+
+    with pytest.raises(ValueError, match="at least one centroid"):
+        assign_cell(F.col("embedding"), [])

@@ -274,3 +274,76 @@ def test_mixture_rebalance_conserves_and_caps(spark, rows, cap):
 
         w = r["weight"]
         assert gdocs * math.floor(w) <= r["n_copies"] <= gdocs * math.ceil(w)
+
+
+# -- round-6 corpus operators -------------------------------------------------
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "qzx", "wvy"])
+DOC = st.lists(WORDS, min_size=1, max_size=6).map(" ".join)
+
+
+@given(texts=st.lists(DOC, min_size=1, max_size=5),
+       k=st.integers(min_value=2, max_value=3))
+@SLOW
+def test_unigram_surprise_invariant_under_corpus_duplication(spark, texts, k):
+    """Duplicating the whole corpus k× must leave every document's score
+    untouched: N→kN and c_t→k·c_t cancel even under integer division
+    (floor(k·a / k·b) == floor(a/b)) — the property that makes the score
+    comparable across corpus snapshots of different sizes."""
+    from projectone_spark.functions.text import unigram_surprise
+
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    dup = spark.createDataFrame(
+        [(i + j * 1000, t) for j in range(k)
+         for i, t in enumerate(texts)], "doc_id long, text string")
+    one = {r["doc_id"]: (r["surprise_micro"], r["n_tokens"])
+           for r in unigram_surprise(base).collect()}
+    many = {r["doc_id"]: (r["surprise_micro"], r["n_tokens"])
+            for r in unigram_surprise(dup).collect()}
+    for i in one:
+        for j in range(k):
+            assert many[i + j * 1000] == one[i]
+
+
+@given(texts=st.lists(DOC, min_size=1, max_size=5),
+       bench_texts=st.lists(DOC, min_size=1, max_size=3))
+@SLOW
+def test_bloom_never_false_negative_on_random_corpora(spark, texts,
+                                                      bench_texts):
+    from projectone_spark.functions.sampling import bloom_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(1000 + i, t, "ev") for i, t in enumerate(bench_texts)],
+        "doc_id long, text string, source string")
+    for r in bloom_contamination(corpus, bench, m_bits=256).collect():
+        assert r["n_false_negatives"] == 0
+        assert r["n_shingles_bloom"] >= r["n_shingles_exact"]
+
+
+@given(texts=st.lists(DOC, min_size=2, max_size=6),
+       split=st.integers(min_value=2, max_value=3))
+@SLOW
+def test_lsh_probe_accumulation_equals_batch_pairs(spark, texts, split):
+    from projectone_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        lsh_probe_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    want = sorted(map(tuple, lsh_candidate_pairs(docs).collect()))
+    got, base = [], None
+    for j in range(split):
+        sigs = (minhash_signatures(docs.filter(F.col("doc_id") % split == j))
+                .withColumn("band", F.substring(F.col("mh0"), 1, 2))
+                .localCheckpoint(eager=True))
+        if base is None:
+            base = spark.createDataFrame([], sigs.schema)
+        got.extend(map(tuple, lsh_probe_pairs(base, sigs).collect()))
+        base = base.unionByName(sigs)
+    assert sorted(got) == want
