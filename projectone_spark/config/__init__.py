@@ -245,4 +245,10 @@ class TaskConfig(BaseModel):
             raise ValueError("stream inputs require refresh_policy.type='stream'")
         if any_stream and len(self.outputs) not in (1, len(self.inputs)):
             raise ValueError("#outputs must equal #inputs (or 1) for stream tasks")
+        if self.observe_stages and self.refresh_policy.type == "stream":
+            # only the batch write path snapshots per-stage metrics; a
+            # silent no-op here would break the field's promise
+            raise ValueError("observe_stages is only supported for batch "
+                             "tasks (stream writes have no per-output job "
+                             "group to snapshot)")
         return self

@@ -48,7 +48,17 @@ _EPOCH_DATE = date(1970, 1, 1)
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
-class AvroDecodeError(ValueError):
+class AvroError(ValueError):
+    """Base for codec failures (decode and encode sides)."""
+
+
+class AvroEncodeError(AvroError):
+    """Encode-side failure: a value the schema cannot represent
+    faithfully (e.g. an int outside signed 64 bits) — raised at encode
+    time instead of letting the decoder read back a different value."""
+
+
+class AvroDecodeError(AvroError):
     """Malformed Avro binary or an unsupported schema shape."""
 
 
@@ -279,7 +289,7 @@ def _zigzag_encode(n: int, out: bytearray) -> None:
     if not (-(1 << 63) <= n < (1 << 63)):
         # out-of-range ints would encode to a longer varint the decoder
         # reads back as a DIFFERENT value — fail at encode time instead
-        raise AvroDecodeError(f"long out of signed 64-bit range: {n}")
+        raise AvroEncodeError(f"long out of signed 64-bit range: {n}")
     n = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
     while True:
         b = n & 0x7F
@@ -302,7 +312,7 @@ def _compile_encoder(schema: Any) -> Callable[[Any, bytearray], None]:
         others = [(i, _compile_encoder(b)) for i, b in enumerate(branches)
                   if b != "null"]
         if null_idx is None or len(others) != 1:
-            raise AvroDecodeError(f"unsupported union for encoding: {schema}")
+            raise AvroEncodeError(f"unsupported union for encoding: {schema}")
         val_idx, val_enc = others[0]
 
         def union(v: Any, out: bytearray) -> None:

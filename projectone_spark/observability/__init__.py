@@ -121,7 +121,8 @@ _STAGE_METRIC_GETTERS = (
 
 
 def stage_metrics(spark: SparkSession, *,
-                  group: str | None = None) -> list[dict[str, Any]]:
+                  group: str | None = None,
+                  settle_secs: float = 2.0) -> list[dict[str, Any]]:
     """Per-stage task metrics (run/CPU/GC time, shuffle read/write bytes,
     spill, peak memory — the reference's ``onStageCompleted`` payload,
     ``spark_listener.py:99-180``) snapshotted from Spark's in-memory
@@ -136,9 +137,30 @@ def stage_metrics(spark: SparkSession, *,
 
     ``group`` restricts the snapshot to stages of jobs tagged with that
     job group (the per-output ``output_{name}`` tag).
+
+    The status store is fed by Spark's ASYNCHRONOUS listener bus, so a
+    snapshot taken right after an action returns can still miss the last
+    task/stage-completed events; ``settle_secs`` bounds a short poll that
+    waits until no selected stage is still ACTIVE/PENDING (two stable
+    reads) before returning.
     """
+    import time as _time
+
+    deadline = _time.monotonic() + max(0.0, settle_secs)
+    out = _stage_snapshot(spark, group)
+    while _time.monotonic() < deadline:
+        settled = all(r["status"] in ("COMPLETE", "FAILED") for r in out)
+        nxt = _stage_snapshot(spark, group)
+        if settled and nxt == out:
+            break
+        out = nxt
+        _time.sleep(0.05)
+    return out
+
+
+def _stage_snapshot(spark: SparkSession,
+                    group: str | None) -> list[dict[str, Any]]:
     jstore = spark.sparkContext._jsc.sc().statusStore()  # type: ignore[attr-defined]
-    wanted: set[int] | None = None
     job_of_stage: dict[int, int] = {}
     jobs = jstore.jobsList(None)
     for i in range(jobs.size()):
@@ -151,13 +173,8 @@ def stage_metrics(spark: SparkSession, *,
         for k in range(sids.size()):
             sid = sids.apply(k)
             job_of_stage[sid] = j.jobId()
-            if group is not None:
-                wanted = wanted or set()
-                wanted.add(sid)
     out: list[dict[str, Any]] = []
     for sid in sorted(job_of_stage):
-        if wanted is not None and sid not in wanted:
-            continue
         try:
             sd = jstore.lastStageAttempt(sid)
         except Exception:  # skipped stage: no attempt data

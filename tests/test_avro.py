@@ -265,11 +265,11 @@ def test_to_avro_df_roundtrip_distributed(spark):
 def test_encode_long_out_of_int64_range_raises():
     """Out-of-range ints must fail at ENCODE time: a >64-bit zigzag varint
     round-trips through the decoder as a silently different value."""
-    from projectone_spark.functions.avro import AvroDecodeError, _compile_encoder
+    from projectone_spark.functions.avro import AvroEncodeError, _compile_encoder
 
     enc = _compile_encoder("long")
     out = bytearray()
     enc(123, out)  # in-range fine
     for bad in (1 << 63, -(1 << 63) - 1, 1 << 90):
-        with pytest.raises((AvroDecodeError, OverflowError)):
+        with pytest.raises(AvroEncodeError):
             enc(bad, bytearray())

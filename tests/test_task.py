@@ -156,6 +156,18 @@ def test_stream_consistency_validation():
                    outputs=[{"name": "o"}])
 
 
+def test_observe_stages_rejected_for_stream_tasks():
+    # only the batch write path snapshots stage metrics; a stream task
+    # asking for them must fail loudly, not silently skip the snapshots
+    with pytest.raises(ValueError, match="observe_stages"):
+        TaskConfig(name="bad",
+                   inputs=[{"name": "s", "path": "/x",
+                            "source_extract_type": "stream"}],
+                   outputs=[{"name": "o"}],
+                   refresh_policy={"type": "stream"},
+                   observe_stages=True)
+
+
 def test_builder_class_access():
     assert isinstance(SparkTask.builder, SparkTask.Builder)
     assert isinstance(task_builder(), SparkTask.Builder)
