@@ -180,3 +180,85 @@ def e10_incremental_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
                  .cast("bigint").alias("n_base"),
                  F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
                  .cast("bigint").alias("n_delta")))
+
+
+_E11_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT v.vec_id, v.e, c.cid, {_dot('v.e', 'c.ce')} / {_norm('c.ce')} AS s
+  FROM v CROSS JOIN c),
+cells AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT vec_id, e, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+    FROM scored) WHERE rk = 1),
+best AS (
+  SELECT a.vec_id,
+         max({_dot('a.e', 'b.e')} / ({_norm('a.e')} * {_norm('b.e')}))
+           AS raw_max
+  FROM cells a JOIN cells b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id)
+SELECT cells.vec_id, cells.cid AS cell_id,
+       round(best.raw_max, 6) AS max_sim,
+       (best.raw_max IS NULL OR best.raw_max < 0.35) AS keep
+FROM cells LEFT JOIN best ON cells.vec_id = best.vec_id
+"""
+
+
+@register("e11_semdedup_prune", _E11_SQL,
+          doc="SemDeDup (Abbas et al. 2023): cluster-then-prune semantic "
+              "dedup — vectors are assigned to deterministic seed "
+              "centroids (scan-side codegen, the e10 index shape) and a "
+              "vector is pruned when a LOWER-id vector in the SAME cell "
+              "is more similar than the threshold; the quadratic pair "
+              "work is per-cell, never corpus-wide (k grows with the "
+              "corpus so cells stay bounded), and the full keep/prune "
+              "labeling is oracle-checked per vector",
+          tags=("embeddings", "dedup", "ann", "llm"))
+def e11_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        assign_cell,
+        cosine,
+        seed_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, k=8)
+    cells = (emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        assign_cell(F.col("embedding"), cents).alias("cell_id"))
+        .localCheckpoint(eager=False))  # self-join reuses the assignment
+    # triangle-blocked within-cell self-join (the d03 pattern): a join
+    # keyed on cell_id alone would hash onto at most n_cells reducers and
+    # pile each cell's quadratic pair work onto one task — with blocks the
+    # key is (cell, block-pair) and a hot cell spreads over ~blocks²/2
+    # tasks; each unordered pair is emitted exactly once and contributes
+    # to its HIGHER id's max (pruning is only ever by a lower id)
+    blocks = 8
+    banded = cells.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)))
+    left = banded.withColumn(
+        "__tgt", F.explode(F.sequence(F.col("__blk"),
+                                      F.lit(blocks - 1)))).alias("a")
+    right = banded.withColumnRenamed("__blk", "__tgt").alias("b")
+    same_block = F.col("a.__blk") == F.col("b.__tgt")
+    cos = cosine(F.col("a.e"), F.col("b.e"))
+    best = (left.join(
+        right,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.__tgt") == F.col("b.__tgt"))
+        & (~same_block | (F.col("a.vec_id") < F.col("b.vec_id")))
+        & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(F.greatest(F.col("a.vec_id"), F.col("b.vec_id"))
+                .alias("vec_id"), cos.alias("__cos"))
+        .groupBy("vec_id").agg(F.max("__cos").alias("raw_max")))
+    return (cells.select("vec_id", "cell_id")
+            .join(best, "vec_id", "left")
+            .select("vec_id", "cell_id",
+                    F.round(F.col("raw_max"), 6).alias("max_sim"),
+                    (F.col("raw_max").isNull() | (F.col("raw_max") < 0.35))
+                    .alias("keep")))

@@ -168,3 +168,23 @@ def test_assign_cell_plan_is_scan_side_codegen(spark):
     plan = buf.getvalue()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan  # assignment never shuffles the corpus
+
+
+def test_semdedup_prunes_higher_id_of_identical_vectors(spark):
+    from projectone_spark.queries import REGISTRY, queries as _q
+
+    _q()
+    out = {r["vec_id"]: r for r in
+           REGISTRY["e11_semdedup_prune"].fn(spark, SF).collect()}
+    # the lowest id in every (cell, dup-group) must be kept: a vector is
+    # only pruned by a LOWER id, so the minimum id per cell is always kept
+    by_cell = {}
+    for r in out.values():
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    for cell, rows in by_cell.items():
+        lowest = min(rows, key=lambda r: r["vec_id"])
+        assert lowest["keep"], f"lowest id in cell {cell} was pruned"
+    # pruned rows carry a max_sim above the threshold
+    for r in out.values():
+        if not r["keep"]:
+            assert r["max_sim"] >= 0.35
