@@ -184,7 +184,9 @@ def e10_incremental_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
 
 _E11_SQL = f"""
 WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
-c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id
+      LIMIT (SELECT CAST(greatest(8, ceil(count(*) / 250.0)) AS BIGINT)
+             FROM embeddings)),
 scored AS (
   SELECT v.vec_id, v.e, c.cid, {_dot('v.e', 'c.ce')} / {_norm('c.ce')} AS s
   FROM v CROSS JOIN c),
@@ -212,26 +214,34 @@ FROM cells LEFT JOIN best ON cells.vec_id = best.vec_id
               "centroids (scan-side codegen, the e10 index shape) and a "
               "vector is pruned when a LOWER-id vector in the SAME cell "
               "is more similar than the threshold; the quadratic pair "
-              "work is per-cell, never corpus-wide (k grows with the "
-              "corpus so cells stay bounded), and the full keep/prune "
-              "labeling is oracle-checked per vector",
+              "work is per-cell, never corpus-wide — k grows with the "
+              "corpus (ceil(n/250), floor 8) so cells stay ~250 vectors "
+              "and total pair work is LINEAR in n — and the full "
+              "keep/prune labeling is oracle-checked per vector",
           tags=("embeddings", "dedup", "ann", "llm"))
 def e11_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     from projectone_spark.functions.embeddings import (
         assign_cell,
-        cosine,
+        dot,
         seed_centroids,
     )
 
+    from projectone_spark.functions.embeddings import l2_norm
+
     emb = load(spark, sf_dir, "embeddings")
-    cents = seed_centroids(emb, k=8)
+    # corpus-scaled cell count (one bounded driver scalar, the e05/e09
+    # cost class): cells stay ~250 vectors, so within-cell pair work is
+    # ~n*250/2 — linear in the corpus, the SemDeDup scaling contract
+    n = emb.count()
+    cents = seed_centroids(emb, k=max(8, -(-n // 250)))
     cells = (emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         assign_cell(F.col("embedding"), cents).alias("cell_id"))
-        .localCheckpoint(eager=False))  # self-join reuses the assignment
+        .withColumn("__n", l2_norm(F.col("e")))  # norms once per SIDE,
+        .localCheckpoint(eager=False))  # not per pair; join reuses both
     # triangle-blocked within-cell self-join (the d03 pattern): a join
     # keyed on cell_id alone would hash onto at most n_cells reducers and
     # pile each cell's quadratic pair work onto one task — with blocks the
@@ -246,7 +256,8 @@ def e11_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.lit(blocks - 1)))).alias("a")
     right = banded.withColumnRenamed("__blk", "__tgt").alias("b")
     same_block = F.col("a.__blk") == F.col("b.__tgt")
-    cos = cosine(F.col("a.e"), F.col("b.e"))
+    cos = (dot(F.col("a.e"), F.col("b.e"))
+           / (F.col("a.__n") * F.col("b.__n")))
     best = (left.join(
         right,
         (F.col("a.cell_id") == F.col("b.cell_id"))
