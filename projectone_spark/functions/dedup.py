@@ -15,6 +15,8 @@ array_*) so signature generation stays inside whole-stage codegen.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -79,6 +81,42 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return base.select(F.col(id_col), *sig)
 
 
+def triangle_self_join(df: DataFrame, key_cols: Sequence[str],
+                       id_col: str, blocks: int = 8) -> DataFrame:
+    """Skew-spreading within-key self-join scaffold: emits each unordered
+    pair of distinct rows sharing ``key_cols`` EXACTLY once, with the
+    shuffle key extended by the ORDERED block pair — the join equi-keys
+    are ``key_cols + (a.__blk = b.__i, a.__j = b.__blk)``, so one hot key
+    spreads over blocks·(blocks+1)/2 reducer keys. (Keying only the
+    target block — this helper's pre-r6 shape — spreads over just
+    ``blocks`` keys with triangular skew: the reducer for the top block
+    carries ~2/blocks of the whole key's quadratic work.)
+
+    Both sides replicate ~(blocks+1)/2×: the left explodes to every
+    block ≥ its own, the right to every block ≤ its own — the doubled
+    shuffle volume of narrow rows buys the even spread. Same-block pairs
+    carry ``a.id < b.id``; cross-block pairs put the lower BLOCK on side
+    ``a`` (id order across sides is arbitrary — order ids downstream
+    with least/greatest).
+    """
+    banded = df.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)))
+    left = (banded.withColumn(
+        "__j", F.explode(F.sequence(F.col("__blk"), F.lit(blocks - 1))))
+        .alias("a"))
+    right = (banded.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.col("__blk"))))
+        .alias("b"))
+    cond = (F.col("a.__blk") == F.col("b.__i")) \
+        & (F.col("a.__j") == F.col("b.__blk")) \
+        & ((F.col("a.__blk") != F.col("b.__blk"))
+           | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))) \
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    for c in key_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    return left.join(right, cond)
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 4,
                         k: int = 5, band_chars: int = 2,
@@ -91,32 +129,19 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     ``stage_results`` knob, sources.py:161-169) so the self-join's two
     branches don't recompute the shingle/hash pipeline.
 
-    ``blocks`` > 1 decomposes the within-bucket self-join into a triangle
-    of block pairs: each doc gets a deterministic block in [0, blocks);
-    the left side is replicated to every block >= its own and the join key
-    becomes (band, block), so a single hot bucket spreads over
-    ~blocks²/2 tasks instead of one. The pair set is identical for any
-    ``blocks`` — at corpus scale, where one popular shingle can put a large
-    fraction of documents into one bucket, this is what keeps the
+    ``blocks`` > 1 routes the within-bucket self-join through
+    :func:`triangle_self_join`: the join key becomes (band, ordered block
+    pair), so a single hot bucket spreads over blocks·(blocks+1)/2
+    reducer keys with even per-key load. The pair set is identical for
+    any ``blocks`` — at corpus scale, where one popular shingle can put a
+    large fraction of documents into one bucket, this is what keeps the
     quadratic bucket work off a single reducer."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, parallelism)
     sigs = sigs.localCheckpoint(eager=False)
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
     banded = sigs.withColumn("band", F.substring(F.col("mh0"), 1, band_chars))
     if blocks > 1:
-        banded = banded.withColumn(
-            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)))
-        left = banded.withColumn(
-            "__tgt", F.explode(F.sequence(F.col("__blk"),
-                                          F.lit(blocks - 1)))).alias("a")
-        right = banded.withColumnRenamed("__blk", "__tgt").alias("b")
-        same_block = F.col("a.__blk") == F.col("b.__tgt")
-        pairs = left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.__tgt") == F.col("b.__tgt"))
-            & (~same_block | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        pairs = triangle_self_join(banded, ["band"], id_col, blocks)
         id_a = F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
         id_b = F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
     else:

@@ -256,6 +256,42 @@ def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Co
     return F.sort_array(F.array(*entries))[0]["cid"]
 
 
+def assign_cell_join(df: DataFrame, centroids: list[tuple[int, list[float]]],
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Broadcast-join argmax assignment — the large-k twin of
+    :func:`assign_cell`. Past a few dozen centroids the literal codegen
+    expression outgrows what Janino compiles comfortably (k structs ×
+    dim literal doubles), so the centroids become a broadcast k-row
+    frame and the argmax a ``max(struct(score, -cid))`` aggregation
+    (highest score, ties to the lowest cell id — identical ordering to
+    the literal path and the SQL oracle's ``ORDER BY s DESC, cid``).
+
+    Scores are the same ``dot(v, c) / |c|`` doubles as the literal path:
+    the centroid rows carry exactly the collected component values and a
+    driver-folded norm, so the two paths are bit-identical and a caller
+    can switch on k freely.
+
+    Returns ``(id_col, cell_id)``; join the assignment back to the
+    vector frame when the downstream needs the vectors too.
+    """
+    rows = []
+    for cid, comps in centroids:
+        sq = 0.0
+        for x in comps:
+            sq += x * x
+        rows.append((cid, comps, math.sqrt(sq)))
+    cdf = df.sparkSession.createDataFrame(
+        rows, "cid long, ce array<double>, cnorm double")
+    s = dot(F.col(vec_col), F.col("ce")) / F.col("cnorm")
+    return (df.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cdf))
+            .groupBy(id_col)
+            .agg(F.max(F.struct(s.alias("s"), (-F.col("cid")).alias("nc")))
+                 .alias("m"))
+            .select(id_col, (-F.col("m.nc")).alias("cell_id")))
+
+
 # -- product quantization ----------------------------------------------------
 
 def pq_train(df: DataFrame, m: int = 8, n_codes: int = 16,

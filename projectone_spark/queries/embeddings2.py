@@ -185,7 +185,7 @@ def e10_incremental_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
 _E11_SQL = f"""
 WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
 c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id
-      LIMIT (SELECT CAST(greatest(8, ceil(count(*) / 250.0)) AS BIGINT)
+      LIMIT (SELECT CAST(greatest(8, ceil(sqrt(count(*) / 2.0))) AS BIGINT)
              FROM embeddings)),
 scored AS (
   SELECT v.vec_id, v.e, c.cid, {_dot('v.e', 'c.ce')} / {_norm('c.ce')} AS s
@@ -210,63 +210,56 @@ FROM cells LEFT JOIN best ON cells.vec_id = best.vec_id
 
 @register("e11_semdedup_prune", _E11_SQL,
           doc="SemDeDup (Abbas et al. 2023): cluster-then-prune semantic "
-              "dedup — vectors are assigned to deterministic seed "
-              "centroids (scan-side codegen, the e10 index shape) and a "
-              "vector is pruned when a LOWER-id vector in the SAME cell "
-              "is more similar than the threshold; the quadratic pair "
-              "work is per-cell, never corpus-wide — k grows with the "
-              "corpus (ceil(n/250), floor 8) so cells stay ~250 vectors "
-              "and total pair work is LINEAR in n — and the full "
-              "keep/prune labeling is oracle-checked per vector",
+              "dedup — a vector is pruned when a LOWER-id vector in the "
+              "SAME cell is more similar than the threshold, with the "
+              "full keep/prune labeling oracle-checked per vector. "
+              "k = ceil(sqrt(n/2)) balances the two cost terms "
+              "(assignment O(n·k) vs within-cell pairs O(n²/2k)) at "
+              "O(n^1.5) total; assignment is the broadcast-join argmax "
+              "(bit-identical to e10's literal scan-side path — "
+              "unit-proven — and free of its per-k codegen compile "
+              "cost), and the within-cell self-join is triangle-blocked "
+              "on the ORDERED block pair so a hot cell spreads over "
+              "blocks·(blocks+1)/2 reducer keys",
           tags=("embeddings", "dedup", "ann", "llm"))
 def e11_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     import pyspark.sql.functions as F
 
+    from projectone_spark.functions.dedup import triangle_self_join
     from projectone_spark.functions.embeddings import (
-        assign_cell,
+        assign_cell_join,
         dot,
+        l2_norm,
         seed_centroids,
     )
 
-    from projectone_spark.functions.embeddings import l2_norm
-
     emb = load(spark, sf_dir, "embeddings")
-    # corpus-scaled cell count (one bounded driver scalar, the e05/e09
-    # cost class): cells stay ~250 vectors, so within-cell pair work is
-    # ~n*250/2 — linear in the corpus, the SemDeDup scaling contract
+    # balanced cell count (one bounded driver scalar, the e05/e09 cost
+    # class): assignment costs n·k dots, within-cell pairs cost ~n²/2k —
+    # k = sqrt(n/2) makes both O(n^1.5), the SemDeDup scaling contract
     n = emb.count()
-    cents = seed_centroids(emb, k=max(8, -(-n // 250)))
-    cells = (emb.select(
+    k = max(8, math.ceil(math.sqrt(n / 2.0)))
+    cents = seed_centroids(emb, k=k)
+    vecs = emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        assign_cell(F.col("embedding"), cents).alias("cell_id"))
-        .withColumn("__n", l2_norm(F.col("e")))  # norms once per SIDE,
-        .localCheckpoint(eager=False))  # not per pair; join reuses both
-    # triangle-blocked within-cell self-join (the d03 pattern): a join
-    # keyed on cell_id alone would hash onto at most n_cells reducers and
-    # pile each cell's quadratic pair work onto one task — with blocks the
-    # key is (cell, block-pair) and a hot cell spreads over ~blocks²/2
-    # tasks; each unordered pair is emitted exactly once and contributes
-    # to its HIGHER id's max (pruning is only ever by a lower id)
-    blocks = 8
-    banded = cells.withColumn(
-        "__blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)))
-    left = banded.withColumn(
-        "__tgt", F.explode(F.sequence(F.col("__blk"),
-                                      F.lit(blocks - 1)))).alias("a")
-    right = banded.withColumnRenamed("__blk", "__tgt").alias("b")
-    same_block = F.col("a.__blk") == F.col("b.__tgt")
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    # the literal scan-side argmax (e10's shape) pays a per-k Janino
+    # compile that already exceeds the whole query at k=32; the
+    # broadcast-join twin computes identical doubles with no compile
+    assigned = assign_cell_join(vecs, cents, vec_col="e")
+    cells = (vecs.join(assigned, "vec_id")
+             .withColumn("__n", l2_norm(F.col("e")))  # norms once per
+             .localCheckpoint(eager=False))  # SIDE, not per pair
+    # each unordered within-cell pair is emitted exactly once and folds
+    # into its HIGHER id's max (pruning is only ever by a lower id)
     cos = (dot(F.col("a.e"), F.col("b.e"))
            / (F.col("a.__n") * F.col("b.__n")))
-    best = (left.join(
-        right,
-        (F.col("a.cell_id") == F.col("b.cell_id"))
-        & (F.col("a.__tgt") == F.col("b.__tgt"))
-        & (~same_block | (F.col("a.vec_id") < F.col("b.vec_id")))
-        & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .select(F.greatest(F.col("a.vec_id"), F.col("b.vec_id"))
-                .alias("vec_id"), cos.alias("__cos"))
-        .groupBy("vec_id").agg(F.max("__cos").alias("raw_max")))
+    best = (triangle_self_join(cells, ["cell_id"], "vec_id", blocks=8)
+            .select(F.greatest(F.col("a.vec_id"), F.col("b.vec_id"))
+                    .alias("vec_id"), cos.alias("__cos"))
+            .groupBy("vec_id").agg(F.max("__cos").alias("raw_max")))
     return (cells.select("vec_id", "cell_id")
             .join(best, "vec_id", "left")
             .select("vec_id", "cell_id",

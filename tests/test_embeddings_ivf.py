@@ -170,21 +170,66 @@ def test_assign_cell_plan_is_scan_side_codegen(spark):
     assert "Exchange" not in plan  # assignment never shuffles the corpus
 
 
-def test_semdedup_prunes_higher_id_of_identical_vectors(spark):
+def test_assign_cell_literal_and_join_paths_agree(spark):
+    """e10's literal scan-side argmax and e11's broadcast-join argmax
+    must produce bit-identical assignments (same dot/|c| doubles, same
+    lowest-cid tie-break) — the claim that lets a caller switch paths
+    on k freely."""
+    import pyspark.sql.functions as F2
+
+    from projectone_spark.functions.embeddings import (
+        assign_cell,
+        assign_cell_join,
+        seed_centroids,
+    )
+
+    emb = _emb(spark)
+    cents = seed_centroids(emb, k=16)
+    vecs = emb.select(
+        "vec_id",
+        F2.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    lit = {r[0]: r[1] for r in vecs.select(
+        "vec_id", assign_cell(F2.col("e"), cents)).collect()}
+    jn = {r[0]: r[1] for r in
+          assign_cell_join(vecs, cents, vec_col="e").collect()}
+    assert lit == jn
+
+
+def test_semdedup_blocked_join_equals_naive_self_join(spark):
+    """The triangle-blocked pair stage must compute exactly the same
+    per-vector max similarity as a naive (skew-prone) self-join — the
+    regression the blocking could silently introduce is a DROPPED or
+    DOUBLED pair, which this direct comparison cannot miss."""
+    import pyspark.sql.functions as F2
+
     from projectone_spark.queries import REGISTRY, queries as _q
+    from projectone_spark.functions.embeddings import (
+        assign_cell_join,
+        dot,
+        l2_norm,
+        seed_centroids,
+    )
 
     _q()
-    out = {r["vec_id"]: r for r in
+    got = {r["vec_id"]: (r["max_sim"], r["keep"]) for r in
            REGISTRY["e11_semdedup_prune"].fn(spark, SF).collect()}
-    # the lowest id in every (cell, dup-group) must be kept: a vector is
-    # only pruned by a LOWER id, so the minimum id per cell is always kept
-    by_cell = {}
-    for r in out.values():
-        by_cell.setdefault(r["cell_id"], []).append(r)
-    for cell, rows in by_cell.items():
-        lowest = min(rows, key=lambda r: r["vec_id"])
-        assert lowest["keep"], f"lowest id in cell {cell} was pruned"
-    # pruned rows carry a max_sim above the threshold
-    for r in out.values():
-        if not r["keep"]:
-            assert r["max_sim"] >= 0.35
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    import math
+    n = emb.count()
+    cents = seed_centroids(emb, k=max(8, math.ceil(math.sqrt(n / 2.0))))
+    vecs = emb.select(
+        "vec_id",
+        F2.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    cells = (vecs.join(assign_cell_join(vecs, cents, vec_col="e"), "vec_id")
+             .withColumn("__n", l2_norm(F2.col("e"))))
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = dot(F2.col("a.e"), F2.col("b.e")) / (F2.col("a.__n") * F2.col("b.__n"))
+    naive = {r[0]: r[1] for r in
+             (a.join(b, (F2.col("a.cell_id") == F2.col("b.cell_id"))
+                     & (F2.col("b.vec_id") < F2.col("a.vec_id")))
+              .groupBy(F2.col("a.vec_id"))
+              .agg(F2.round(F2.max(cos), 6).alias("m")).collect())}
+    for vid, (max_sim, keep) in got.items():
+        assert max_sim == naive.get(vid), vid
+        assert keep == (max_sim is None or max_sim < 0.35)
