@@ -403,7 +403,7 @@ def _compile_encoder(schema: Any) -> Callable[[Any, bytearray], None]:
             _zigzag_encode(0, out)
 
         return m
-    raise AvroDecodeError(f"unsupported Avro type for encoding: {schema!r}")
+    raise AvroEncodeError(f"unsupported Avro type for encoding: {schema!r}")
 
 
 def encode_avro(value: Any, schema: Any, *,

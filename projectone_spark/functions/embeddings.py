@@ -213,6 +213,17 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, query_id_col, k)
 
 
+def _folded_norm(comps: list[float]) -> float:
+    """Driver-side |c| with the EXACT sequential fold order the DuckDB
+    oracle's ``_norm`` fragment and Spark's ``l2_norm`` use — both
+    assignment paths (literal codegen and broadcast-join) must divide by
+    bit-identical norms, so this fold exists exactly once."""
+    sq = 0.0
+    for x in comps:
+        sq += x * x
+    return math.sqrt(sq)
+
+
 def seed_centroids(df: DataFrame, k: int = 8, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """The ``k`` lowest-id vectors as coarse-quantizer centroids — the
@@ -247,11 +258,9 @@ def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Co
                          "(seed_centroids over an empty corpus?)")
     entries = []
     for cid, comps in centroids:
-        sq = 0.0
-        for x in comps:
-            sq += x * x
         entries.append(F.struct(
-            (-(_centroid_dot(vec_col, comps) / F.lit(math.sqrt(sq)))).alias("neg"),
+            (-(_centroid_dot(vec_col, comps) / F.lit(_folded_norm(comps))))
+            .alias("neg"),
             F.lit(cid).alias("cid")))
     return F.sort_array(F.array(*entries))[0]["cid"]
 
@@ -275,12 +284,10 @@ def assign_cell_join(df: DataFrame, centroids: list[tuple[int, list[float]]],
     Returns ``(id_col, cell_id)``; join the assignment back to the
     vector frame when the downstream needs the vectors too.
     """
-    rows = []
-    for cid, comps in centroids:
-        sq = 0.0
-        for x in comps:
-            sq += x * x
-        rows.append((cid, comps, math.sqrt(sq)))
+    if not centroids:
+        raise ValueError("assign_cell_join needs at least one centroid "
+                         "(seed_centroids over an empty corpus?)")
+    rows = [(cid, comps, _folded_norm(comps)) for cid, comps in centroids]
     cdf = df.sparkSession.createDataFrame(
         rows, "cid long, ce array<double>, cnorm double")
     s = dot(F.col(vec_col), F.col("ce")) / F.col("cnorm")

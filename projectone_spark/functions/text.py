@@ -313,7 +313,8 @@ def distinctive_terms(df: DataFrame, text_col: str = "text",
 
 
 def unigram_surprise(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     scale: int = 1_000_000) -> DataFrame:
     """Per-document unigram-LM surprisal score — the engine-native
     analogue of CCNet-style perplexity filtering (Wenzek et al. 2020
     rank Common Crawl documents by a language-model perplexity; a unigram
@@ -330,8 +331,15 @@ def unigram_surprise(df: DataFrame, text_col: str = "text",
 
     The sums are integer (order-independent); the closing division is a
     single correctly-rounded IEEE op on two exactly-represented values.
-    ``1e6 * N`` needs int64 headroom: past ~9e12 corpus tokens drop the
-    scale to milli-units.
+    Int64 headroom bounds BOTH the per-token unit and the per-document
+    sum: a singleton term scores ``scale*N`` micro-units, so the binding
+    constraint is ``scale * N * max_tokens_per_doc < 2^63`` (at the
+    default scale: ~9e12 divided by the longest document's token count —
+    e.g. N ≤ 9e8 tokens for 10k-token documents). Past that, drop
+    ``scale`` (the score keeps its ordering; only its granularity
+    coarsens) — Spark's non-ANSI bigint sum would wrap silently while
+    DuckDB promotes to HUGEINT, so an overflow is a cross-engine
+    divergence, not just a wrong number.
 
     Plan shape at 100 TB: one scan-side explode, a map-side-combining
     ``(doc, term)`` aggregation, a vocabulary aggregation (bounded by
@@ -362,13 +370,14 @@ def unigram_surprise(df: DataFrame, text_col: str = "text",
     return (tf.join(vocab, "term")
             .crossJoin(F.broadcast(total))
             .withColumn("__micro",
-                        F.expr("(CAST(1000000 AS BIGINT) * __n) div __c"))
+                        F.expr(f"(CAST({int(scale)} AS BIGINT) * __n)"
+                               " div __c"))
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  F.sum(F.col("tf") * F.col("__micro")).alias("surprise_micro"))
             .select(F.col(id_col), F.col("n_tokens"), F.col("surprise_micro"),
                     F.round(F.col("surprise_micro")
-                            / (F.lit(1000000.0) * F.col("n_tokens")), 6)
+                            / (F.lit(float(scale)) * F.col("n_tokens")), 6)
                     .alias("surprise")))
 
 

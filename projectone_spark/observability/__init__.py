@@ -141,21 +141,30 @@ def stage_metrics(spark: SparkSession, *,
     The status store is fed by Spark's ASYNCHRONOUS listener bus, so a
     snapshot taken right after an action returns can still miss the last
     task/stage-completed events; ``settle_secs`` bounds a short poll that
-    waits until no selected stage is still ACTIVE/PENDING (two stable
-    reads) before returning.
+    waits until the selected stage set is NON-EMPTY, fully
+    COMPLETE/FAILED, and stable across two reads separated by a sleep.
+    An empty snapshot is treated as NOT settled (the job-start event may
+    itself still be queued), so the vacuous ``all([])`` can never end
+    the poll early.
     """
     import time as _time
 
     deadline = _time.monotonic() + max(0.0, settle_secs)
     out = _stage_snapshot(spark, group)
-    while _time.monotonic() < deadline:
-        settled = all(r["status"] in ("COMPLETE", "FAILED") for r in out)
-        nxt = _stage_snapshot(spark, group)
-        if settled and nxt == out:
-            break
-        out = nxt
-        _time.sleep(0.05)
-    return out
+    while True:
+        settled = bool(out) and all(
+            r["status"] in ("COMPLETE", "FAILED") for r in out)
+        if settled:
+            _time.sleep(0.05)  # the confirming read must not be
+            nxt = _stage_snapshot(spark, group)  # back-to-back
+            if nxt == out:
+                return out
+            out = nxt
+        if _time.monotonic() >= deadline:
+            return out
+        if not settled:
+            _time.sleep(0.05)
+            out = _stage_snapshot(spark, group)
 
 
 def _stage_snapshot(spark: SparkSession,

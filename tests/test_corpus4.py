@@ -156,3 +156,15 @@ def test_assign_cell_rejects_empty_centroids():
 
     with pytest.raises(ValueError, match="at least one centroid"):
         assign_cell(F.col("embedding"), [])
+
+
+def test_assign_cell_join_rejects_empty_centroids(spark):
+    # the broadcast-join twin must fail as loudly as the literal path,
+    # not silently drop every row through a 0-row crossJoin
+    import pytest
+
+    from projectone_spark.functions.embeddings import assign_cell_join
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, e array<double>")
+    with pytest.raises(ValueError, match="at least one centroid"):
+        assign_cell_join(df, [], vec_col="e")
