@@ -191,7 +191,34 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
 
     Returns per ``group_col``: n_docs, n_docs_exact (≥1 exact benchmark
     shingle), n_docs_bloom (≥1 flagged shingle), n_shingles_exact,
-    n_shingles_bloom — all exact integers.
+    n_shingles_bloom — all exact integers. :func:`bloom_doc_flags` is the
+    per-document form (the screen a curation pipeline filters on).
+    """
+    per_doc = bloom_doc_flags(corpus, benchmark, text_col, id_col,
+                              group_col, k, m_bits, n_hashes, parallelism)
+    return (per_doc.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("__n_ex") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_docs_exact"),
+                 F.sum(F.when(F.col("__n_bl") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_docs_bloom"),
+                 F.sum("__n_ex").cast("bigint").alias("n_shingles_exact"),
+                 F.sum("__n_bl").cast("bigint").alias("n_shingles_bloom"),
+                 F.sum("__n_fneg").cast("bigint")
+                 .alias("n_false_negatives")))
+
+
+def bloom_doc_flags(corpus: DataFrame, benchmark: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    group_col: str = "source", k: int = 5,
+                    m_bits: int = 65536, n_hashes: int = 2,
+                    parallelism: int | None = None) -> DataFrame:
+    """Per-document bloom/exact contamination counters — the frame
+    :func:`bloom_contamination` aggregates, exposed for pipelines that
+    FILTER on the screen (e.g. drop documents whose flagged-shingle
+    share clears a threshold — ``2*__n_bl > __n_sh`` for majority
+    containment, an exact integer compare).
+    Returns (id_col, group_col, __n_sh, __n_ex, __n_bl, __n_fneg).
     """
     # a position in a partial trailing word would F.get a null word and
     # null-propagate into a silent NOT-flagged verdict (a false negative,
@@ -249,22 +276,14 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
               .join(F.broadcast(bench_sh.withColumn("__exact", F.lit(True))),
                     "__sh", "left")
               .withColumn("__exact", F.coalesce("__exact", F.lit(False))))
-    per_doc = (marked.groupBy(id_col, group_col)
-               .agg(F.sum(F.when(F.col("__exact"), 1).otherwise(0))
-                    .alias("__n_ex"),
-                    F.sum(F.when(F.col("__bloom"), 1).otherwise(0))
-                    .alias("__n_bl"),
-                    F.sum(F.when(F.col("__exact") & ~F.col("__bloom"), 1)
-                          .otherwise(0)).alias("__n_fneg")))
-    return (per_doc.groupBy(group_col)
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.when(F.col("__n_ex") > 0, 1).otherwise(0))
-                 .cast("bigint").alias("n_docs_exact"),
-                 F.sum(F.when(F.col("__n_bl") > 0, 1).otherwise(0))
-                 .cast("bigint").alias("n_docs_bloom"),
-                 F.sum("__n_ex").cast("bigint").alias("n_shingles_exact"),
-                 F.sum("__n_bl").cast("bigint").alias("n_shingles_bloom"),
-                 F.sum("__n_fneg").cast("bigint").alias("n_false_negatives")))
+    return (marked.groupBy(id_col, group_col)
+            .agg(F.count(F.lit(1)).alias("__n_sh"),
+                 F.sum(F.when(F.col("__exact"), 1).otherwise(0))
+                 .alias("__n_ex"),
+                 F.sum(F.when(F.col("__bloom"), 1).otherwise(0))
+                 .alias("__n_bl"),
+                 F.sum(F.when(F.col("__exact") & ~F.col("__bloom"), 1)
+                       .otherwise(0)).alias("__n_fneg")))
 
 
 def temperature_quota_sample(df: DataFrame, group_col: str,

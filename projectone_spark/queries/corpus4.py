@@ -120,3 +120,129 @@ def p09_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     check(fneg == 0, f"bloom produced {fneg} false negatives "
                      "(impossible for a correct bloom filter)")
     return out
+
+
+_F11_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+  WHERE doc_id % 97 <> 0),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+vocab AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf.tf * ((1000000 * tot.n) // vocab.c)) AS BIGINT)
+           AS surprise_micro
+  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id),
+thr AS (SELECT quantile_disc(surprise_micro, 0.5) AS t FROM scored),
+sh AS (
+  SELECT doc_id, source, unnest({_SHINGLES}) AS s FROM documents
+  WHERE doc_id % 97 <> 0),
+bsh AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 97 = 0)),
+bits AS (
+  SELECT DISTINCT ({_H1} + i * {_H2}) % 65536 AS p
+  FROM bsh CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+probe AS (
+  SELECT doc_id, source,
+         s IN (SELECT s FROM bsh) AS ex,
+         ({_H1} % 65536) IN (SELECT p FROM bits)
+           AND (({_H1} + {_H2}) % 65536) IN (SELECT p FROM bits) AS bl
+  FROM sh),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS nsh,
+         sum(CASE WHEN ex THEN 1 ELSE 0 END) AS nex,
+         sum(CASE WHEN bl THEN 1 ELSE 0 END) AS nbl
+  FROM probe GROUP BY doc_id, source),
+j AS (
+  SELECT p.source, sc.n_tokens,
+         sc.surprise_micro > thr.t AS q_drop,
+         (sc.surprise_micro <= thr.t AND 4 * p.nbl > 3 * p.nsh) AS c_drop,
+         (sc.surprise_micro <= thr.t AND 4 * p.nbl <= 3 * p.nsh) AS keep,
+         (sc.surprise_micro <= thr.t AND 4 * p.nbl <= 3 * p.nsh
+          AND 4 * p.nex > 3 * p.nsh) AS leaked
+  FROM per_doc p JOIN scored sc USING (doc_id) CROSS JOIN thr)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN q_drop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_dropped,
+       CAST(sum(CASE WHEN c_drop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contam_dropped,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_survived,
+       CAST(sum(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+FROM j
+GROUP BY source
+"""
+
+
+@register("f11_curation_pipeline", _F11_SQL,
+          doc="end-to-end corpus curation composing the round's "
+              "operators: unigram-surprisal quality gate at the exact "
+              "corpus median (percentile_disc — the CCNet keep-the-"
+              "fluent-half shape), then the bloom decontamination "
+              "screen at 3/4 containment (4*flagged > 3*shingles — "
+              "exact integer compare), with per-source drop/survivor/"
+              "token accounting oracle-checked and the zero-leak "
+              "property (no survivor is majority-contained in the "
+              "benchmark by the EXACT join — guaranteed because the "
+              "bloom's flagged set is a superset of the exact set) "
+              "asserted in-query AND emitted as an oracle-checked "
+              "column",
+          tags=("sampling", "text", "dedup", "llm", "pipeline"))
+def f11_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.sampling import bloom_doc_flags
+    from projectone_spark.functions.text import unigram_surprise
+    from projectone_spark.queries import check
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    sur = unigram_surprise(corpus)
+    thr = sur.agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                         "(ORDER BY surprise_micro)").alias("__thr"))
+    flags = bloom_doc_flags(corpus, bench)
+    j = (sur.join(flags, "doc_id")
+         .crossJoin(F.broadcast(thr))
+         .withColumn("q_drop", F.col("surprise_micro") > F.col("__thr"))
+         .withColumn("c_drop",
+                     ~F.col("q_drop")
+                     & (4 * F.col("__n_bl") > 3 * F.col("__n_sh")))
+         .withColumn("keep",
+                     ~F.col("q_drop")
+                     & (4 * F.col("__n_bl") <= 3 * F.col("__n_sh")))
+         .withColumn("leaked",
+                     ~F.col("q_drop")
+                     & (4 * F.col("__n_bl") <= 3 * F.col("__n_sh"))
+                     & (4 * F.col("__n_ex") > 3 * F.col("__n_sh"))))
+    out = (j.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("q_drop"), 1).otherwise(0))
+                .cast("bigint").alias("n_quality_dropped"),
+                F.sum(F.when(F.col("c_drop"), 1).otherwise(0))
+                .cast("bigint").alias("n_contam_dropped"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                .cast("bigint").alias("n_survivors"),
+                F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+                .cast("bigint").alias("tokens_survived"),
+                F.sum(F.when(F.col("leaked"), 1).otherwise(0))
+                .cast("bigint").alias("n_leaked"))
+           .localCheckpoint(eager=True))  # the leak gate and the returned
+    # frame must not each re-run the corpus-wide pipeline
+    n_leak = (out.agg(F.sum("n_leaked").alias("n")).first()["n"]) or 0
+    check(n_leak == 0,
+          f"{n_leak} 3/4-contained documents survived the bloom "
+          "screen (impossible: the bloom's flagged set is a superset of "
+          "the exact set)")
+    return out
