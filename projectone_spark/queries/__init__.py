@@ -122,9 +122,9 @@ def oracle_sql() -> dict[str, str]:
 #:    exact-oracle adjudications (sketch bounds asserted in-query, exact
 #:    columns oracle-checked; dhash grouping vs closed-form class oracle),
 #:    plus third-look fillers from the r4 cohort (2 green rounds each;
-#:    rotated out this round: s11, s13, s15, then t08/o01/j01/d09 — each
-#:    with 2+ green rounds — as the in-round additions
-#:    t10/e10/p09/st13/e11/f11 landed; st11 gave way last)
+#:    rotated out this round: s11, s13, s15, then t08/o01/j01/d09/p06/
+#:    st11 — each with 2+ green rounds — as the in-round additions
+#:    t10/e10/p09/st13/e11/f11 landed)
 #:    using the remaining slots — fillers are first to give way to new
 #:    queries.
 _DRIVER_PREFIX: tuple[str, ...] = (

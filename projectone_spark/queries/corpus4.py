@@ -19,22 +19,31 @@ from pyspark.sql import DataFrame, SparkSession
 from projectone_spark.queries import load, register
 from projectone_spark.queries._sql_fragments import _SHINGLES, _TOKS
 
-_T10_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+
+def _surprisal_ctes(where: str = "") -> str:
+    """The tok/tf/vocab/scored CTE chain mirroring
+    ``functions/text.unigram_surprise`` — ONE definition shared by the
+    t10 and f11 oracles so the recipe cannot drift between them
+    (the _sql_fragments.py discipline, applied at CTE granularity)."""
+    return f"""tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents{where}),
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
   FROM tok GROUP BY doc_id, term),
 vocab AS (
-  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+  SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
 scored AS (
   SELECT tf.doc_id,
          CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
          CAST(sum(tf.tf * ((1000000 * tot.n) // vocab.c)) AS BIGINT)
            AS surprise_micro
   FROM tf JOIN vocab USING (term) CROSS JOIN tot
-  GROUP BY tf.doc_id)
+  GROUP BY tf.doc_id)"""
+
+
+_T10_SQL = f"""
+WITH {_surprisal_ctes()}
 SELECT doc_id, n_tokens, surprise_micro,
        round(CAST(surprise_micro AS DOUBLE) / (1000000.0 * n_tokens), 6)
          AS surprise
@@ -62,8 +71,12 @@ def t10_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H1 = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
 _H2 = "CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT)"
 
-_P09_SQL = f"""
-WITH sh AS (
+
+def _bloom_ctes() -> str:
+    """The sh/bsh/bits/probe/per_doc CTE chain mirroring
+    ``functions/sampling.bloom_doc_flags`` (benchmark = doc_id % 97 = 0,
+    probe over the rest) — shared by the p09 and f11 oracles."""
+    return f"""sh AS (
   SELECT doc_id, source, unnest({_SHINGLES}) AS s FROM documents),
 bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
 bits AS (
@@ -77,10 +90,15 @@ probe AS (
   FROM sh WHERE doc_id % 97 <> 0),
 per_doc AS (
   SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS nsh,
          sum(CASE WHEN ex THEN 1 ELSE 0 END) AS nex,
          sum(CASE WHEN bl THEN 1 ELSE 0 END) AS nbl,
          sum(CASE WHEN ex AND NOT bl THEN 1 ELSE 0 END) AS nfn
-  FROM probe GROUP BY doc_id, source)
+  FROM probe GROUP BY doc_id, source)"""
+
+
+_P09_SQL = f"""
+WITH {_bloom_ctes()}
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN nex > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -123,44 +141,9 @@ def p09_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _F11_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
-  WHERE doc_id % 97 <> 0),
-tf AS (
-  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-  FROM tok GROUP BY doc_id, term),
-vocab AS (
-  SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
-scored AS (
-  SELECT tf.doc_id,
-         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-         CAST(sum(tf.tf * ((1000000 * tot.n) // vocab.c)) AS BIGINT)
-           AS surprise_micro
-  FROM tf JOIN vocab USING (term) CROSS JOIN tot
-  GROUP BY tf.doc_id),
+WITH {_surprisal_ctes(" WHERE doc_id % 97 <> 0")},
 thr AS (SELECT quantile_disc(surprise_micro, 0.5) AS t FROM scored),
-sh AS (
-  SELECT doc_id, source, unnest({_SHINGLES}) AS s FROM documents
-  WHERE doc_id % 97 <> 0),
-bsh AS (
-  SELECT DISTINCT s FROM (
-    SELECT unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 97 = 0)),
-bits AS (
-  SELECT DISTINCT ({_H1} + i * {_H2}) % 65536 AS p
-  FROM bsh CROSS JOIN (SELECT unnest([0, 1]) AS i)),
-probe AS (
-  SELECT doc_id, source,
-         s IN (SELECT s FROM bsh) AS ex,
-         ({_H1} % 65536) IN (SELECT p FROM bits)
-           AND (({_H1} + {_H2}) % 65536) IN (SELECT p FROM bits) AS bl
-  FROM sh),
-per_doc AS (
-  SELECT doc_id, source,
-         CAST(count(*) AS BIGINT) AS nsh,
-         sum(CASE WHEN ex THEN 1 ELSE 0 END) AS nex,
-         sum(CASE WHEN bl THEN 1 ELSE 0 END) AS nbl
-  FROM probe GROUP BY doc_id, source),
+{_bloom_ctes()},
 j AS (
   SELECT p.source, sc.n_tokens,
          sc.surprise_micro > thr.t AS q_drop,
@@ -210,8 +193,13 @@ def f11_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
 
     sur = unigram_surprise(corpus)
+    # percentile_disc picks an EXISTING surprise_micro but types it
+    # DOUBLE; cast back to long so the gate compares exact BIGINTs like
+    # the oracle (exact whenever surprise_micro < 2^53 — the same scale
+    # knob that bounds the int64 envelope, see unigram_surprise)
     thr = sur.agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
-                         "(ORDER BY surprise_micro)").alias("__thr"))
+                         "(ORDER BY surprise_micro)")
+                  .cast("long").alias("__thr"))
     flags = bloom_doc_flags(corpus, bench)
     j = (sur.join(flags, "doc_id")
          .crossJoin(F.broadcast(thr))
