@@ -123,8 +123,8 @@ def oracle_sql() -> dict[str, str]:
 #:    columns oracle-checked; dhash grouping vs closed-form class oracle),
 #:    plus third-look fillers from the r4 cohort (2 green rounds each;
 #:    rotated out this round: s11, s13, s15, then t08/o01/j01/d09/p06/
-#:    st11 — each with 2+ green rounds — as the in-round additions
-#:    t10/e10/p09/st13/e11/f11 landed)
+#:    st11/st10 — each with 2+ green rounds — as the in-round additions
+#:    t10/e10/p09/st13/e11/f11/p10 landed)
 #:    using the remaining slots — fillers are first to give way to new
 #:    queries.
 _DRIVER_PREFIX: tuple[str, ...] = (
@@ -150,11 +150,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "t10_unigram_surprise", "e10_incremental_ivf_maintenance",
     "p09_bloom_contamination", "st13_stream_neardup_index",
     "e11_semdedup_prune", "f11_curation_pipeline",
+    "p10_curriculum_order",
     # third-look fillers (r4 cohort, 2 greens) — replaced as new queries land:
     "a01_approx_sketches", "a02_incremental_distinct_sketch",
     "m05_image_phash_dedup", "s17_table_contract_columns",
     "s19_compact_small_files", "s21_zero_copy_clone",
-    "st10_stateful_running_totals",
 )
 
 

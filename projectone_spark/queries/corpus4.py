@@ -234,3 +234,50 @@ def f11_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           "screen (impossible: the bloom's flagged set is a superset of "
           "the exact set)")
     return out
+
+
+# t01's stats/quality SELECT, reused as a subquery (one definition).
+from projectone_spark.queries.text import _T01_SQL  # noqa: E402
+
+_P10_SQL = f"""
+WITH s AS ({_T01_SQL}),
+q AS (SELECT quantile_disc(quality, 0.25) AS q1,
+             quantile_disc(quality, 0.50) AS q2,
+             quantile_disc(quality, 0.75) AS q3 FROM s)
+SELECT doc_id, quality,
+       CAST((CASE WHEN quality > q.q1 THEN 1 ELSE 0 END
+           + CASE WHEN quality > q.q2 THEN 1 ELSE 0 END
+           + CASE WHEN quality > q.q3 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+       md5(CAST(doc_id AS VARCHAR)) AS order_key
+FROM s CROSS JOIN q
+"""
+
+
+@register("p10_curriculum_order", _P10_SQL,
+          doc="curriculum training order without a global sort: documents "
+              "bin into quality quartiles via three broadcast "
+              "percentile_disc thresholds (scan-side compares — never an "
+              "ntile window, which would total-order the corpus through "
+              "one reducer) and carry a deterministic md5 order key; the "
+              "writer range-partitions by (bin, order_key) so epoch "
+              "order is reproducible and curriculum-sorted at any scale",
+          tags=("sampling", "text", "llm"))
+def p10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import text_stats
+
+    stats = text_stats(load(spark, sf_dir, "documents"))
+    thr = stats.agg(
+        *[F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY quality)")
+          .alias(n)
+          for p, n in ((0.25, "__q1"), (0.50, "__q2"), (0.75, "__q3"))])
+    return (stats.select("doc_id", "quality")
+            .crossJoin(F.broadcast(thr))
+            .select("doc_id", "quality",
+                    ((F.col("quality") > F.col("__q1")).cast("int")
+                     + (F.col("quality") > F.col("__q2")).cast("int")
+                     + (F.col("quality") > F.col("__q3")).cast("int"))
+                    .cast("bigint").alias("bin"),
+                    F.md5(F.col("doc_id").cast("string"))
+                    .alias("order_key")))

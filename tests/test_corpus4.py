@@ -168,3 +168,22 @@ def test_assign_cell_join_rejects_empty_centroids(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, e array<double>")
     with pytest.raises(ValueError, match="at least one centroid"):
         assign_cell_join(df, [], vec_col="e")
+
+
+def test_curriculum_order_plan_has_no_window(spark):
+    """p10's scale claim: binning is scan-side against broadcast
+    thresholds — an ntile/rank formulation would put a Window (a total
+    order through one reducer) in the plan."""
+    import contextlib
+    import io
+
+    from projectone_spark.queries import REGISTRY, queries as _q
+
+    _q()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        (REGISTRY["p10_curriculum_order"]
+         .fn(spark, "/root/testdata/sf0.001").explain("formatted"))
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Sort" not in plan  # no global or partial sort anywhere

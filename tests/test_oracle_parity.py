@@ -68,6 +68,7 @@ def test_harness_prefix_contract():
         "t10_unigram_surprise", "e10_incremental_ivf_maintenance",
         "p09_bloom_contamination", "st13_stream_neardup_index",
         "e11_semdedup_prune", "f11_curation_pipeline",
+        "p10_curriculum_order",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
