@@ -237,6 +237,101 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5, w: int = 4,
+                        parallelism: int | None = None) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram,
+    slide a window of ``w`` consecutive hashes, and keep each window's
+    MINIMUM. The guarantee that makes it the standard local-copy
+    detector: any shared substring of length ``k + w - 1`` contributes at
+    least one COMMON fingerprint to both documents, while the selected
+    set is only ~``2/(w+1)`` of all grams — a principled sampling that
+    full-shingle joins (d05) don't get.
+
+    Determinism across engines: grams hash through the first 8 md5 hex
+    digits (engine-portable BIGINT, the same recipe as
+    ``sampling.md5_bucket``), and a window's fingerprint is the VALUE
+    minimum — identical in any engine whatever position tie-break an
+    implementation would use, so the fingerprint SET is reproducible
+    bit-for-bit without the positional bookkeeping the paper's robust
+    variant needs.
+
+    Scan-side end-to-end: gram hashes, window minima, and the per-doc
+    ``array_distinct`` are one projection chain over the normalized text
+    — the corpus never shuffles until the (doc, fingerprint) explode
+    aggregates. Short documents (fewer than ``w`` grams) yield their
+    single all-gram window; empty ones drop.
+
+    Returns the exploded (id, fp) fingerprint table, distinct per doc.
+    """
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism).filter(F.length("__norm") > 0)
+    # __norm / __h are each referenced multiple times downstream, which
+    # inhibits CollapseProject from inlining the chains into the
+    # per-element lambdas (rule #1 in functions/text.py's module doc)
+    hashed = base.withColumn("__h", F.expr(
+        f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)),"
+        f" i -> cast(conv(substr(md5(substring(__norm, i, {k})), 1, 8),"
+        " 16, 10) as bigint))"))
+    wins = hashed.withColumn("__fps", F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(__h) - {w - 1},"
+        f" 1)), j -> array_min(slice(__h, j, {w}))))"))
+    # explode_OUTER, deliberately: a plain explode makes
+    # InferFiltersFromGenerate add `size(__fps) > 0`, which pushdown
+    # drags through the exchange and inlines as a per-row filter that
+    # re-derives __fps (and, nested inside it, the whole __h gram-hash
+    # array per window) from raw text — O(n³) per document, a hang at
+    # 300-char texts. Outer explode skips that inference, and it is
+    # value-identical here: every row passing the length(__norm) > 0
+    # gate yields ≥ 1 window (the greatest(…, 1) bounds), so __fps is
+    # never empty and no null fp rows can appear.
+    return wins.select(F.col(id_col), F.explode_outer("__fps").alias("fp"))
+
+
+def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 5, w: int = 4,
+                             max_df: int = 128,
+                             parallelism: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints, with
+    exact Jaccard over the kept fingerprint sets — MOSS's match step.
+
+    ``max_df`` drops STOP fingerprints (ones appearing in more than
+    ``max_df`` documents — boilerplate headers, licence blocks) before
+    pair generation, exactly as MOSS drops over-shared grams. That cap is
+    also the scale bound: the fingerprint equi-join's per-key work is
+    ≤ ``max_df²``, so total pair work is O(distinct_fps × max_df²) —
+    never the unbounded hot-bucket quadratic a popular gram would cause.
+    Jaccard and its ≥½ keep-gate are computed on the capped sets with the
+    threshold as an exact INTEGER compare (``2·shared ≥ union``), so the
+    gate can never diverge across engines on a float boundary.
+
+    Returns (doc_id_a, doc_id_b, n_shared, n_fp_a, n_fp_b, sim) for
+    pairs with sim ≥ 0.5.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, w, parallelism)
+    dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    kept = (fp.join(dfreq.filter(F.col("__df") <= max_df).select("fp"), "fp")
+            .localCheckpoint(eager=False))  # the self-join's two branches
+    # and the size aggregate reuse the filtered table instead of
+    # re-running the winnow chain three times
+    nf = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_id_a"),
+                      F.col(f"b.{id_col}").alias("doc_id_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    na = nf.select(F.col(id_col).alias("doc_id_a"), F.col("n_fp").alias("n_fp_a"))
+    nb = nf.select(F.col(id_col).alias("doc_id_b"), F.col("n_fp").alias("n_fp_b"))
+    union = F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared")
+    return (pairs.join(na, "doc_id_a").join(nb, "doc_id_b")
+            .filter(2 * F.col("n_shared") >= union)
+            .select("doc_id_a", "doc_id_b", "n_shared", "n_fp_a", "n_fp_b",
+                    F.round(F.col("n_shared").cast("double")
+                            / union.cast("double"), 6).alias("sim")))
+
+
 def connected_components(edges: DataFrame, src: str = "doc_id_a",
                          dst: str = "doc_id_b", id_out: str = "doc_id",
                          max_iters: int = 20) -> DataFrame:

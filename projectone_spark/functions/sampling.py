@@ -372,6 +372,74 @@ def mixture_rebalance(df: DataFrame, group_col: str = "source",
                  F.sum(F.col("__c") * F.col("__t")).alias("tokens_out")))
 
 
+def epoch_schedule(df: DataFrame, group_col: str = "source",
+                   token_col: str = "n_chars", id_col: str = "doc_id",
+                   budget_epochs: int = 2, max_epochs_micro: int = 4_000_000,
+                   chars_per_token: int = 4) -> DataFrame:
+    """Data-constrained repetition schedule (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a total token
+    budget of ``budget_epochs ×`` the corpus, split it equally across
+    sources and REPEAT each source up to the cap — the regime where the
+    corpus is smaller than the compute budget wants, so scarce sources
+    run multiple epochs (the paper's ~4-epoch ceiling is the default
+    cap) while a source bigger than its share downsamples below one.
+
+    All mass arithmetic is exact integer (micro-epochs), the same
+    discipline as :func:`mixture_rebalance` but with the budget/cap
+    dimension that distinguishes scheduling from rebalancing::
+
+        target = (total_tokens * budget_epochs) div n_sources
+        e_s    = min(cap, (1_000_000 * target) div tokens_s)   -- micro
+
+    Per-document copies are ``e_s div 1e6`` plus one more when the
+    document's md5 uniform (first 8 hex digits, an exact 32-bit integer)
+    falls below ``frac(e_s)`` rescaled to 2^32 — stochastic rounding with
+    no RNG, the integer-compare twin of ``mixture_rebalance``'s float
+    version, reproducible in any engine with md5.
+
+    Int64 envelope: ``1e6 * target`` binds — fine to ~9.2e12 tokens per
+    source-share (≈ trillions of tokens); past that drop the micro scale
+    (Spark's non-ANSI bigint wraps where DuckDB promotes to HUGEINT, so
+    overflow is a cross-engine divergence, not a silent wrong answer).
+
+    Scale shape: one map-side-combining integer aggregate per source, a
+    two-row-level scalar fold, a broadcast of ~n_sources schedule rows
+    back onto the corpus, a scan-side copy expression, and the bounded
+    per-source summary aggregate — the corpus itself never shuffles.
+
+    Returns one row per source: (group, n_docs, tokens_in, epochs_micro,
+    n_copies, tokens_out).
+    """
+    t = F.greatest(F.lit(1).cast("bigint"),
+                   F.expr(f"CAST({token_col} AS BIGINT)"
+                          f" div {int(chars_per_token)}"))
+    d = df.select(F.col(id_col), F.col(group_col), t.alias("__t"))
+    mass = d.groupBy(group_col).agg(F.sum("__t").alias("__gt"),
+                                    F.count(F.lit(1)).alias("__gn"))
+    scalar = mass.agg(F.sum("__gt").alias("__total"),
+                      F.count(F.lit(1)).alias("__ns"))
+    sched = (mass.crossJoin(F.broadcast(scalar))
+             .withColumn("__em", F.least(
+                 F.lit(int(max_epochs_micro)).cast("bigint"),
+                 F.expr(f"(CAST(1000000 AS BIGINT)"
+                        f" * ((__total * {int(budget_epochs)}) div __ns))"
+                        " div __gt")))
+             .select(group_col, "__gt", "__gn", "__em"))
+    u32 = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                  16, 10).cast("bigint"))
+    thr = F.expr("((__em % 1000000) * 4294967296) div 1000000")
+    copies = (F.expr("__em div 1000000")
+              + F.when(u32 < thr, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+    return (d.join(F.broadcast(sched), group_col)
+            .withColumn("__c", copies)
+            .groupBy(group_col)
+            .agg(F.first("__gn").alias("n_docs"),
+                 F.first("__gt").alias("tokens_in"),
+                 F.first("__em").alias("epochs_micro"),
+                 F.sum("__c").alias("n_copies"),
+                 F.sum(F.col("__c") * F.col("__t")).alias("tokens_out")))
+
+
 def export_shards(df: DataFrame, out_dir: str, *,
                   split_col: str = "split",
                   max_records_per_file: int = 10_000) -> DataFrame:

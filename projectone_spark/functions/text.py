@@ -381,6 +381,84 @@ def unigram_surprise(df: DataFrame, text_col: str = "text",
                     .alias("surprise")))
 
 
+def bigram_surprise(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Per-document bigram-LM surprisal — one Markov order up from
+    :func:`unigram_surprise`, the smallest model that sees word ORDER.
+    CCNet (Wenzek et al. 2020) ranks documents by the perplexity of a
+    KenLM n-gram model (Heafield 2011); the corpus's own bigram table is
+    the self-contained analogue: scrambled or boilerplate-repetitive
+    text pairs words in improbable orders and scores high even when its
+    unigram mix looks fluent.
+
+    The per-bigram surprisal proxy is the inverse conditional frequency
+    ``c(w_prev ·) / c(w_prev w)``, in exact integer micro-units like the
+    unigram twin (no float summation; one closing IEEE divide)::
+
+        micro(p, w) = (scale * c(p ·)) div c(p, w)      -- BIGINT, >= scale
+        surprise    = Σ micro / (scale * n_bigrams)     -- >= 1.0
+
+    Int64 envelope (same discipline as :func:`unigram_surprise`): a
+    bigram whose prefix is the corpus's hottest word scores up to
+    ``scale * c(p ·)`` micro-units, so the binding constraint is
+    ``scale * max_prefix_count * max_bigrams_per_doc < 2^63`` — looser
+    than the unigram bound (prefix counts ≪ N). Past it, drop ``scale``:
+    Spark's non-ANSI bigint sum wraps where DuckDB promotes to HUGEINT,
+    so overflow surfaces as a cross-engine divergence.
+
+    Plan shape at 100 TB: ONE corpus scan — bigrams explode scan-side
+    from the token array (a ``transform`` over the first n-1 positions;
+    never a positional self-join of an exploded table, which would
+    shuffle the corpus twice), then the ``(doc, p, w)`` aggregation
+    map-side combines; the bigram vocabulary and the prefix table FOLD
+    the bf table (bounded by distinct-bigram count, not corpus size), so
+    ReuseExchange shares the one shuffle across all three consumers, and
+    the scoring joins run on distinct doc-bigram pairs with AQE free to
+    broadcast the vocabularies while they fit.
+
+    Returns (id, n_bigrams, surprise_micro, surprise) for documents
+    with at least two tokens.
+    """
+    # __toks is referenced several times below (size + slice + the
+    # lambda's positional lookup), which inhibits CollapseProject from
+    # inlining the normalize/split chain into the per-element lambda
+    exploded = (df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+                .select(F.col(id_col),
+                        F.explode(F.expr(
+                            "transform(slice(__toks, 1,"
+                            " greatest(size(__toks) - 1, 0)),"
+                            " (t, i) -> struct(t AS p, __toks[i + 1] AS w))"
+                        )).alias("__bg"))
+                .select(F.col(id_col), F.col("__bg.p").alias("p"),
+                        F.col("__bg.w").alias("w"))
+                # the explicit two-column null filter matches the null
+                # filters the optimizer pushes into the join branches
+                # (the ["p","w"] join pushes both, the "p" join only one)
+                # so every branch's scan subtree stays canonically
+                # identical and ReuseExchange collapses them to ONE scan
+                # — the same trick as unigram_surprise above
+                .filter(F.col("p").isNotNull() & F.col("w").isNotNull()))
+    bf = (exploded.groupBy(id_col, "p", "w")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    # bigram vocabulary and per-prefix totals both fold bf — all three
+    # consumers sit on ONE scan+explode+shuffle, exactly like the
+    # unigram twin's tf/vocab/total chain
+    bgv = bf.groupBy("p", "w").agg(F.sum("tf").alias("__cbg"))
+    pre = bgv.groupBy("p").agg(F.sum("__cbg").alias("__cp"))
+    return (bf.join(bgv, ["p", "w"]).join(pre, "p")
+            .withColumn("__micro",
+                        F.expr(f"(CAST({int(scale)} AS BIGINT) * __cp)"
+                               " div __cbg"))
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_bigrams"),
+                 F.sum(F.col("tf") * F.col("__micro")).alias("surprise_micro"))
+            .select(F.col(id_col), F.col("n_bigrams"), F.col("surprise_micro"),
+                    F.round(F.col("surprise_micro")
+                            / (F.lit(float(scale)) * F.col("n_bigrams")), 6)
+                    .alias("surprise")))
+
+
 def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  min_words: int = 40, max_words: int = 100_000,
                  min_mean_word_len: float = 3.0,

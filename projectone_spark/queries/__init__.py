@@ -153,8 +153,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "p10_curriculum_order",
     # third-look fillers (r4 cohort, 2 greens) — replaced as new queries land:
     "a01_approx_sketches", "a02_incremental_distinct_sketch",
-    "m05_image_phash_dedup", "s17_table_contract_columns",
-    "s19_compact_small_files", "s21_zero_copy_clone",
+    "m05_image_phash_dedup",
+    # late-r6 additions took the last three filler slots (s17/s19/s21
+    # rotated out — 2+ green rounds each, still parity-checked locally):
+    "t11_bigram_surprise", "d13_winnowing_neardups", "p11_epoch_schedule",
 )
 
 
@@ -194,6 +196,7 @@ def _ensure_loaded() -> None:
         analytics4,  # new-in-r4 tail: TPC-H Q8/Q9 shapes
         corpus3,  # new-in-r5: composed dedup+contamination / quality+mixture
         corpus4,  # new-in-r6: unigram-surprisal quality scoring
+        corpus5,  # late-r6: bigram surprisal, winnowing, epoch schedule
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}

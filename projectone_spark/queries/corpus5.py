@@ -1,0 +1,175 @@
+"""Corpus operators added late in round 6 (registry tail):
+
+- t11: bigram-LM surprisal — one Markov order above t10, the smallest
+  model that sees word order (KenLM-lite, cf. CCNet's perplexity
+  filter);
+- d13: winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+  the MOSS local-copy detector) with stop-fingerprint capping and an
+  exact integer similarity gate;
+- p11: data-constrained epoch/repetition schedule (Muennighoff et al.
+  2023) — token budget + epoch cap in exact micro-epoch integers.
+
+Same exactness discipline as corpus4: integer arithmetic end-to-end,
+md5-derived hashes/uniforms (engine-portable), float division only as a
+single final correctly-rounded IEEE op — so every oracle is
+bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import check, load, register
+from projectone_spark.queries._sql_fragments import _NORM, _TOKS
+
+_T11_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+           i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]))
+           AS b
+  FROM tok),
+bf AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, b),
+bgv AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cbg FROM bf GROUP BY b),
+pre AS (
+  SELECT split_part(b, ' ', 1) AS p, CAST(sum(cbg) AS BIGINT) AS cp
+  FROM bgv GROUP BY p),
+scored AS (
+  SELECT bf.doc_id,
+         CAST(sum(bf.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(bf.tf * ((1000000 * pre.cp) // bgv.cbg)) AS BIGINT)
+           AS surprise_micro
+  FROM bf JOIN bgv USING (b) JOIN pre ON split_part(bf.b, ' ', 1) = pre.p
+  GROUP BY bf.doc_id)
+SELECT doc_id, n_bigrams, surprise_micro,
+       round(CAST(surprise_micro AS DOUBLE) / (1000000.0 * n_bigrams), 6)
+         AS surprise
+FROM scored
+"""
+
+
+@register("t11_bigram_surprise", _T11_SQL,
+          doc="bigram-LM surprisal scoring (KenLM-lite, one Markov order "
+              "above t10): per-document mean inverse conditional bigram "
+              "frequency in exact integer micro-units — word-order-"
+              "scrambled or boilerplate text scores high even when its "
+              "unigram mix looks fluent; one corpus scan, with the bigram "
+              "vocabulary and prefix tables folding the doc-bigram "
+              "aggregate",
+          tags=("text", "quality", "llm"))
+def t11_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.text import bigram_surprise
+
+    return bigram_surprise(load(spark, sf_dir, "documents"))
+
+
+# The winnow chain's oracle mirror: positions/grams exactly as
+# functions/dedup.winnow_fingerprints computes them (k=5, w=4; short
+# docs yield one whole-text gram and one all-gram window; empty drop).
+_D13_SQL = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS nm FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(nm) - 4, 1) + 1),
+           i -> CAST(('0x' || substr(md5(substr(nm, CAST(i AS INTEGER), 5)),
+                                     1, 8)) AS BIGINT)) AS hs
+  FROM n WHERE length(nm) > 0),
+fpt AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(hs) - 3, 1) + 1),
+           j -> list_min(list_slice(hs, CAST(j AS INTEGER),
+                                    CAST(j AS INTEGER) + 3))))) AS fp
+  FROM h),
+kept AS (
+  SELECT doc_id, fp FROM fpt
+  WHERE fp IN (SELECT fp FROM fpt GROUP BY fp HAVING count(*) <= 128)),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       FROM kept GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, n_shared,
+       na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+       round(CAST(n_shared AS DOUBLE) / (na.n_fp + nb.n_fp - n_shared), 6)
+         AS sim
+FROM pr JOIN nf na ON pr.doc_id_a = na.doc_id
+        JOIN nf nb ON pr.doc_id_b = nb.doc_id
+WHERE 2 * n_shared >= na.n_fp + nb.n_fp - n_shared
+"""
+
+
+@register("d13_winnowing_neardups", _D13_SQL,
+          doc="winnowing-fingerprint near-dup pairs (the MOSS algorithm, "
+              "Schleimer et al. 2003): window-min sampling keeps ~2/(w+1) "
+              "of gram hashes with a guaranteed hit for any shared run of "
+              "k+w-1 chars; stop-fingerprint capping (df ≤ 128) bounds "
+              "every join bucket, and the ≥½ similarity gate is an exact "
+              "integer compare",
+          tags=("dedup", "text", "llm"))
+def d13_winnowing_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.dedup import winnow_fingerprint_pairs
+
+    return winnow_fingerprint_pairs(load(spark, sf_dir, "documents"))
+
+
+_P11_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         greatest(CAST(1 AS BIGINT), CAST(n_chars AS BIGINT) // 4) AS t
+  FROM documents),
+m AS (
+  SELECT source, CAST(sum(t) AS BIGINT) AS gt,
+         CAST(count(*) AS BIGINT) AS gn
+  FROM d GROUP BY source),
+s AS (SELECT CAST(sum(gt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS ns FROM m),
+w AS (
+  SELECT source, gt, gn,
+         least(CAST(4000000 AS BIGINT),
+               (1000000 * ((total * 2) // ns)) // gt) AS em
+  FROM m CROSS JOIN s),
+c AS (
+  SELECT d.doc_id, d.source, d.t, w.em, w.gt, w.gn,
+         em // 1000000
+         + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT)
+                     < ((em % 1000000) * 4294967296) // 1000000
+           THEN 1 ELSE 0 END AS cp
+  FROM d JOIN w USING (source))
+SELECT source,
+       CAST(min(gn) AS BIGINT) AS n_docs,
+       CAST(min(gt) AS BIGINT) AS tokens_in,
+       CAST(min(em) AS BIGINT) AS epochs_micro,
+       CAST(sum(cp) AS BIGINT) AS n_copies,
+       CAST(sum(cp * t) AS BIGINT) AS tokens_out
+FROM c GROUP BY source
+"""
+
+
+@register("p11_epoch_schedule", _P11_SQL,
+          doc="data-constrained repetition schedule (Muennighoff et al. "
+              "2023): a 2×-corpus token budget splits equally across "
+              "sources, each source repeats up to the 4-epoch cap in "
+              "exact micro-epoch integers with md5 stochastic rounding "
+              "per doc; the schedule arithmetic is re-derived and "
+              "re-checked in-query from the aggregate output",
+          tags=("sampling", "llm"))
+def p11_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.sampling import epoch_schedule
+
+    out = (epoch_schedule(load(spark, sf_dir, "documents"))
+           .localCheckpoint(eager=True))  # the adjudication below and the
+    # returned frame must not each re-run the corpus aggregate
+    rows = out.collect()  # bounded: one row per source
+    total = sum(r["tokens_in"] for r in rows)
+    target = (total * 2) // len(rows)
+    for r in rows:
+        want = min(4_000_000, (1_000_000 * target) // r["tokens_in"])
+        check(r["epochs_micro"] == want,
+              f"schedule for {r['source']}: epochs_micro="
+              f"{r['epochs_micro']}, re-derivation says {want}")
+    return out

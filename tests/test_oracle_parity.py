@@ -69,6 +69,9 @@ def test_harness_prefix_contract():
         "p09_bloom_contamination", "st13_stream_neardup_index",
         "e11_semdedup_prune", "f11_curation_pipeline",
         "p10_curriculum_order",
+        # late-r6 additions (took the s17/s19/s21 filler slots):
+        "t11_bigram_surprise", "d13_winnowing_neardups",
+        "p11_epoch_schedule",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
