@@ -46,6 +46,17 @@ def md5_bucket(col: Column | str, n_buckets: int = 100) -> Column:
             .cast("int") % n_buckets)
 
 
+def md5_u32(col: Column | str) -> Column:
+    """Deterministic uniform 32-bit integer in [0, 2^32) from the first
+    8 hex digits of md5(value) — the engine-portable uniform shared by
+    :func:`mixture_rebalance` and :func:`epoch_schedule` (DuckDB mirror:
+    ``CAST('0x'||substr(md5(v),1,8) AS BIGINT)``). One definition so the
+    Spark recipe can never drift from the oracle fragments."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("bigint"))
+
+
 def deterministic_split(df: DataFrame, id_col: str = "doc_id",
                         splits: Sequence[tuple[str, int]] = (
                             ("train", 80), ("val", 10), ("test", 10)),
@@ -358,8 +369,7 @@ def mixture_rebalance(df: DataFrame, group_col: str = "source",
                            (F.col("__total").cast("double")
                             / F.col("__ngroups").cast("double"))
                            / F.col("__gt").cast("double")).alias("__w")))
-    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-         .cast("double") / F.lit(4294967296.0))
+    u = md5_u32(id_col).cast("double") / F.lit(4294967296.0)
     copies = (F.floor("__w").cast("bigint")
               + F.when(u < F.col("__w") - F.floor("__w"), 1).otherwise(0))
     return (d.join(F.broadcast(weights), group_col)
@@ -425,8 +435,7 @@ def epoch_schedule(df: DataFrame, group_col: str = "source",
                         f" * ((__total * {int(budget_epochs)}) div __ns))"
                         " div __gt")))
              .select(group_col, "__gt", "__gn", "__em"))
-    u32 = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                  16, 10).cast("bigint"))
+    u32 = md5_u32(id_col)
     thr = F.expr("((__em % 1000000) * 4294967296) div 1000000")
     copies = (F.expr("__em div 1000000")
               + F.when(u32 < thr, F.lit(1)).otherwise(F.lit(0))).cast("bigint")

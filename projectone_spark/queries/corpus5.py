@@ -165,6 +165,8 @@ def p11_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))  # the adjudication below and the
     # returned frame must not each re-run the corpus aggregate
     rows = out.collect()  # bounded: one row per source
+    check(len(rows) > 0, "epoch_schedule returned no sources — empty "
+          "documents table; nothing to re-derive the schedule against")
     total = sum(r["tokens_in"] for r in rows)
     target = (total * 2) // len(rows)
     for r in rows:
