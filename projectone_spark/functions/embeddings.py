@@ -125,6 +125,72 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, query_id_col, k)
 
 
+def knn_matryoshka(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   prefix_dims: int = 16, shortlist: int = 25,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   parallelism: int | None = None) -> DataFrame:
+    """Two-stage KNN over Matryoshka-style nested embeddings (Kusupati
+    et al. 2022, "Matryoshka Representation Learning" — MRL trains
+    representations whose PREFIX coordinates are themselves usable
+    embeddings): stage 1 ranks every candidate by cosine over only the
+    first ``prefix_dims`` coordinates and keeps a per-query
+    ``shortlist``; stage 2 re-ranks that shortlist with full-dimension
+    cosine and returns the top ``k``. The funnel-retrieval shape of the
+    paper — candidate generation pays ``prefix_dims/d`` of the FLOPs
+    (4× cheaper at 16/64) and full vectors are touched for only
+    ``shortlist`` rows per query.
+
+    Scale shape: the corpus scan needs only the prefix slice for stage 1
+    (with embeddings stored dimension-sharded, that is a column-pruned
+    read of a quarter of the bytes); queries broadcast, so stage 1 is
+    embarrassingly parallel with no corpus shuffle, and the shortlist
+    window shuffles candidate ROWS (``n_queries × n_corpus`` scored
+    pairs reduced map-side by the per-partition window) — never vectors
+    for non-shortlisted candidates.
+
+    Both stages rank on the 6-dp-rounded score with neighbor-id
+    tie-break — the same total order in any engine, so results are
+    exact-oracle-checkable end to end (unlike IVF/PQ, whose training
+    state needs the e08/e09 full-probe adjudication trick).
+
+    Returns (query_id, neighbor_id, pscore, score, rank) for the top-k.
+    """
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__vec")),
+               parallelism)
+    c = c.select(id_col, "__vec",
+                 F.slice("__vec", 1, prefix_dims).alias("__pvec"))
+    c = c.select(id_col, "__vec", "__pvec",
+                 l2_norm(F.col("__vec")).alias("__vn"),
+                 l2_norm(F.col("__pvec")).alias("__pn"))
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    q = q.select(query_id_col, "__qvec",
+                 F.slice("__qvec", 1, prefix_dims).alias("__qp"))
+    q = q.select(query_id_col, "__qvec", "__qp",
+                 l2_norm(F.col("__qvec")).alias("__qn"),
+                 l2_norm(F.col("__qp")).alias("__qpn"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(F.col(query_id_col), F.col(id_col).alias("neighbor_id"),
+                      "__vec", "__vn", "__qvec", "__qn",
+                      F.round(dot(F.col("__qp"), F.col("__pvec"))
+                              / (F.col("__qpn") * F.col("__pn")), 6)
+                      .alias("pscore")))
+    ws = Window.partitionBy(query_id_col).orderBy(F.desc("pscore"),
+                                                  F.asc("neighbor_id"))
+    short = (scored.withColumn("__srank", F.row_number().over(ws))
+             .filter(F.col("__srank") <= shortlist))
+    rr = short.select(query_id_col, "neighbor_id", "pscore",
+                      F.round(dot(F.col("__qvec"), F.col("__vec"))
+                              / (F.col("__qn") * F.col("__vn")), 6)
+                      .alias("score"))
+    wr = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                  F.asc("neighbor_id"))
+    return (rr.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k))
+
+
 # -- IVF (centroid-partitioned ANN) ------------------------------------------
 
 def ivf_train(df: DataFrame, n_clusters: int = 16, sample_size: int = 2000,

@@ -33,7 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from projectone_spark.functions.dedup import shingles_of_norm
-from projectone_spark.functions.text import normalize, spread
+from projectone_spark.functions.text import normalize, spread, tokens
 
 
 def md5_bucket(col: Column | str, n_buckets: int = 100) -> Column:
@@ -447,6 +447,96 @@ def epoch_schedule(df: DataFrame, group_col: str = "source",
                  F.first("__em").alias("epochs_micro"),
                  F.sum("__c").alias("n_copies"),
                  F.sum(F.col("__c") * F.col("__t")).alias("tokens_out")))
+
+
+def dsir_importance(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", target_col: str = "lang",
+                    target_value: str = "en",
+                    scale: int = 1_000_000) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its token distribution resembles a
+    TARGET domain (here: the rows whose ``target_col`` equals
+    ``target_value``) relative to the raw corpus, using the corpus's own
+    unigram counts as the two bag-of-words language models. High scores
+    are target-domain-like documents — DSIR keeps the top mass.
+
+    The per-token weight is the likelihood ratio
+    ``p_target(t) / p_raw(t) = (c_tgt·N_raw) / (c_raw·N_tgt)`` in exact
+    integer micro-units; a document's score is its tf-weighted SUM of
+    ratios (the order-independent integer analogue of DSIR's log-ratio
+    sum — same ranking family, no float summation anywhere)::
+
+        micro(t) = (((scale·c_tgt) div c_raw) · N_raw) div N_tgt
+        score    = Σ_t tf·micro(t)            -- BIGINT, engine-exact
+
+    Tokens absent from the target score 0 (no smoothing needed: c_raw ≥
+    tf ≥ 1 for every token a document contains, so the divide is always
+    defined). The stepwise ``div`` differs from the one-shot rational by
+    < 1 micro-unit, identically in every engine. Int64 envelope:
+    ``scale·c_tgt`` then ``ratio·N_raw`` bind — safe while
+    ``scale · N_tgt < 2^63 / N_raw`` (at the default scale: corpora to
+    ~3e9 target tokens × 3e9 raw tokens; past that drop ``scale``, and
+    Spark's non-ANSI wrap vs DuckDB's HUGEINT makes an overflow a loud
+    cross-engine divergence, not a silent wrong answer).
+
+    Plan shape at 100 TB: one scan-side explode, a map-side-combining
+    ``(doc, term)`` aggregate, then ONE vocabulary aggregate producing
+    BOTH models (``c_raw`` and the filtered ``c_tgt`` in the same
+    pass — the target flag rides the tf rows, so there is no second
+    corpus scan), a two-value scalar fold broadcast back, and an
+    equi-join on distinct doc-term pairs that AQE broadcasts while the
+    vocabulary fits.
+
+    Returns (id, is_target, n_tokens, dsir_micro, dsir) per document
+    with ≥ 1 token; ``dsir`` is the single closing IEEE divide
+    ``score / (scale·n_tokens)``.
+    """
+    exploded = (df.select(F.col(id_col),
+                          (F.col(target_col) == F.lit(target_value))
+                          .alias("__tgt"),
+                          F.explode(tokens(text_col)).alias("term"))
+                .filter(F.col("term").isNotNull()))
+    tf = (exploded.groupBy(id_col, "__tgt", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    # one vocabulary aggregate yields both models; totals fold it, so the
+    # corpus sits under a single scan+explode+shuffle (stage reuse)
+    vocab = (tf.groupBy("term")
+             .agg(F.sum("tf").alias("__craw"),
+                  F.sum(F.when(F.col("__tgt"), F.col("tf"))
+                        .otherwise(F.lit(0))).alias("__ctgt")))
+    totals = vocab.agg(F.sum("__craw").alias("__nraw"),
+                       F.sum("__ctgt").alias("__ntgt"))
+    return (tf.join(vocab, "term")
+            .crossJoin(F.broadcast(totals))
+            # the CASE guards N_tgt = 0 (no target rows): Spark's div
+            # would yield NULL where DuckDB's // raises — make the empty
+            # target an all-zero score in both engines instead
+            .withColumn("__micro",
+                        F.expr(f"CASE WHEN __ntgt = 0 THEN CAST(0 AS BIGINT)"
+                               f" ELSE (((CAST({int(scale)} AS BIGINT)"
+                               " * __ctgt) div __craw) * __nraw) div __ntgt"
+                               " END"))
+            .groupBy(id_col)
+            .agg(F.first("__tgt").alias("is_target"),
+                 F.sum("tf").alias("n_tokens"),
+                 F.sum(F.col("tf") * F.col("__micro")).alias("dsir_micro"))
+            # 6-dp rounding in INTEGER arithmetic (half-up), not
+            # round(double, 6): the quotient can land on an IEEE midpoint
+            # where Spark's and DuckDB's last-digit choices differ (the
+            # .xx5 tie class from the verify gotchas). whole*1e6 + the
+            # half-up-rounded fractional micro puts the value on an exact
+            # 1e-6 grid; the closing divide of two exact integers is then
+            # the same IEEE op in both engines.
+            .withColumn("__b", F.expr(f"CAST({int(scale)} AS BIGINT)"
+                                      " * n_tokens"))
+            .withColumn("__r6", F.expr(
+                "(dsir_micro div __b) * 1000000"
+                " + (2 * (dsir_micro % __b) * 1000000 + __b) div (2 * __b)"))
+            .select(F.col(id_col), F.col("is_target"), F.col("n_tokens"),
+                    F.col("dsir_micro"),
+                    (F.col("__r6").cast("double") / F.lit(1000000.0))
+                    .alias("dsir")))
 
 
 def export_shards(df: DataFrame, out_dir: str, *,

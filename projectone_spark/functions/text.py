@@ -459,6 +459,85 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
                     .alias("surprise")))
 
 
+def bpe_train_merges(df: DataFrame, text_col: str = "text",
+                     n_merges: int = 8, sep: str = "_",
+                     parallelism: int | None = None) -> DataFrame:
+    """First ``n_merges`` byte-pair-encoding merge rules learned from the
+    corpus (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of
+    Rare Words with Subword Units" — the BPE tokenizer-training loop):
+    repeatedly find the most frequent adjacent symbol pair in the word
+    vocabulary and fuse it into a new symbol.
+
+    Spark-first shape: the CORPUS is scanned exactly once, to build the
+    word-frequency vocabulary (map-side-combining count). Every merge
+    iteration then runs on the VOCABULARY alone — bounded by distinct
+    words (~1M rows at 100 TB), not corpus size — exactly as the paper
+    trains on word counts. Each iteration is one pair-count aggregate
+    plus a single-ROW driver collect (the argmax pair; a bounded scalar
+    per iteration, the same driver-loop discipline as
+    ``dedup.connected_components``), and the vocabulary is eagerly
+    localCheckpointed per step so iteration N+1 never replays steps 1..N.
+
+    Words are held as DOUBLE-separator symbol strings (``__c__a__t__``;
+    the default ``_`` can never occur inside a symbol — ``normalize``
+    leaves only ``[a-z0-9]`` word chars). A merge of pair (l, r) is
+    ``replace(sym, '_l__r_', '_lr_')``: the pattern consumes only the
+    INNER half of each ``__`` boundary, so a match leaves the adjacent
+    boundary's outer half for the next match — consecutive occurrences
+    (``aaaa`` with pair (a, a)) all fuse in one left-to-right pass,
+    exactly the paper's greedy merge order (``aaaa`` → ``aa``+``aa``,
+    ``aaa`` → ``aa``+``a``). Spark's and DuckDB's ``replace`` both scan
+    the ORIGINAL string left-to-right and continue after the consumed
+    match, so the oracle mirror is exact including overlap cases.
+
+    Pair counts weight by word frequency and count every adjacent
+    position (overlaps included, matching the reference ``get_stats``);
+    the argmax tie-breaks deterministically by (count DESC, left ASC,
+    right ASC). Stops early if the vocabulary runs out of pairs.
+
+    Returns one row per learned rule: (step, left_sym, right_sym,
+    merged, pair_count).
+    """
+    spark = df.sparkSession
+    words = (spread(df.select(tokens(text_col).alias("__toks")), parallelism)
+             .select(F.explode("__toks").alias("__w"))
+             .filter(F.col("__w") != ""))
+    sep2 = sep + sep
+    vocab = (words.groupBy("__w").agg(F.count(F.lit(1)).alias("wc"))
+             .select(F.concat(F.lit(sep2),
+                              F.regexp_replace("__w", "(.)", "$1" + sep2))
+                     .alias("sym"), "wc")
+             .localCheckpoint(eager=True))
+    out: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        # symbol array: split('__c__a__t__') -> ['', c, a, t, ''] ends dropped
+        pairs = (vocab.select("wc", F.expr(
+                     f"slice(split(sym, '{sep2}'), 2,"
+                     f" size(split(sym, '{sep2}')) - 2)").alias("__a"))
+                 # filter BEFORE the sequence: sequence(1, 0) is Spark's
+                 # DESCENDING [1, 0], which would fabricate a reversed pair
+                 .filter(F.expr("size(__a) >= 2"))
+                 .select("wc", F.explode(F.expr(
+                     "transform(sequence(1, size(__a) - 1),"
+                     " i -> struct(__a[i - 1] AS l, __a[i] AS r))"))
+                     .alias("__p"))
+                 .select("wc", F.col("__p.l").alias("l"),
+                         F.col("__p.r").alias("r")))
+        best = (pairs.groupBy("l", "r").agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect())
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        out.append((step, l, r, l + r, cnt))
+        vocab = (vocab.select(
+                     F.replace("sym", F.lit(f"{sep}{l}{sep2}{r}{sep}"),
+                               F.lit(f"{sep}{l}{r}{sep}")).alias("sym"), "wc")
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        out, "step bigint, left_sym string, right_sym string,"
+             " merged string, pair_count bigint")
+
+
 def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  min_words: int = 40, max_words: int = 100_000,
                  min_mean_word_len: float = 3.0,

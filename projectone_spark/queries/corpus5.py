@@ -7,7 +7,16 @@
   the MOSS local-copy detector) with stop-fingerprint capping and an
   exact integer similarity gate;
 - p11: data-constrained epoch/repetition schedule (Muennighoff et al.
-  2023) — token budget + epoch cap in exact micro-epoch integers.
+  2023) — token budget + epoch cap in exact micro-epoch integers;
+- t12: BPE tokenizer training, first merge rules (Sennrich et al. 2016)
+  — corpus scanned once for the word vocabulary, merges iterate on the
+  vocabulary alone (oracle: one unrolled CTE level per merge);
+- p12: DSIR-style importance weighting (Xie et al. 2023) — tf-weighted
+  unigram likelihood ratios of the English-target model vs the raw
+  corpus, both models from ONE vocabulary aggregate.
+
+(e12, the Matryoshka funnel-retrieval twin of this cohort, lives with
+the e-family in embeddings2.py.)
 
 Same exactness discipline as corpus4: integer arithmetic end-to-end,
 md5-derived hashes/uniforms (engine-portable), float division only as a
@@ -175,3 +184,98 @@ def p11_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
               f"schedule for {r['source']}: epochs_micro="
               f"{r['epochs_micro']}, re-derivation says {want}")
     return out
+
+
+def _t12_sql(n_merges: int = 8) -> str:
+    """Unrolled DuckDB mirror of functions/text.bpe_train_merges: one
+    CTE level per merge (pair counts -> argmax -> vocabulary rewrite),
+    the same (count DESC, l, r) tie-break and the same left-to-right
+    non-overlapping replace. DuckDB's range(1, n) is end-exclusive and
+    empty for n <= 1, so one-symbol words contribute no pairs exactly
+    like the Spark side's size >= 2 filter."""
+    parts = [f"""WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+v0 AS (
+  SELECT '__' || regexp_replace(w, '(.)', '\\1__', 'g') AS sym,
+         CAST(count(*) AS BIGINT) AS wc
+  FROM w WHERE w <> '' GROUP BY w)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT p.l AS l, p.r AS r, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (
+    SELECT wc, unnest(list_transform(range(1, len(a)),
+             j -> {{'l': a[j], 'r': a[j + 1]}})) AS p
+    FROM (SELECT wc, list_slice(string_split(sym, '__'), 2,
+                    len(string_split(sym, '__')) - 1) AS a FROM v{i - 1}) s
+  ) t GROUP BY p.l, p.r),
+b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+v{i} AS (
+  SELECT replace(sym, '_' || l || '__' || r || '_',
+                 '_' || l || r || '_') AS sym, wc
+  FROM v{i - 1} CROSS JOIN b{i})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1))
+    return "".join(parts) + "\n" + unions
+
+
+@register("t12_bpe_merges", _t12_sql(),
+          doc="BPE tokenizer training, first 8 merge rules (Sennrich et "
+              "al. 2016): the corpus is scanned ONCE for the word-"
+              "frequency vocabulary, then every merge iteration runs on "
+              "the vocabulary alone (bounded by distinct words, not "
+              "corpus size) with a one-row argmax collect per step; "
+              "greedy left-to-right merges and the (count, pair) tie-"
+              "break mirror the reference algorithm exactly",
+          tags=("text", "tokenizer", "llm"))
+def t12_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.text import bpe_train_merges
+
+    return bpe_train_merges(load(spark, sf_dir, "documents"), n_merges=8)
+
+
+_P12_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS tgt, unnest({_TOKS}) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, tgt, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IS NOT NULL GROUP BY doc_id, tgt, term),
+v AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS craw,
+         CAST(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS ctgt
+  FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(craw) AS BIGINT) AS nraw,
+               CAST(sum(ctgt) AS BIGINT) AS ntgt FROM v),
+sc AS (
+  SELECT t.doc_id,
+         bool_or(t.tgt) AS is_target,
+         CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(t.tf * (CASE WHEN tot.ntgt = 0 THEN 0
+               ELSE (((1000000 * v.ctgt) // v.craw) * tot.nraw) // tot.ntgt
+               END)) AS BIGINT) AS dsir_micro
+  FROM tf t JOIN v USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id)
+SELECT doc_id, is_target, n_tokens, dsir_micro,
+       CAST((dsir_micro // b) * 1000000
+            + (2 * (dsir_micro % b) * 1000000 + b) // (2 * b)
+            AS DOUBLE) / 1000000.0 AS dsir
+FROM (SELECT *, 1000000 * n_tokens AS b FROM sc) g
+"""
+
+
+@register("p12_dsir_importance", _P12_SQL,
+          doc="DSIR-style importance weighting (Xie et al. 2023): score "
+              "every document by the tf-weighted unigram likelihood "
+              "ratio of the English-target model vs the raw corpus, in "
+              "exact integer micro-units (engine-identical stepwise "
+              "div); one corpus scan builds BOTH models — the target "
+              "flag rides the doc-term rows, so target counts are a "
+              "conditional sum inside the single vocabulary aggregate",
+          tags=("sampling", "quality", "llm"))
+def p12_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.sampling import dsir_importance
+
+    return dsir_importance(load(spark, sf_dir, "documents"),
+                           target_col="lang", target_value="en")

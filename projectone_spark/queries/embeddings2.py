@@ -266,3 +266,49 @@ def e11_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("raw_max"), 6).alias("max_sim"),
                     (F.col("raw_max").isNull() | (F.col("raw_max") < 0.35))
                     .alias("keep")))
+
+
+_E12_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+p AS (SELECT vec_id, e, list_slice(e, 1, 16) AS pe FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, pe AS qpe FROM p
+      WHERE vec_id % 50 = 0),
+s1 AS (
+  SELECT q.query_id, p.vec_id AS neighbor_id, p.e AS e, q.qe AS qe,
+         round({_dot('q.qpe', 'p.pe')}
+               / ({_norm('q.qpe')} * {_norm('p.pe')}), 6) AS pscore
+  FROM p CROSS JOIN q WHERE p.vec_id <> q.query_id),
+sh AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY pscore DESC, neighbor_id) AS srank
+  FROM s1),
+rr AS (
+  SELECT query_id, neighbor_id, pscore,
+         round({_dot('qe', 'e')} / ({_norm('qe')} * {_norm('e')}), 6) AS score
+  FROM sh WHERE srank <= 25),
+rk AS (
+  SELECT query_id, neighbor_id, pscore, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM rr)
+SELECT query_id, neighbor_id, pscore, score, rank FROM rk WHERE rank <= 5
+"""
+
+
+@register("e12_knn_matryoshka", _E12_SQL,
+          doc="Matryoshka funnel retrieval (Kusupati et al. 2022): "
+              "stage-1 shortlist by cosine over the first 16 of 64 "
+              "coordinates (quarter-FLOPs candidate generation, prefix-"
+              "pruned reads), stage-2 exact full-dimension rerank of 25 "
+              "candidates per query — both stages rank on the rounded "
+              "score with id tie-break, so the whole funnel is bit-"
+              "exact-oracle-checkable (no trained state to adjudicate)",
+          tags=("embeddings", "knn", "ann"))
+def e12_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import knn_matryoshka
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return knn_matryoshka(emb, queries, k=5, prefix_dims=16, shortlist=25)
