@@ -144,10 +144,11 @@ def knn_matryoshka(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Scale shape: the corpus scan needs only the prefix slice for stage 1
     (with embeddings stored dimension-sharded, that is a column-pruned
     read of a quarter of the bytes); queries broadcast, so stage 1 is
-    embarrassingly parallel with no corpus shuffle, and the shortlist
-    window shuffles candidate ROWS (``n_queries × n_corpus`` scored
-    pairs reduced map-side by the per-partition window) — never vectors
-    for non-shortlisted candidates.
+    embarrassingly parallel with no corpus shuffle. The shortlist window
+    shuffles only (query_id, neighbor_id, pscore) TRIPLES — full-
+    dimension vectors never ride the candidate shuffle; the surviving
+    ``n_queries × shortlist`` ids broadcast back onto the corpus (and
+    the query table) to fetch vectors for the stage-2 rerank.
 
     Both stages rank on the 6-dp-rounded score with neighbor-id
     tie-break — the same total order in any engine, so results are
@@ -170,25 +171,31 @@ def knn_matryoshka(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = q.select(query_id_col, "__qvec", "__qp",
                  l2_norm(F.col("__qvec")).alias("__qn"),
                  l2_norm(F.col("__qp")).alias("__qpn"))
+    # the candidate shuffle carries only id/id/score triples — never the
+    # full vectors, which would multiply the exchange bytes by the
+    # vector width for candidates that stage 1 is about to discard
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col(id_col) != F.col(query_id_col))
               .select(F.col(query_id_col), F.col(id_col).alias("neighbor_id"),
-                      "__vec", "__vn", "__qvec", "__qn",
                       F.round(dot(F.col("__qp"), F.col("__pvec"))
                               / (F.col("__qpn") * F.col("__pn")), 6)
                       .alias("pscore")))
     ws = Window.partitionBy(query_id_col).orderBy(F.desc("pscore"),
                                                   F.asc("neighbor_id"))
     short = (scored.withColumn("__srank", F.row_number().over(ws))
-             .filter(F.col("__srank") <= shortlist))
-    rr = short.select(query_id_col, "neighbor_id", "pscore",
-                      F.round(dot(F.col("__qvec"), F.col("__vec"))
-                              / (F.col("__qn") * F.col("__vn")), 6)
-                      .alias("score"))
-    wr = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
-                                                  F.asc("neighbor_id"))
-    return (rr.withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= k))
+             .filter(F.col("__srank") <= shortlist)
+             .select(query_id_col, "neighbor_id", "pscore"))
+    # shortlist is n_queries × shortlist rows — broadcast it onto the
+    # corpus to fetch full vectors for exactly the surviving candidates
+    rr = (c.select(F.col(id_col).alias("neighbor_id"), "__vec", "__vn")
+          .join(F.broadcast(short), "neighbor_id")
+          .join(F.broadcast(q.select(query_id_col, "__qvec", "__qn")),
+                query_id_col)
+          .select(query_id_col, "neighbor_id", "pscore",
+                  F.round(dot(F.col("__qvec"), F.col("__vec"))
+                          / (F.col("__qn") * F.col("__vn")), 6)
+                  .alias("score")))
+    return _topk(rr, query_id_col, k)
 
 
 # -- IVF (centroid-partitioned ANN) ------------------------------------------

@@ -528,11 +528,18 @@ def dsir_importance(df: DataFrame, text_col: str = "text",
             # half-up-rounded fractional micro puts the value on an exact
             # 1e-6 grid; the closing divide of two exact integers is then
             # the same IEEE op in both engines.
+            # frac = round(rem·1e6 / b) with b = scale·n_tokens reduces
+            # (cancel the common 1e6 factor) to (2·rem + n) div (2·n) —
+            # algebraically identical floors, but the intermediate stays
+            # ≤ ~2·scale·n_tokens instead of 2e6·scale·n_tokens: the
+            # naive form wrapped silently past ~4.6M tokens per document
+            # (a ~25 MB web page — reachable); the reduced form is safe
+            # to ~4.6e12 tokens per document (unreachable)
             .withColumn("__b", F.expr(f"CAST({int(scale)} AS BIGINT)"
                                       " * n_tokens"))
             .withColumn("__r6", F.expr(
                 "(dsir_micro div __b) * 1000000"
-                " + (2 * (dsir_micro % __b) * 1000000 + __b) div (2 * __b)"))
+                " + (2 * (dsir_micro % __b) + n_tokens) div (2 * n_tokens)"))
             .select(F.col(id_col), F.col("is_target"), F.col("n_tokens"),
                     F.col("dsir_micro"),
                     (F.col("__r6").cast("double") / F.lit(1000000.0))

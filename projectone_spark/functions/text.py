@@ -498,6 +498,14 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     Returns one row per learned rule: (step, left_sym, right_sym,
     merged, pair_count).
     """
+    # the whole encoding rests on sep never occurring inside a symbol,
+    # and sep is spliced into a regex replacement and SQL exprs — enforce
+    # the precondition instead of assuming it
+    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"":
+        raise ValueError(
+            f"bpe sep must be a single non-alphanumeric, non-quote "
+            f"character (got {sep!r}): symbols are [a-z0-9]+ and the "
+            f"separator is interpolated into regex/SQL literals")
     spark = df.sparkSession
     words = (spread(df.select(tokens(text_col).alias("__toks")), parallelism)
              .select(F.explode("__toks").alias("__w"))

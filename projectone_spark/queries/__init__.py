@@ -128,8 +128,7 @@ def oracle_sql() -> dict[str, str]:
 #:    using the remaining slots — fillers are first to give way to new
 #:    queries.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    "s02_scd2_history", "s07_incremental_agg", "s10_merge_into",
-    "st09_stream_exactly_once_sink", "p04_contamination",
+    "s07_incremental_agg", "p04_contamination",
     # round-5 first greens, second adjudication:
     "f01_task_feature_pipeline", "f02_dag_pipeline", "f03_cdc_backfill",
     "f04_schema_registry_json", "f05_quality_mixture_pipeline",
@@ -157,6 +156,9 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # late-r6 additions took the last three filler slots (s17/s19/s21
     # rotated out — 2+ green rounds each, still parity-checked locally):
     "t11_bigram_surprise", "d13_winnowing_neardups", "p11_epoch_schedule",
+    # second late-r6 batch (s02/s10/st09 rotated out — 3+/2+ green
+    # rounds each, the registry's most-proven rows):
+    "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",
 )
 
 

@@ -259,7 +259,7 @@ sc AS (
   GROUP BY t.doc_id)
 SELECT doc_id, is_target, n_tokens, dsir_micro,
        CAST((dsir_micro // b) * 1000000
-            + (2 * (dsir_micro % b) * 1000000 + b) // (2 * b)
+            + (2 * (dsir_micro % b) + n_tokens) // (2 * n_tokens)
             AS DOUBLE) / 1000000.0 AS dsir
 FROM (SELECT *, 1000000 * n_tokens AS b FROM sc) g
 """

@@ -7,6 +7,8 @@ import io
 
 import pyspark.sql.functions as F
 
+from tests.conftest import SF_DIR
+
 from projectone_spark.functions.dedup import (winnow_fingerprint_pairs,
                                               winnow_fingerprints)
 from projectone_spark.functions.sampling import epoch_schedule
@@ -65,7 +67,7 @@ def test_bigram_surprise_types_and_plan(spark):
     assert dt["n_bigrams"] == "bigint"
     assert dt["surprise_micro"] == "bigint"
     assert dt["surprise"] == "double"
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
     out = bigram_surprise(docs)
     out.collect()  # AQE stage reuse happens at runtime, not in the
     # static plan: the bf/bgv exchanges canonicalize identically across
@@ -136,7 +138,7 @@ def test_winnow_pairs_stop_fingerprint_cap(spark):
 
 
 def test_winnow_plan_no_python(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         winnow_fingerprint_pairs(docs).explain("formatted")
@@ -201,7 +203,7 @@ def test_epoch_schedule_min_one_token_and_types(spark):
 
 
 def test_epoch_schedule_plan_broadcasts_only_schedule(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         epoch_schedule(docs).explain("formatted")

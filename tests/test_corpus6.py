@@ -7,6 +7,8 @@ import io
 
 import pyspark.sql.functions as F
 
+from tests.conftest import SF_DIR
+
 from projectone_spark.functions.embeddings import knn_bruteforce, knn_matryoshka
 from projectone_spark.functions.sampling import dsir_importance
 from projectone_spark.functions.text import bpe_train_merges
@@ -95,7 +97,7 @@ def test_dsir_empty_target_is_all_zero_not_error(spark):
 
 
 def test_dsir_types_and_single_scan_plan(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
     out = dsir_importance(docs)
     dt = dict(out.dtypes)
     assert dt["dsir_micro"] == "bigint" and dt["dsir"] == "double"
@@ -118,7 +120,7 @@ def test_matryoshka_full_shortlist_equals_bruteforce(spark):
     # with the shortlist covering the whole corpus, the funnel's stage-2
     # rerank IS brute force — exact equality, the e08/e09 adjudication
     # pattern applied to MRL retrieval
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") % 100 == 0)
     n = emb.count()
     got = sorted(map(tuple, knn_matryoshka(emb, qs, k=5, shortlist=n)
@@ -146,7 +148,7 @@ def test_matryoshka_prefix_score_uses_prefix_only(spark):
 
 
 def test_matryoshka_plan_broadcasts_queries_no_python(spark):
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -72,6 +72,8 @@ def test_harness_prefix_contract():
         # late-r6 additions (took the s17/s19/s21 filler slots):
         "t11_bigram_surprise", "d13_winnowing_neardups",
         "p11_epoch_schedule",
+        # second late-r6 batch (took the s02/s10/st09 slots):
+        "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
