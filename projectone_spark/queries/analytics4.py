@@ -237,3 +237,118 @@ def q41_skew_salted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         final=lambda g: g.agg(
             F.sum("__c").alias("n_items"),
             F.round(F.sum("__s"), 2).cast("double").alias("revenue")))
+
+
+_Q42_SQL = f"""
+WITH dom AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(min(l.l_extendedprice) AS {_DEC}) AS cost
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey, l.l_suppkey),
+best AS (SELECT l_partkey, min(cost) AS min_cost FROM dom GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, n.n_name AS nation,
+       CAST(round(CAST(d.cost AS DOUBLE), 2) AS DOUBLE) AS min_cost,
+       CAST(round(CAST(s.s_acctbal AS DOUBLE), 2) AS DOUBLE) AS s_acctbal
+FROM dom d
+JOIN best b ON d.l_partkey = b.l_partkey AND d.cost = b.min_cost
+JOIN part p     ON d.l_partkey = p.p_partkey
+JOIN supplier s ON d.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_type = 'ECONOMY'
+"""
+
+
+@register("q42_min_cost_supplier", _Q42_SQL,
+          doc="TPC-H Q2 shape (correlated-min supplier selection, adapted "
+              "to no-partsupp: a (part, supplier)'s offer price is its "
+              "min lineitem extended price): for every ECONOMY part, the "
+              "EUROPE suppliers achieving that part's minimum cost — the "
+              "correlated scalar subquery becomes a grouped min joined "
+              "back on (part, cost), ties kept exactly as Q2 keeps them; "
+              "cost is an exact decimal MIN on the 2-decimal grid, so "
+              "the equality join never hits a float boundary",
+          tags=("join", "agg", "star", "correlated"))
+def q42_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    # domain: EUROPE supplier offers; dims broadcast, ONE lineitem shuffle
+    dom = (li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .alias("cost")))
+    # the correlated min: per-part minimum joined back on (part, cost) —
+    # dom is referenced twice, checkpoint so the offer aggregation runs once
+    dom = dom.localCheckpoint(eager=False)
+    best = dom.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (dom.join(best, (dom.l_partkey == best.l_partkey)
+                     & (dom.cost == best.min_cost))
+            .drop(best.l_partkey)
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat.select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("nation"))),
+                F.col("s_nationkey") == F.col("s_nk"))
+            .select("p_partkey", "p_brand", "s_suppkey", "s_name", "nation",
+                    F.round(F.col("cost").cast("double"), 2).alias("min_cost"),
+                    F.round(F.col("s_acctbal").cast("double"), 2)
+                    .alias("s_acctbal")))
+
+
+_Q43_SQL = f"""
+WITH val AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(l.l_extendedprice AS {_DEC})) AS {_DEC}) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_2'
+  GROUP BY l.l_partkey),
+tot AS (SELECT CAST(sum(part_value) AS {_DEC}) AS total_value FROM val)
+SELECT v.l_partkey AS p_partkey,
+       CAST(v.part_value AS DOUBLE) AS part_value
+FROM val v CROSS JOIN tot t
+WHERE v.part_value * 1000 > t.total_value
+"""
+
+
+@register("q43_important_stock", _Q43_SQL,
+          doc="TPC-H Q11 shape (important stock, adapted to no-partsupp: "
+              "a part's held value is its NATION_2-supplied revenue): "
+              "parts whose value exceeds 1/1000 of the nation's total — "
+              "the HAVING-against-a-scalar-subquery becomes a broadcast "
+              "of the one-row total folded from the SAME per-part "
+              "aggregate (no second scan), and the threshold compare is "
+              "exact decimal `part*1000 > total`, never a float fraction",
+          tags=("agg", "having", "star"))
+def q43_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (load(spark, sf_dir, "nation")
+           .filter(F.col("n_name") == "NATION_2"))
+    val = (li.join(F.broadcast(supp),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("part_value")))
+    val = val.localCheckpoint(eager=False)  # total folds the same aggregate
+    tot = val.agg(F.sum("part_value").cast("decimal(18,2)")
+                  .alias("total_value"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("part_value") * 1000 > F.col("total_value"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("part_value").cast("double").alias("part_value")))

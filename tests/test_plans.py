@@ -141,3 +141,32 @@ def test_d12_one_broadcast_no_cartesian(spark):
     formatted = _formatted(df)
     assert "CartesianProduct" not in formatted
     assert "BroadcastNestedLoopJoin" not in formatted
+
+
+def test_q42_correlated_min_single_offer_aggregation(spark):
+    """Q2-shape: dims broadcast (supplier/nation/region/part — all
+    bounded), lineitem shuffles once for the offer aggregate, and the
+    lazy checkpoint keeps the per-part min's join-back from re-running
+    the offer aggregation."""
+    df = queries()["q42_min_cost_supplier"](spark, SF_DIR)
+    plan = _formatted(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("(1) ")[0]
+    # the checkpoint barrier means NO lineitem scan appears twice: the
+    # dom aggregate materializes once and both consumers read it
+    assert tree.count("Scan ExistingRDD") <= 2
+
+
+def test_q43_total_folds_the_part_aggregate(spark):
+    """Q11-shape: the scalar total must fold the checkpointed per-part
+    aggregate (no second lineitem scan), and the threshold compare is
+    decimal — no doubles before the final projection."""
+    df = queries()["q43_important_stock"](spark, SF_DIR)
+    plan = _formatted(df)
+    assert "EvalPython" not in plan
+    tree = plan.split("(1) ")[0]
+    assert tree.count("Scan parquet") == 0  # both sides read the checkpoint
+    analyzed = _analyzed(df)
+    # exact decimal threshold: part_value * 1000 > total_value
+    assert "1000" in analyzed
