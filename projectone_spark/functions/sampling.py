@@ -219,16 +219,55 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
                  .alias("n_false_negatives")))
 
 
+def bloom_bitset(benchmark: DataFrame, text_col: str = "text",
+                 k: int = 5, m_bits: int = 65536, n_hashes: int = 2,
+                 parallelism: int | None = None) -> list[int]:
+    """Pack the benchmark's shingle positions into the ``m_bits/64``-long
+    bloom bitset (one bounded aggregation + a ≤1024-row driver collect).
+    Built once and passed to :func:`bloom_doc_flags` as ``bitset``, this
+    is the trained state a streaming screen broadcasts into every
+    micro-batch — constant 8 KiB at the default regardless of benchmark
+    size."""
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, "
+                         f"got {m_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    base = spread(benchmark.select(normalize(text_col).alias("__norm")),
+                  parallelism)
+    sh = (base.select(F.explode(
+              F.array_distinct(shingles_of_norm("__norm", k))).alias("__sh"))
+          .distinct())
+    pos = sh.select(F.explode(F.array(
+        *bloom_positions("__sh", m_bits, n_hashes))).alias("__p"))
+    rows = (pos.select((F.col("__p") / 64).cast("int").alias("__w"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(__p % 64 AS INT))").alias("__m"))
+            .groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+            .collect())  # bounded: ≤ m_bits/64 rows regardless of data
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["__w"]] = r["__bits"]
+    return words
+
+
 def bloom_doc_flags(corpus: DataFrame, benchmark: DataFrame,
                     text_col: str = "text", id_col: str = "doc_id",
                     group_col: str = "source", k: int = 5,
                     m_bits: int = 65536, n_hashes: int = 2,
-                    parallelism: int | None = None) -> DataFrame:
+                    parallelism: int | None = None,
+                    bitset: list[int] | None = None) -> DataFrame:
     """Per-document bloom/exact contamination counters — the frame
     :func:`bloom_contamination` aggregates, exposed for pipelines that
     FILTER on the screen (e.g. drop documents whose flagged-shingle
     share clears a threshold — ``2*__n_bl > __n_sh`` for majority
     containment, an exact integer compare).
+
+    ``bitset`` (from :func:`bloom_bitset`) skips the build step and
+    probes the given words instead — the train-once/probe-many shape a
+    STREAMING screen needs, where the benchmark bitset is fixed state
+    and every micro-batch only pays the probe. ``benchmark`` is still
+    read for the exact-verdict join (tiny by construction).
     Returns (id_col, group_col, __n_sh, __n_ex, __n_bl, __n_fneg).
     """
     # a position in a partial trailing word would F.get a null word and
@@ -253,21 +292,15 @@ def bloom_doc_flags(corpus: DataFrame, benchmark: DataFrame,
     # materialization job would
     bench_sh = benchmark.transform(exploded).select("__sh").distinct()
 
-    # pack the benchmark's positions into m/64 longs (the actual bloom
-    # bitset) with one bounded aggregation
-    pos = bench_sh.select(F.explode(F.array(
-        *bloom_positions("__sh", m_bits, n_hashes))).alias("__p"))
-    words_rows = (pos.select((F.col("__p") / 64).cast("int").alias("__w"),
-                             F.expr("shiftleft(CAST(1 AS BIGINT), "
-                                    "CAST(__p % 64 AS INT))").alias("__m"))
-                  .groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
-                  .collect())  # bounded: ≤ m_bits/64 rows regardless of data
-    words = [0] * (m_bits // 64)
-    for r in words_rows:
-        words[r["__w"]] = r["__bits"]
+    if bitset is None:
+        bitset = bloom_bitset(benchmark, text_col, k, m_bits,
+                              n_hashes, parallelism)
+    elif len(bitset) != m_bits // 64:
+        raise ValueError(f"bitset has {len(bitset)} words; m_bits="
+                         f"{m_bits} needs {m_bits // 64}")
     # one array Literal, not CreateArray(1024 exprs): the codegen for the
     # latter materializes every element as its own expression per probe
-    lit_words = F.lit(words).cast("array<bigint>")
+    lit_words = F.lit(bitset).cast("array<bigint>")
 
     def with_bloom(frame: DataFrame) -> DataFrame:
         pcols = [p.alias(f"__p{i}") for i, p in

@@ -128,7 +128,7 @@ def oracle_sql() -> dict[str, str]:
 #:    using the remaining slots — fillers are first to give way to new
 #:    queries.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    "s07_incremental_agg", "p04_contamination",
+    "s07_incremental_agg",
     # round-5 first greens, second adjudication:
     "f01_task_feature_pipeline", "f02_dag_pipeline", "f03_cdc_backfill",
     "f04_schema_registry_json", "f05_quality_mixture_pipeline",
@@ -159,6 +159,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # second late-r6 batch (s02/s10/st09 rotated out — 3+/2+ green
     # rounds each, the registry's most-proven rows):
     "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",
+    # third late-r6 batch (p04 rotated out — 2+ greens):
+    "st14_stream_bloom_screen",
 )
 
 

@@ -257,3 +257,87 @@ def st13_stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
           "expected >= 4 micro-batches through the standing LSH index")
     return (store.read(spark, "pairs")
             .select("doc_id_a", "doc_id_b", "est_jaccard"))
+
+
+# Per-document bloom screen over the full corpus — what the streamed,
+# bitset-probing accumulation must equal regardless of batch split.
+from projectone_spark.queries.corpus4 import _bloom_ctes  # noqa: E402
+
+_ST14_SQL = f"""
+WITH {_bloom_ctes()}
+SELECT doc_id, source,
+       nsh AS n_shingles,
+       CAST(nex AS BIGINT) AS n_exact,
+       CAST(nbl AS BIGINT) AS n_bloom,
+       4 * nbl > 3 * nsh AS dropped
+FROM per_doc
+"""
+
+
+@register("st14_stream_bloom_screen", _ST14_SQL,
+          doc="streaming benchmark-decontamination screen: the benchmark "
+              "bloom bitset is built ONCE (8 KiB trained state) before "
+              "the stream starts, then every micro-batch probes its own "
+              "rows against the standing bitset scan-side (no join, no "
+              "shuffle) and appends per-doc verdicts exactly-once via "
+              "txn watermarks; >=4 real micro-batches asserted in-query, "
+              "zero bloom false negatives asserted over the accumulated "
+              "table, and the result equals the batch per-doc screen "
+              "bit-for-bit (stateless probe => batch-split-invariant)",
+          tags=("streaming", "sampling", "dedup", "llm"))
+def st14_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.sampling import bloom_bitset, bloom_doc_flags
+    from projectone_spark.queries import check
+    from projectone_spark.store import TableStore
+    from projectone_spark.streaming import (
+        StreamTrigger,
+        read_stream_parquet,
+        write_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).localCheckpoint(eager=False)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "text", "source")
+
+    # train once: the bitset is fixed state for the whole stream — each
+    # micro-batch pays ONLY the scan-side probe (the deploy shape of a
+    # production streaming decontamination gate)
+    words = bloom_bitset(bench)
+    check(any(words), "benchmark bloom bitset came out empty")
+
+    src_dir = scratch_dir(prefix="po_st14_src_")
+    corpus.repartition(4).write.mode("overwrite").parquet(src_dir)
+    store = TableStore(scratch_dir(prefix="po_st14_store_"))
+    stream = read_stream_parquet(
+        spark, src_dir, "doc_id bigint, text string, source string",
+        max_files_per_trigger=1)
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.txn_version("screen", "st14_screen"):
+            return  # at-least-once replay: already committed
+        flags = bloom_doc_flags(batch_df, bench, bitset=words)
+        verdicts = flags.select(
+            "doc_id", "source",
+            F.col("__n_sh").cast("bigint").alias("n_shingles"),
+            F.col("__n_ex").cast("bigint").alias("n_exact"),
+            F.col("__n_bl").cast("bigint").alias("n_bloom"),
+            (4 * F.col("__n_bl") > 3 * F.col("__n_sh")).alias("dropped"),
+            F.col("__n_fneg").cast("bigint").alias("__fneg"))
+        store.append(spark, verdicts, "screen", txn=("st14_screen", batch_id))
+
+    q = write_stream(stream, foreach_batch=screen_batch,
+                     trigger=StreamTrigger(available_now=True),
+                     checkpoint=scratch_dir(prefix="po_st14_ckpt_"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st14 stream did not finish in 300s — refusing "
+                           "to read a partially-screened table")
+    check(store.txn_version("screen", "st14_screen") >= 3,
+          "expected >= 4 micro-batches through the standing bloom bitset")
+    out = store.read(spark, "screen").localCheckpoint(eager=True)
+    fneg = out.agg(F.sum("__fneg").alias("n")).first()["n"] or 0
+    check(fneg == 0, f"bloom produced {fneg} false negatives "
+                     "(impossible for a correct bloom filter)")
+    return out.select("doc_id", "source", "n_shingles", "n_exact",
+                      "n_bloom", "dropped")

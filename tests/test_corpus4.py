@@ -187,3 +187,38 @@ def test_curriculum_order_plan_has_no_window(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "Sort" not in plan  # no global or partial sort anywhere
+
+
+def test_bloom_bitset_precomputed_equals_inline_build(spark):
+    """The train-once bitset path (st14's deploy shape) must produce
+    byte-identical per-doc verdicts to the build-inline path."""
+    from projectone_spark.functions.sampling import (bloom_bitset,
+                                                     bloom_doc_flags)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "a"),
+         (2, "an entirely different piece of text here now", "a"),
+         (3, "the quick brown fox went somewhere else", "b")],
+        "doc_id bigint, text string, source string")
+    bench = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id != 1")
+    words = bloom_bitset(bench)
+    assert len(words) == 65536 // 64 and any(words)
+    inline = sorted(map(tuple, bloom_doc_flags(corpus, bench).collect()))
+    pre = sorted(map(tuple,
+                     bloom_doc_flags(corpus, bench, bitset=words).collect()))
+    assert inline == pre
+
+
+def test_bloom_bitset_validation(spark):
+    import pytest as _pytest
+
+    from projectone_spark.functions.sampling import (bloom_bitset,
+                                                     bloom_doc_flags)
+
+    docs = spark.createDataFrame([(1, "abcdefgh", "a")],
+                                 "doc_id bigint, text string, source string")
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitset(docs, m_bits=100)
+    with _pytest.raises(ValueError, match="bitset has"):
+        bloom_doc_flags(docs, docs, bitset=[0] * 10)

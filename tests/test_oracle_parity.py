@@ -74,6 +74,8 @@ def test_harness_prefix_contract():
         "p11_epoch_schedule",
         # second late-r6 batch (took the s02/s10/st09 slots):
         "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",
+        # third late-r6 batch (took the p04 slot):
+        "st14_stream_bloom_screen",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
