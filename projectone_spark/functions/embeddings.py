@@ -185,17 +185,31 @@ def knn_matryoshka(corpus: DataFrame, queries: DataFrame, k: int = 5,
     short = (scored.withColumn("__srank", F.row_number().over(ws))
              .filter(F.col("__srank") <= shortlist)
              .select(query_id_col, "neighbor_id", "pscore"))
-    # shortlist is n_queries × shortlist rows — broadcast it onto the
-    # corpus to fetch full vectors for exactly the surviving candidates
-    rr = (c.select(F.col(id_col).alias("neighbor_id"), "__vec", "__vn")
-          .join(F.broadcast(short), "neighbor_id")
-          .join(F.broadcast(q.select(query_id_col, "__qvec", "__qn")),
-                query_id_col)
-          .select(query_id_col, "neighbor_id", "pscore",
-                  F.round(dot(F.col("__qvec"), F.col("__vec"))
-                          / (F.col("__qn") * F.col("__vn")), 6)
-                  .alias("score")))
+    rr = _funnel_rerank(c.select(id_col, "__vec", "__vn"),
+                        q.select(query_id_col, "__qvec", "__qn"),
+                        short, "pscore", id_col, query_id_col)
     return _topk(rr, query_id_col, k)
+
+
+def _funnel_rerank(c: DataFrame, q: DataFrame, short: DataFrame,
+                   carried_col: str, id_col: str,
+                   query_id_col: str) -> DataFrame:
+    """Stage 2 of a funnel retrieval: exact full-dimension cosine over a
+    per-query shortlist. ``short`` is n_queries × shortlist (query_id,
+    neighbor_id, carried_col) rows — broadcast it onto the corpus to
+    fetch full vectors for exactly the surviving candidates, then
+    broadcast the queries on. ``c`` must carry (id_col, __vec, __vn),
+    ``q`` (query_id_col, __qvec, __qn); the 6-dp rounding and the
+    neighbor-id tie-break (applied by the caller's :func:`_topk`) are
+    the shared contract that keeps every funnel bit-exact-oracle-
+    checkable."""
+    return (c.select(F.col(id_col).alias("neighbor_id"), "__vec", "__vn")
+            .join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(q), query_id_col)
+            .select(query_id_col, "neighbor_id", carried_col,
+                    F.round(dot(F.col("__qvec"), F.col("__vec"))
+                            / (F.col("__qn") * F.col("__vn")), 6)
+                    .alias("score")))
 
 
 # -- IVF (centroid-partitioned ANN) ------------------------------------------
@@ -616,3 +630,89 @@ def centroid_classify(df: DataFrame, vec_col: str = "embedding",
             .agg(F.count(F.lit(1)).alias("n_vectors"))
             .select(F.col(label_col),
                     F.col("__clabel").alias("assigned_label"), "n_vectors"))
+
+
+def sign_words(vec: Column, dims: int) -> list[Column]:
+    """Pack a vector's sign bits into ``ceil(dims/32)`` BIGINT words
+    (bit i of word j set iff coordinate ``32*j + i`` is > 0). 32-bit
+    words keep every value far from the int64 sign bit, so XOR/popcount
+    behave identically in any engine."""
+    if dims <= 0:
+        raise ValueError(f"dims must be positive, got {dims}")
+    def bit_of(off: int):
+        # factory, not a defaulted lambda: a two-parameter callable would
+        # receive the ARRAY INDEX as its second argument
+        def expr(i: Column) -> Column:
+            # 2^(i-1) via double pow is exact here (i <= 32 << 2^53);
+            # F.shiftleft only takes a literal shift amount
+            return F.when(
+                F.element_at(vec, (F.lit(off) + i).cast("int")) > F.lit(0.0),
+                F.pow(F.lit(2.0), (i - 1).cast("double")).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return expr
+
+    words = []
+    for j in range(0, dims, 32):
+        nbits = min(32, dims - j)
+        words.append(F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(nbits)), bit_of(j)),
+            F.lit(0).cast("bigint"), lambda a, x: a + x))
+    return words
+
+
+def knn_binary_hamming(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       shortlist: int = 25, dims: int = 64,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       query_id_col: str = "query_id",
+                       parallelism: int | None = None) -> DataFrame:
+    """Two-stage KNN over sign-bit binary quantization: stage 1 ranks
+    every candidate by HAMMING distance between packed sign bitmaps
+    (2 XOR + 2 popcounts per pair at 64 dims — the binary-quantization
+    shortlist used by vector stores for a 32× compressed first pass),
+    stage 2 re-ranks the per-query ``shortlist`` with exact
+    full-dimension cosine and returns the top ``k``.
+
+    Same funnel scaffolding as :func:`knn_matryoshka`, one step further
+    down the compression ladder: the stage-1 corpus projection is two
+    BIGINT words per row (16 bytes vs 64 floats = 256 bytes, a 16×
+    smaller scan with the packing precomputed), the candidate shuffle
+    carries (query, neighbor, hamming) triples only, and full vectors
+    are fetched by broadcast-back for just ``n_queries × shortlist``
+    rows. Stage 1 is INTEGER-ranked (no float rounding anywhere), so
+    the whole funnel is bit-exact-oracle-checkable; ties break by
+    neighbor id in both stages.
+
+    Returns (query_id, neighbor_id, hamming, score, rank) for the top-k.
+    """
+    n_words = (dims + 31) // 32
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__vec")),
+               parallelism)
+    cw = c.select(id_col, "__vec",
+                  *[w.alias(f"__w{j}")
+                    for j, w in enumerate(sign_words(F.col("__vec"), dims))])
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    qw = q.select(query_id_col, "__qvec",
+                  *[w.alias(f"__q{j}")
+                    for j, w in enumerate(sign_words(F.col("__qvec"), dims))])
+    ham = sum(F.bit_count(F.col(f"__w{j}").bitwiseXOR(F.col(f"__q{j}")))
+              for j in range(n_words)).cast("bigint")
+    # words only on the corpus side of the pair loop — the full vector
+    # stays behind and is re-fetched for the shortlist alone
+    scored = (cw.drop("__vec").crossJoin(
+                  F.broadcast(qw.drop("__qvec")))
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(F.col(query_id_col),
+                      F.col(id_col).alias("neighbor_id"),
+                      ham.alias("hamming")))
+    ws = Window.partitionBy(query_id_col).orderBy(F.asc("hamming"),
+                                                  F.asc("neighbor_id"))
+    short = (scored.withColumn("__srank", F.row_number().over(ws))
+             .filter(F.col("__srank") <= shortlist)
+             .select(query_id_col, "neighbor_id", "hamming"))
+    rr = _funnel_rerank(
+        c.select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__vn")),
+        q.select(query_id_col, "__qvec",
+                 l2_norm(F.col("__qvec")).alias("__qn")),
+        short, "hamming", id_col, query_id_col)
+    return _topk(rr, query_id_col, k)

@@ -610,3 +610,97 @@ def export_shards(df: DataFrame, out_dir: str, *,
             f"shard {over[0]['__f']} holds {over[0]['__n']} rows > cap "
             f"{max_records_per_file}")
     return back
+
+
+def unimax_allocation(df: DataFrame, text_col: str = "text",
+                      group_col: str = "lang",
+                      budget: tuple[int, int] = (3, 1),
+                      cap_epochs: int = 4,
+                      scale: int = 1_000_000) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): share a total token ``budget`` (a rational multiple
+    ``num/den`` of the corpus's own token count) UNIFORMLY across groups,
+    except no group repeats more than ``cap_epochs`` epochs — the
+    waterfilling that stops high-resource languages from drowning the
+    mixture while never over-duplicating low-resource ones.
+
+    The iterative waterfill has a closed form over groups sorted
+    ascending by their epoch-capped supply ``s = cap_epochs * n``: group
+    i is capped iff ``s_i * (G - i + 1) <= B - prefix_i`` (prefix = sum
+    of s over earlier groups). The condition's truth is monotone
+    non-increasing down the sort even with the naive full prefix —
+    if it fails at i, then for j > i::
+
+        B - prefix_j <= B - prefix_i - (j-i)*s_i < s_i*(G-i+1-(j-i))
+                     <= s_j*(G-j+1)
+
+    so ONE window pass computes the exact fixpoint: capped groups take
+    ``s``, the leftover ``R`` splits as ``R div k`` over the ``k``
+    uncapped groups with the ``R mod k`` remainder going one token each
+    to the first uncapped groups in sort order. All integer arithmetic —
+    bit-identical in any engine. int64 envelope for the waterfill:
+    ``cap_epochs * n_max * G < 2^63`` (the capped test's product) and
+    ``budget_num * T < 2^63`` (the budget resolve); the epochs
+    micro-units run in a DECIMAL(38,0) lane (DuckDB: HUGEINT) because
+    ``scale * alloc_tokens`` already clears int64 at ~9e12 allocated
+    tokens — well inside a 100 TB corpus. Reported ``epochs`` = alloc/n,
+    HALF-UP rounded to 6 dp in integers before the one closing divide.
+
+    Plan shape at 100 TB: ONE map-side-combining per-group aggregation
+    of token counts; everything after runs on a groups-sized frame (the
+    single-partition windows are bounded by the group domain, like
+    :func:`epoch_schedule`'s broadcast schedule).
+
+    Returns (group_col, n_tokens, cap_tokens, capped, alloc_tokens,
+    epochs), one row per group with at least one token.
+    """
+    bn, bd = budget
+    if min(bn, bd) <= 0 or cap_epochs <= 0:
+        raise ValueError(f"budget and cap_epochs must be positive, got "
+                         f"budget={budget}, cap_epochs={cap_epochs}")
+    lt = (df.select(F.col(group_col),
+                    F.size(tokens(text_col)).alias("__dl"))
+          .groupBy(group_col)
+          .agg(F.sum("__dl").cast("bigint").alias("n_tokens"))
+          .filter(F.col("n_tokens") > 0))
+    every = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    asc = Window.partitionBy().orderBy("cap_tokens", group_col)
+    prior = asc.rowsBetween(Window.unboundedPreceding, -1)
+    upto = asc.rowsBetween(Window.unboundedPreceding, 0)
+    s = (lt.withColumn("cap_tokens",
+                       (F.col("n_tokens") * cap_epochs).cast("bigint"))
+         .withColumn("__g", F.count(F.lit(1)).over(every))
+         .withColumn("__t", F.sum("n_tokens").over(every))
+         .withColumn("__b", F.expr(f"(CAST({bn} AS BIGINT) * __t)"
+                                   f" div {bd}"))
+         .withColumn("__i", F.row_number().over(asc))
+         .withColumn("__prefix",
+                     F.coalesce(F.sum("cap_tokens").over(prior), F.lit(0)))
+         .withColumn("capped",
+                     F.col("cap_tokens") * (F.col("__g") - F.col("__i") + 1)
+                     <= F.col("__b") - F.col("__prefix")))
+    s = (s.withColumn("__capped_sum",
+                      F.coalesce(F.sum(F.when(F.col("capped"),
+                                              F.col("cap_tokens")))
+                                 .over(every), F.lit(0)))
+         .withColumn("__k",
+                     F.sum(F.when(~F.col("capped"), 1).otherwise(0))
+                     .over(every))
+         .withColumn("__r", F.col("__b") - F.col("__capped_sum"))
+         .withColumn("__urank",
+                     F.sum(F.when(~F.col("capped"), 1).otherwise(0))
+                     .over(upto))
+         .withColumn("alloc_tokens", F.when(
+             F.col("capped"), F.col("cap_tokens")).otherwise(
+             F.expr("__r div __k")
+             + F.when(F.col("__urank") <= F.expr("__r % __k"), 1)
+             .otherwise(0)).cast("bigint")))
+    return (s.withColumn("__em", F.expr(
+                f"(CAST({int(scale)} AS DECIMAL(38,0)) * alloc_tokens"
+                f" + n_tokens div 2) div n_tokens"))
+            .select(group_col, "n_tokens", "cap_tokens", "capped",
+                    "alloc_tokens",
+                    (F.col("__em").cast("double")
+                     / F.lit(float(scale))).alias("epochs")))

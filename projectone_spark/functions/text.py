@@ -627,3 +627,119 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out.withColumn(
         "keep", F.col("rule_word_count") & F.col("rule_mean_word_len")
         & F.col("rule_stopwords") & F.col("rule_top_word"))
+
+
+def bm25_topk(df: DataFrame, query_terms: dict[str, Sequence[str]],
+              text_col: str = "text", id_col: str = "doc_id",
+              k: int = 10, k1: tuple[int, int] = (6, 5),
+              b: tuple[int, int] = (3, 4),
+              scale: int = 1_000_000) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus, exact-integer
+    end-to-end (Robertson & Zaragoza 2009), with the linear log-free idf
+    ``N / df`` (same cross-engine discipline as
+    :func:`distinctive_terms` — a ``ln`` differs by ulps across libms).
+
+    ``k1`` and ``b`` are RATIONALS ``(num, den)`` (defaults 6/5 = 1.2 and
+    3/4 = 0.75, the textbook values), so the whole per-term score clears
+    denominators into one integer fraction::
+
+        score(t, d) = (N/df) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+                    = NUM / DEN                         with avgdl = T/N,
+        NUM = (k1n+k1d)*bd * tf * T * N
+        DEN = df * (k1d*bd*tf*T + k1n*(bd-bn)*T + k1n*bn*dl*N)
+
+    Each per-term score is HALF-UP rounded to integer micro-units —
+    ``(2*NUM*scale + DEN) div (2*DEN)``, EVERY term in DECIMAL(38,0)
+    (DuckDB mirror: HUGEINT) — then summed per (query, doc) as exact
+    BIGINTs, so the ranking and the reported score are bit-identical
+    across engines. The doubled form is algebraically the same half-up
+    rounding but keeps the whole expression in the 128-bit lane: the
+    naive ``DEN div 2`` intermediate is an integral divide, which Spark
+    returns as BIGINT and silently wraps once ``DEN >= 2^64`` (verified:
+    ``DECIMAL(38,0) div 2`` wraps even under ANSI). Likewise the DEN
+    inner sum multiplies through DECIMAL — in BIGINT, ``20*tf*T``
+    overflows int64 inside the envelope below. Headroom:
+    ``88 * tf * T * N * scale < 10^38`` holds through ~3e10 docs /
+    ~3e13 tokens at the defaults; only the final micro units (which fit
+    int64 by construction: per-term score <= (k1+1) * N/df * scale)
+    leave the decimal lane.
+
+    Plan shape at 100 TB: the query-term membership filter lands ON the
+    exploded scan (a literal IN over a handful of terms), so the only
+    corpus-sized shuffle carries (doc, matching-term) rows — a vanishing
+    fraction of the corpus. df/N/T are bounded aggregates (``df`` by the
+    query vocabulary; N/T one row off a column-pruned second scan);
+    everything joins back by broadcast. The final top-k window partitions
+    by query over docs-with-hits only.
+
+    Returns (query_id, rank, doc_id, n_terms_hit, n_tokens, score_micro,
+    score), ``rank <= k`` per query, ties broken by doc_id.
+    """
+    from pyspark.sql import Window
+
+    k1n, k1d = k1
+    bn, bd = b
+    if min(k1n, k1d, bn, bd) <= 0 or bn > bd:
+        raise ValueError(f"k1/b must be positive rationals with b <= 1, "
+                         f"got k1={k1}, b={b}")
+    all_terms = sorted({t for ts in query_terms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("query_terms is empty")
+    import re
+    bad = [t for t in all_terms if not re.fullmatch(r"[a-z0-9]+", t)]
+    if bad:
+        raise ValueError(f"query terms must be normalized [a-z0-9]+: {bad}")
+    spark = df.sparkSession
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in query_terms.items() for t in ts],
+        "query_id string, term string").dropDuplicates()
+
+    # corpus stats off a column-pruned scan: one row, broadcast
+    dls = (df.select(F.size(tokens(text_col)).alias("__dl"))
+           .filter(F.col("__dl") > 0))
+    stats = dls.agg(F.count(F.lit(1)).cast("bigint").alias("__n"),
+                    F.sum("__dl").cast("bigint").alias("__t"))
+
+    # the only corpus-sized stage: explode + literal IN filter; __dl
+    # (the doc's FULL token count) rides the surviving rows. tokens()
+    # is projected ONCE — size() and explode() off the same chain would
+    # run the normalize+split regexes twice per document
+    exploded = (df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+                .select(F.col(id_col), F.size("__toks").alias("__dl"),
+                        F.explode("__toks").alias("term"))
+                .filter(F.col("term").isin(*all_terms)))
+    tf = (exploded.groupBy(id_col, "__dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          # tf feeds both the df fold and the scoring join: checkpoint so
+          # the corpus explode runs ONCE, not once per consumer
+          .localCheckpoint(eager=False))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    c_num = (k1n + k1d) * bd
+    c_tf, c_t, c_dl = k1d * bd, k1n * (bd - bn), k1n * bn
+    micro = F.expr(
+        f"CAST((CAST({2 * c_num} AS DECIMAL(38,0)) * tf * __t * __n"
+        f" * {int(scale)}"
+        f" + __den) div (CAST(2 AS DECIMAL(38,0)) * __den) AS BIGINT)")
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("__den",
+                          F.expr(f"CAST(__df AS DECIMAL(38,0)) * "
+                                 f"(CAST({c_tf} AS DECIMAL(38,0)) * tf * __t"
+                                 f" + CAST({c_t} AS DECIMAL(38,0)) * __t"
+                                 f" + CAST({c_dl} AS DECIMAL(38,0))"
+                                 f" * __dl * __n)"))
+              .withColumn("__micro", micro)
+              .join(F.broadcast(qt), "term")
+              .groupBy("query_id", id_col)
+              .agg(F.first("__dl").alias("n_tokens"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+                   F.sum("__micro").alias("score_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", id_col, "n_terms_hit", "n_tokens",
+                    "score_micro",
+                    (F.col("score_micro").cast("double")
+                     / F.lit(float(scale))).alias("score")))

@@ -138,7 +138,6 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "e07_centroid_classify",
     "o02_odata_incremental_stream", "o03_odata_multibatch_stream",
     "st12_stream_dedup_merge",
-    "q38_market_share", "q39_product_profit", "q40_returned_item_customers",
     # never driver-adjudicated (new in r5 tail / new in r6):
     "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
     "f06_avro_roundtrip", "f07_post_task_cleanup", "f08_event_handlers",
@@ -161,6 +160,9 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",
     # third late-r6 batch (p04 rotated out — 2+ greens):
     "st14_stream_bloom_screen",
+    # fourth late-r6 batch (q38/q39/q40 rotated out — 1 green each plus
+    # the registry's most-proven family as siblings):
+    "t13_bm25_retrieval", "e13_knn_binary_hamming", "p13_unimax_allocation",
 )
 
 
@@ -201,6 +203,7 @@ def _ensure_loaded() -> None:
         corpus3,  # new-in-r5: composed dedup+contamination / quality+mixture
         corpus4,  # new-in-r6: unigram-surprisal quality scoring
         corpus5,  # late-r6: bigram surprisal, winnowing, epoch schedule
+        corpus6,  # late-r6: BM25 retrieval
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}

@@ -312,3 +312,58 @@ def e12_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return knn_matryoshka(emb, queries, k=5, prefix_dims=16, shortlist=25)
+
+
+def _sign_word_sql(vec: str, off: int) -> str:
+    """DuckDB mirror of functions/embeddings.sign_words: one 32-bit word
+    of sign bits starting at 0-based coordinate ``off``."""
+    return (f"CAST(list_sum(list_transform(range(1, 33), i -> "
+            f"CASE WHEN {vec}[{off} + i] > 0 THEN (1::BIGINT << (i - 1)) "
+            f"ELSE 0 END)) AS BIGINT)")
+
+
+_E13_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+w AS (SELECT vec_id, e, {_sign_word_sql('e', 0)} AS w0,
+             {_sign_word_sql('e', 32)} AS w1 FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, w0 AS q0, w1 AS q1 FROM w
+      WHERE vec_id % 50 = 0),
+s1 AS (
+  SELECT q.query_id, w.vec_id AS neighbor_id, w.e AS e, q.qe AS qe,
+         CAST(bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1))
+              AS BIGINT) AS hamming
+  FROM w CROSS JOIN q WHERE w.vec_id <> q.query_id),
+sh AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id) AS srank
+  FROM s1),
+rr AS (
+  SELECT query_id, neighbor_id, hamming,
+         round({_dot('qe', 'e')} / ({_norm('qe')} * {_norm('e')}), 6) AS score
+  FROM sh WHERE srank <= 25),
+rk AS (
+  SELECT query_id, neighbor_id, hamming, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM rr)
+SELECT query_id, neighbor_id, hamming, score, rank FROM rk WHERE rank <= 5
+"""
+
+
+@register("e13_knn_binary_hamming", _E13_SQL,
+          doc="binary-quantized funnel retrieval: stage-1 shortlist by "
+              "Hamming distance between packed sign-bit words (two "
+              "XOR+popcounts per pair over a 16-byte projection — 16x "
+              "smaller than the float vectors), stage-2 exact cosine "
+              "rerank of 25 candidates per query; stage 1 ranks on exact "
+              "integers, so the whole funnel is bit-exact-oracle-checked "
+              "with no trained state",
+          tags=("embeddings", "knn", "ann", "hamming"))
+def e13_knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import knn_binary_hamming
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return knn_binary_hamming(emb, queries, k=5, shortlist=25, dims=64)

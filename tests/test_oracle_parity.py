@@ -76,6 +76,9 @@ def test_harness_prefix_contract():
         "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",
         # third late-r6 batch (took the p04 slot):
         "st14_stream_bloom_screen",
+        # fourth late-r6 batch (took the q38/q39/q40 slots):
+        "t13_bm25_retrieval", "e13_knn_binary_hamming",
+        "p13_unimax_allocation",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
