@@ -131,8 +131,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "s07_incremental_agg",
     # round-5 first greens, second adjudication:
     "f01_task_feature_pipeline", "f02_dag_pipeline", "f03_cdc_backfill",
-    "f04_schema_registry_json", "f05_quality_mixture_pipeline",
-    "t09_gopher_rules", "d10_crossdoc_ngram_dedup",
+    "f05_quality_mixture_pipeline",
+    "d10_crossdoc_ngram_dedup",
     "d11_incremental_lsh_pairs", "d12_neardup_aware_contamination",
     "p07_mixture_rebalance", "p08_sharded_export",
     "e07_centroid_classify",
@@ -163,6 +163,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # fourth late-r6 batch (q38/q39/q40 rotated out — 1 green each plus
     # the registry's most-proven family as siblings):
     "t13_bm25_retrieval", "e13_knn_binary_hamming", "p13_unimax_allocation",
+    # fifth late-r6 batch (f04/t09 rotated out — 1 green each, their
+    # operator families stay driver-covered by in-prefix siblings:
+    # f01-f03/f05/f06 exercise the schema-registry/task surface, and the
+    # Gopher battery runs INSIDE f05 and f11):
+    "q44_waiting_suppliers", "q45_dormant_customers",
 )
 
 

@@ -352,3 +352,137 @@ def q43_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("part_value") * 1000 > F.col("total_value"))
             .select(F.col("l_partkey").alias("p_partkey"),
                     F.col("part_value").cast("double").alias("part_value")))
+
+
+_Q44_SQL = """
+WITH ls AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey),
+og AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+         CAST(sum(is_late) AS BIGINT) AS n_late
+  FROM ls GROUP BY l_orderkey)
+SELECT n.n_name AS nation, s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM ls
+JOIN og USING (l_orderkey)
+JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE ls.is_late = 1 AND og.n_supp >= 2 AND og.n_late = 1
+GROUP BY n.n_name, s.s_suppkey, s.s_name
+"""
+
+
+@register("q44_waiting_suppliers", _Q44_SQL,
+          doc="TPC-H Q21 shape (suppliers who kept orders waiting, adapted "
+              "to no-commitdate: a line is late when it ships more than 60 "
+              "days after the order date): per supplier, the finished "
+              "multi-supplier orders where that supplier's line was the "
+              "ONLY late one — the double-correlated EXISTS / NOT EXISTS "
+              "pair becomes two per-group counts (suppliers per order, "
+              "late suppliers per order), so the whole query is one "
+              "orderkey-copartitioned lineitem-orders join, a "
+              "(order, supplier) fold, an order-level fold of the SAME "
+              "checkpointed frame, and a join back on orderkey — no "
+              "correlated re-scans anywhere",
+          tags=("join", "agg", "exists", "star"))
+def q44_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # orders scales with the data: shuffle join on orderkey (no broadcast),
+    # then the (order, supplier) late fold reuses that partitioning
+    late = F.when(F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                  1).otherwise(0)
+    ls = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max(late).alias("is_late")))
+    # ls feeds both the order-level fold and the final join: checkpoint so
+    # the lineitem-orders join runs once
+    ls = ls.localCheckpoint(eager=False)
+    og = (ls.groupBy("l_orderkey")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_supp"),
+               F.sum("is_late").cast("bigint").alias("n_late")))
+    return (ls.join(og, "l_orderkey")
+            .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2)
+                    & (F.col("n_late") == 1))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.col("s_suppkey"), F.col("s_name"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait")))
+
+
+_Q45_SQL = f"""
+WITH pos AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(c.c_acctbal AS {_DEC}) AS bal
+  FROM customer c
+  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+    AND c.c_acctbal > 0),
+avgbal AS (
+  SELECT CAST(sum(bal) AS {_DEC}) AS total,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM pos)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(p.bal) AS DOUBLE) AS totacctbal
+FROM pos p
+CROSS JOIN avgbal a
+JOIN nation n ON p.c_nationkey = n.n_nationkey
+WHERE p.bal * a.cnt > a.total
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = p.c_custkey
+                    AND o.o_orderstatus = 'O')
+GROUP BY n.n_name
+"""
+
+
+@register("q45_dormant_customers", _Q45_SQL,
+          doc="TPC-H Q22 shape (global-sales-opportunity, adapted: market "
+              "segments stand in for phone country codes and 'no open "
+              "orders' for 'no orders'): above-average-balance customers "
+              "in three segments with no status-'O' order, grouped by "
+              "nation — the scalar AVG subquery broadcasts as a one-row "
+              "(sum, count) and the compare is exact decimal "
+              "bal*cnt > total (never a float average); the NOT EXISTS "
+              "is a LEFT ANTI join against the open-orders projection",
+          tags=("join", "agg", "anti", "exists"))
+def q45_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    open_orders = (load(spark, sf_dir, "orders")
+                   .filter(F.col("o_orderstatus") == "O")
+                   .select("o_custkey"))
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pos = (cust.filter(F.col("c_mktsegment").isin(
+                           "AUTOMOBILE", "BUILDING", "MACHINERY")
+                       & (F.col("c_acctbal") > 0))
+           .select("c_custkey", "c_nationkey",
+                   F.col("c_acctbal").cast("decimal(18,2)").alias("bal")))
+    # pos feeds the one-row average and the filtered output: checkpoint so
+    # the customer scan runs once
+    pos = pos.localCheckpoint(eager=False)
+    avgbal = pos.agg(F.sum("bal").cast("decimal(18,2)").alias("total"),
+                     F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return (pos.crossJoin(F.broadcast(avgbal))
+            .filter(F.col("bal") * F.col("cnt") > F.col("total"))
+            .join(open_orders, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+                 F.sum("bal").cast("double").alias("totacctbal")))

@@ -79,6 +79,8 @@ def test_harness_prefix_contract():
         # fourth late-r6 batch (took the q38/q39/q40 slots):
         "t13_bm25_retrieval", "e13_knn_binary_hamming",
         "p13_unimax_allocation",
+        # fifth late-r6 batch (took the f04/t09 slots):
+        "q44_waiting_suppliers", "q45_dormant_customers",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"

@@ -170,3 +170,44 @@ def test_q43_total_folds_the_part_aggregate(spark):
     analyzed = _analyzed(df)
     # exact decimal threshold: part_value * 1000 > total_value
     assert "1000" in analyzed
+
+
+def test_q44_no_correlated_rescans_and_no_data_scaled_broadcast(spark):
+    """Q21-shape: the EXISTS/NOT-EXISTS pair is two per-group counts over
+    ONE checkpointed (order, supplier) fold — the lineitem-orders join
+    runs once, orders joins by shuffle (never broadcast: it scales with
+    the data), and only the supplier/nation dims broadcast."""
+    df = queries()["q44_waiting_suppliers"](spark, SF_DIR)
+    plan = _formatted(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("(1) ")[0]
+    # lineitem+orders are hidden behind the checkpoint: the only parquet
+    # scans left are the two broadcast dims
+    assert tree.count("Scan parquet") == 2
+    assert tree.count("BroadcastExchange") == 2
+
+
+def test_q45_decimal_average_and_anti_join_shape(spark):
+    """Q22-shape: the scalar average broadcasts as one (sum, count) row
+    and compares in exact decimal; the NOT EXISTS is an equi anti join
+    against the open-orders projection — shuffled, never a nested loop,
+    with the status filter pushed to the orders scan."""
+    df = queries()["q45_dormant_customers"](spark, SF_DIR)
+    plan = _formatted(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("(1) ")[0]
+    # exactly ONE nested loop: the one-row (sum, count) scalar cross
+    # join — the anti join itself must be an equi join, not a loop
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert "LeftAnti" in tree and "BroadcastNestedLoopJoin LeftAnti" not in tree
+    # only the one-row average and the nation dim carry broadcast HINTS —
+    # orders (data-scaled anti side) must be left to size stats / AQE
+    # (at test sf the stats legitimately auto-broadcast it, so count
+    # hints in the analyzed plan, not exchanges in the physical one)
+    assert _analyzed(df).count("ResolvedHint") == 2
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
+    # the threshold compares in exact decimal: bal * cnt (attr refs carry
+    # #ids, so match the multiply's shape in the join condition)
+    assert "bal#" in plan and "* cast(cnt#" in plan
