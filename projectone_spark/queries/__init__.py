@@ -128,9 +128,13 @@ def oracle_sql() -> dict[str, str]:
 #:    using the remaining slots — fillers are first to give way to new
 #:    queries.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    "s07_incremental_agg",
+    # round-7 rotation: q42/q43 (TPC-H Q2/Q11 shapes, the only registry
+    # entries that had never had a driver correctness row) take the slots
+    # of the two most-proven anchors, s07 (4 driver greens) and f01
+    # (2 greens) — both stay locally parity-checked every pytest run:
+    "q42_min_cost_supplier", "q43_important_stock",
     # round-5 first greens, second adjudication:
-    "f01_task_feature_pipeline", "f02_dag_pipeline", "f03_cdc_backfill",
+    "f02_dag_pipeline", "f03_cdc_backfill",
     "f05_quality_mixture_pipeline",
     "d10_crossdoc_ngram_dedup",
     "d11_incremental_lsh_pairs", "d12_neardup_aware_contamination",

@@ -53,34 +53,13 @@ def test_harness_prefix_contract():
     assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
-    # round-6 rotation intent: every query that has never had a driver
-    # correctness row occupies a prefix slot (r5-tail cohort)
+    # round-7 rotation intent: every query that has never had a driver
+    # correctness row occupies a prefix slot. The whole r6 cohort went
+    # green in CORRECTNESS_r06.json (50/50), so the set reset to the two
+    # late-r6 TPC-H shapes that missed the r6 prefix freeze, plus any
+    # queries added this round.
     never_adjudicated = {
-        "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
-        "f06_avro_roundtrip", "f07_post_task_cleanup", "f08_event_handlers",
-        "f09_file_path_cdc", "v01_row_expectations",
-        "e08_knn_ivf_fullprobe", "e09_knn_pq_fullshortlist",
-        "q41_skew_salted_pipeline",
-        # converted from no-oracle / added in round 6:
-        "a01_approx_sketches", "a02_incremental_distinct_sketch",
-        "m05_image_phash_dedup", "e04_knn_ivf", "e05_knn_pq",
-        "f10_stream_multi_output_task", "v02_stage_metrics_accounting",
-        "t10_unigram_surprise", "e10_incremental_ivf_maintenance",
-        "p09_bloom_contamination", "st13_stream_neardup_index",
-        "e11_semdedup_prune", "f11_curation_pipeline",
-        "p10_curriculum_order",
-        # late-r6 additions (took the s17/s19/s21 filler slots):
-        "t11_bigram_surprise", "d13_winnowing_neardups",
-        "p11_epoch_schedule",
-        # second late-r6 batch (took the s02/s10/st09 slots):
-        "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",
-        # third late-r6 batch (took the p04 slot):
-        "st14_stream_bloom_screen",
-        # fourth late-r6 batch (took the q38/q39/q40 slots):
-        "t13_bm25_retrieval", "e13_knn_binary_hamming",
-        "p13_unimax_allocation",
-        # fifth late-r6 batch (took the f04/t09 slots):
-        "q44_waiting_suppliers", "q45_dormant_customers",
+        "q42_min_cost_supplier", "q43_important_stock",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
