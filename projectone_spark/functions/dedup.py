@@ -26,6 +26,7 @@ from projectone_spark.functions.text import (
     spread,
     tokens_of_norm,
 )
+from projectone_spark.session import release_checkpoint
 
 
 def content_hash_of_norm(norm: Column | str) -> Column:
@@ -325,11 +326,18 @@ def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
     na = nf.select(F.col(id_col).alias("doc_id_a"), F.col("n_fp").alias("n_fp_a"))
     nb = nf.select(F.col(id_col).alias("doc_id_b"), F.col("n_fp").alias("n_fp_b"))
     union = F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared")
+    # 6-dp HALF-UP in integer arithmetic (shared/union ≤ 1, so no whole
+    # part): round(double, 6) can diverge across engines on .xx5 IEEE
+    # midpoints (the dsir/bm25 tie class); (2·s·1e6 + u) div (2·u) is the
+    # exact half-up numerator and the closing divide of two exact
+    # integers is one correctly-rounded IEEE op in both engines
     return (pairs.join(na, "doc_id_a").join(nb, "doc_id_b")
             .filter(2 * F.col("n_shared") >= union)
             .select("doc_id_a", "doc_id_b", "n_shared", "n_fp_a", "n_fp_b",
-                    F.round(F.col("n_shared").cast("double")
-                            / union.cast("double"), 6).alias("sim")))
+                    (F.expr("(2000000 * n_shared"
+                            " + (n_fp_a + n_fp_b - n_shared))"
+                            " div (2 * (n_fp_a + n_fp_b - n_shared))")
+                     .cast("double") / F.lit(1000000.0)).alias("sim")))
 
 
 def connected_components(edges: DataFrame, src: str = "doc_id_a",
@@ -358,6 +366,7 @@ def connected_components(edges: DataFrame, src: str = "doc_id_a",
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     changed = -1
+    prev = None
     for _ in range(max_iters):
         neighbor_min = (sym.join(labels, sym["d"] == labels["node"])
                         .groupBy("s").agg(F.min("label").alias("nmin")))
@@ -372,6 +381,12 @@ def connected_components(edges: DataFrame, src: str = "doc_id_a",
                            (F.coalesce(F.col("nmin"), labels["label"])
                             < labels["label"]).alias("__chg"))
                    .localCheckpoint(eager=True))
+        if prev is not None:
+            # the new round's checkpoint is materialized — free the prior
+            # round's blocks (they would otherwise accumulate one label
+            # table per round for the session's lifetime)
+            release_checkpoint(prev)
+        prev = stepped
         changed = stepped.filter(F.col("__chg")).count()
         labels = stepped.drop("__chg")
         if changed == 0:
@@ -382,6 +397,9 @@ def connected_components(edges: DataFrame, src: str = "doc_id_a",
             f"connected_components did not converge in {max_iters} rounds "
             f"({changed} labels still changing); raise max_iters — rounds "
             f"needed grow with the graph diameter")
+    # the returned labels read the LAST round's checkpoint only — the edge
+    # list is dead once the loop converges
+    release_checkpoint(sym)
     return labels.select(F.col("node").alias(id_out),
                          F.col("label").alias("component"))
 

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from projectone_spark.session import release_checkpoint
+
 #: Tiny per-language marker vocabularies for the stopword language heuristic.
 #: Ties resolve to the alphabetically first language.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -35,6 +37,16 @@ STOPWORDS: tuple[str, ...] = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "this",
 )
+
+
+def _q6(scale: int) -> int:
+    """1e6/scale as an exact int — the cancellation factor the reduced
+    integer 6-dp rounding forms below rely on (see dsir_importance)."""
+    q, rem = divmod(1_000_000, int(scale))
+    if rem:
+        raise ValueError(f"scale must divide 1e6 for exact 6-dp rounding, "
+                         f"got {scale}")
+    return q
 
 
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
@@ -375,9 +387,23 @@ def unigram_surprise(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  F.sum(F.col("tf") * F.col("__micro")).alias("surprise_micro"))
+            # 6-dp HALF-UP rounding in INTEGER arithmetic, not
+            # round(double, 6): the quotient micro/(scale·n) can land on
+            # an IEEE .xx5 midpoint where Spark's (shortest-decimal-repr
+            # BigDecimal HALF_UP) and DuckDB's (libm) last digits differ.
+            # Same reduced form as dsir_importance: the fractional digits
+            # round(rem·1e6/(scale·n)) collapse (cancel scale, which must
+            # divide 1e6 — guarded below) to (2·rem·q + n) div (2·n) with
+            # q = 1e6/scale, keeping intermediates ≤ ~2·scale·n instead of
+            # the naive 2e6·scale·n that wraps at ~4.6M-token documents.
+            .withColumn("__b", F.expr(f"CAST({int(scale)} AS BIGINT)"
+                                      " * n_tokens"))
+            .withColumn("__r6", F.expr(
+                "(surprise_micro div __b) * 1000000"
+                f" + (2 * (surprise_micro % __b) * {_q6(scale)} + n_tokens)"
+                " div (2 * n_tokens)"))
             .select(F.col(id_col), F.col("n_tokens"), F.col("surprise_micro"),
-                    F.round(F.col("surprise_micro")
-                            / (F.lit(float(scale)) * F.col("n_tokens")), 6)
+                    (F.col("__r6").cast("double") / F.lit(1000000.0))
                     .alias("surprise")))
 
 
@@ -453,9 +479,16 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_bigrams"),
                  F.sum(F.col("tf") * F.col("__micro")).alias("surprise_micro"))
+            # integer 6-dp HALF-UP close, same .xx5-tie-proofing as the
+            # unigram twin (see the comment there)
+            .withColumn("__b", F.expr(f"CAST({int(scale)} AS BIGINT)"
+                                      " * n_bigrams"))
+            .withColumn("__r6", F.expr(
+                "(surprise_micro div __b) * 1000000"
+                f" + (2 * (surprise_micro % __b) * {_q6(scale)} + n_bigrams)"
+                " div (2 * n_bigrams)"))
             .select(F.col(id_col), F.col("n_bigrams"), F.col("surprise_micro"),
-                    F.round(F.col("surprise_micro")
-                            / (F.lit(float(scale)) * F.col("n_bigrams")), 6)
+                    (F.col("__r6").cast("double") / F.lit(1000000.0))
                     .alias("surprise")))
 
 
@@ -537,13 +570,184 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         out.append((step, l, r, l + r, cnt))
+        prev = vocab
         vocab = (vocab.select(
                      F.replace("sym", F.lit(f"{sep}{l}{sep2}{r}{sep}"),
                                F.lit(f"{sep}{l}{r}{sep}")).alias("sym"), "wc")
                  .localCheckpoint(eager=True))
+        # the new checkpoint has materialized (eager) — release the prior
+        # step's blocks, or n_merges vocabulary copies pile up in the
+        # block manager for the life of the session
+        release_checkpoint(prev)
+    # the rules are fully collected — the last vocabulary copy is dead too
+    release_checkpoint(vocab)
     return spark.createDataFrame(
         out, "step bigint, left_sym string, right_sym string,"
              " merged string, pair_count bigint")
+
+
+def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
+               text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "_",
+               parallelism: int | None = None) -> DataFrame:
+    """Apply trained BPE merge rules to the corpus — the tokenizer
+    APPLICATION step completing :func:`bpe_train_merges`'s training step
+    (Sennrich et al. 2016 §3.2: "we apply the learned operations").
+
+    Semantics exactly mirror training's vocabulary rewrite: each merge
+    rule rewrites every occurrence via one left-to-right non-overlapping
+    ``replace`` over the double-separator symbol string, rules applied
+    strictly in training order, none revisited. (This is the sequential-
+    replace definition, not the re-scan-for-minimum-rank loop some
+    encoders use; the two can differ on adjacencies a later merge
+    creates, so the engine pins the one that matches its own training
+    rewrite bit-for-bit.)
+
+    Spark-first shape — the corpus is scanned ONCE and the replace chain
+    never touches a corpus-sized relation: the scan feeds one map-side-
+    combining ``(doc, word)`` count; the DISTINCT-word vocabulary FOLDS
+    that aggregate (bounded by distinct words, not corpus size — the same
+    tf/vocab exchange-reuse discipline as :func:`unigram_surprise`); the
+    merge chain — a scan-side Catalyst ``replace`` per rule, whole-stage
+    codegen, no UDFs — runs over the vocabulary only; and one equi-join
+    (AQE broadcasts the encoded vocabulary while it fits) carries each
+    word's encoded length back to the doc-word counts for the per-
+    document fold. Encoding cost is O(vocab × merges), independent of
+    how often each word repeats in the corpus.
+
+    ``merges`` is the trained rule table — bounded model state, applied
+    in order. The expression-chain form is for merge tables that fit a
+    codegen expression tree (guarded below); a full 30k-merge production
+    tokenizer would swap the chain for an Arrow-batched pandas stage over
+    the same bounded vocabulary frame, leaving every corpus-sized part of
+    this plan unchanged.
+
+    Returns per document: (id, n_words, n_chars, n_bpe_tokens,
+    compression) where n_chars is the pre-merge symbol count (one per
+    character), n_bpe_tokens the post-merge count, and compression the
+    exact 6-dp half-up ratio n_bpe_tokens/n_chars. Documents with no
+    tokens are absent (same contract as unigram_surprise).
+    """
+    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"":
+        raise ValueError(
+            f"bpe sep must be a single non-alphanumeric, non-quote "
+            f"character (got {sep!r}): symbols are [a-z0-9]+ and the "
+            f"separator is interpolated into regex/SQL literals")
+    if len(merges) > 256:
+        raise ValueError(
+            f"{len(merges)} merges exceed the expression-chain form's "
+            "codegen budget (256); apply tokenizer-scale merge tables "
+            "with an Arrow-batched pandas stage over the distinct-word "
+            "vocabulary instead")
+    sep2 = sep + sep
+    wf = (spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
+                 parallelism)
+          .select(F.col(id_col), F.explode("__toks").alias("__w"))
+          .filter(F.col("__w") != "")
+          .groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c")))
+    # the vocabulary folds the doc-word aggregate (one corpus scan shared
+    # via exchange reuse); the replace chain runs on these rows only
+    sym = F.concat(F.lit(sep2), F.regexp_replace("__w", "(.)", "$1" + sep2))
+    for left, right in merges:
+        sym = F.replace(sym, F.lit(f"{sep}{left}{sep2}{right}{sep}"),
+                        F.lit(f"{sep}{left}{right}{sep}"))
+    enc = (wf.groupBy("__w").agg(F.sum("__c").alias("__cw"))
+           .select("__w", F.length("__w").alias("__len"),
+                   (F.size(F.split(sym, sep2)) - 2).alias("__nsym")))
+    return (wf.join(enc, "__w")
+            .groupBy(id_col)
+            .agg(F.sum("__c").alias("n_words"),
+                 F.sum(F.col("__c") * F.col("__len")).alias("n_chars"),
+                 F.sum(F.col("__c") * F.col("__nsym")).alias("n_bpe_tokens"))
+            # exact 6-dp half-up ratio (n_bpe_tokens <= n_chars, so no
+            # whole part): same .xx5-tie-proof close as winnow sim
+            .select(F.col(id_col), F.col("n_words"), F.col("n_chars"),
+                    F.col("n_bpe_tokens"),
+                    (F.expr("(2000000 * n_bpe_tokens + n_chars)"
+                            " div (2 * n_chars)").cast("double")
+                     / F.lit(1000000.0)).alias("compression")))
+
+
+def linear_token_classifier(df: DataFrame, label: Column, train: Column,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            scale: int = 1_000_000) -> DataFrame:
+    """Model-based document classifier in the fastText supervised shape
+    (Joulin et al. 2017, "Bag of Tricks for Efficient Text
+    Classification"): a document's score is a LINEAR function of its
+    bag-of-words — the mean of per-token weights — squashed through a
+    hard sigmoid. The curation stage CCNet/DataComp pipelines run as
+    "quality classifier" is exactly this: a bounded per-token weight
+    table applied scan-side to every document.
+
+    The weight table is TRAINED here, on the rows selected by ``train``
+    (a labeled split), as add-one-smoothed count ratios in exact integer
+    micro-units — the naive-Bayes-flavored linear weights fastText's
+    softmax reduces to for one output class::
+
+        w(t) = scale · (c_pos(t)+1)·(N_neg+V) / ((c_neg(t)+1)·(N_pos+V))
+
+    staged as ``((scale·(c_pos+1)) div (c_neg+1) · (N_neg+V)) div
+    (N_pos+V)`` so no intermediate exceeds ``scale · max_term_count``
+    (the dsir_importance overflow discipline). A weight above ``scale``
+    votes positive. Per scored document::
+
+        logit_micro = (Σ_t tf·w(t)) div n_tokens      -- mean token weight
+        score_micro = least(scale, (logit_micro + scale) div 4)
+
+    — the hard sigmoid ``clamp(x/4 + ½, 0, 1)`` with x centered at
+    ratio 1.0, in micro-units; its numerator is provably non-negative
+    (all weights are), so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree. The proper sigmoid is monotone in the logit,
+    so thresholding at ``score_micro > scale/2`` is thresholding the
+    real model at probability ½ (exact up to the div's sub-micro
+    truncation: the cut lands at logit ratio 1 + 4e-6 instead of 1) —
+    no transcendental float enters the pipeline. Out-of-vocabulary tokens are dropped (a production scorer
+    ships its vocabulary; unseen tokens carry no weight), and
+    ``n_tokens`` counts in-vocabulary tokens.
+
+    Plan shape at 100 TB: ONE corpus scan feeds the ``(doc, term)``
+    count; the weight table FOLDS that aggregate restricted to the
+    training split (bounded by vocabulary size); scoring is one
+    equi-join of doc-term counts against the weight table (AQE
+    broadcasts it while it fits) plus a single-row broadcast of the
+    totals — the t10/p12 exchange-reuse discipline.
+
+    Returns, for rows NOT in the training split: (id, n_tokens,
+    logit_micro, score_micro, pred, label).
+    """
+    base = (df.select(F.col(id_col), label.alias("__y"),
+                      train.alias("__tr"),
+                      F.explode(tokens(text_col)).alias("term"))
+            .filter(F.col("term").isNotNull()))
+    tf = (base.groupBy(id_col, "__y", "__tr", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    vocab = (tf.filter(F.col("__tr"))
+             .groupBy("term")
+             .agg(F.sum(F.when(F.col("__y"), F.col("tf")).otherwise(0))
+                  .cast("bigint").alias("__cpos"),
+                  F.sum(F.when(F.col("__y"), 0).otherwise(F.col("tf")))
+                  .cast("bigint").alias("__cneg")))
+    totals = vocab.agg(F.sum("__cpos").alias("__npos"),
+                       F.sum("__cneg").alias("__nneg"),
+                       F.count(F.lit(1)).alias("__v"))
+    return (tf.filter(~F.col("__tr"))
+            .join(vocab, "term")
+            .crossJoin(F.broadcast(totals))
+            .withColumn("__w", F.expr(
+                f"(((CAST({int(scale)} AS BIGINT) * (__cpos + 1))"
+                " div (__cneg + 1)) * (__nneg + __v)) div (__npos + __v)"))
+            .groupBy(id_col)
+            .agg(F.first("__y").alias("__label"),
+                 F.sum("tf").alias("n_tokens"),
+                 F.sum(F.col("tf") * F.col("__w")).alias("__dot"))
+            .withColumn("logit_micro", F.expr("__dot div n_tokens"))
+            .withColumn("score_micro", F.least(
+                F.lit(int(scale)).cast("long"),
+                F.expr(f"(logit_micro + {int(scale)}) div 4")))
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.col("logit_micro"), F.col("score_micro"),
+                    (F.col("score_micro") > int(scale) // 2).alias("pred"),
+                    F.col("__label").alias("label")))
 
 
 def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -145,18 +145,24 @@ def stage_metrics(spark: SparkSession, *,
     COMPLETE/FAILED, and stable across two reads separated by a sleep.
     An empty snapshot is treated as NOT settled (the job-start event may
     itself still be queued), so the vacuous ``all([])`` can never end
-    the poll early.
+    the poll early — EXCEPT when the store already holds other jobs but
+    none tagged with the requested ``group``: the listener bus is
+    demonstrably flowing and the group genuinely matched nothing, so a
+    stable empty read settles immediately instead of burning the full
+    ``settle_secs`` (callers probing a group that may not have run can
+    also just pass ``settle_secs=0``).
     """
     import time as _time
 
     deadline = _time.monotonic() + max(0.0, settle_secs)
-    out = _stage_snapshot(spark, group)
+    out, n_jobs = _stage_snapshot(spark, group)
     while True:
-        settled = bool(out) and all(
-            r["status"] in ("COMPLETE", "FAILED") for r in out)
+        legitimately_empty = (not out and group is not None and n_jobs > 0)
+        settled = legitimately_empty or (bool(out) and all(
+            r["status"] in ("COMPLETE", "FAILED") for r in out))
         if settled:
             _time.sleep(0.05)  # the confirming read must not be
-            nxt = _stage_snapshot(spark, group)  # back-to-back
+            nxt, n_jobs = _stage_snapshot(spark, group)  # back-to-back
             if nxt == out:
                 return out
             out = nxt
@@ -164,11 +170,15 @@ def stage_metrics(spark: SparkSession, *,
             return out
         if not settled:
             _time.sleep(0.05)
-            out = _stage_snapshot(spark, group)
+            out, n_jobs = _stage_snapshot(spark, group)
 
 
-def _stage_snapshot(spark: SparkSession,
-                    group: str | None) -> list[dict[str, Any]]:
+def _stage_snapshot(
+        spark: SparkSession,
+        group: str | None) -> tuple[list[dict[str, Any]], int]:
+    """Returns (stage rows, total jobs in the store regardless of group) —
+    the job count lets the settle loop distinguish 'group matched nothing'
+    from 'the listener bus hasn't delivered anything yet'."""
     jstore = spark.sparkContext._jsc.sc().statusStore()  # type: ignore[attr-defined]
     job_of_stage: dict[int, int] = {}
     jobs = jstore.jobsList(None)
@@ -204,7 +214,7 @@ def _stage_snapshot(spark: SparkSession,
         row["submissionTime"] = str(sub.get()) if sub.isDefined() else None
         row["completionTime"] = str(comp.get()) if comp.isDefined() else None
         out.append(row)
-    return out
+    return out, jobs.size()
 
 
 def log_stage_metrics(state: StateStore, name: str, spark: SparkSession, *,

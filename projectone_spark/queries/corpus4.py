@@ -45,7 +45,9 @@ scored AS (
 _T10_SQL = f"""
 WITH {_surprisal_ctes()}
 SELECT doc_id, n_tokens, surprise_micro,
-       round(CAST(surprise_micro AS DOUBLE) / (1000000.0 * n_tokens), 6)
+       CAST((surprise_micro // (1000000 * n_tokens)) * 1000000
+            + (2 * (surprise_micro % (1000000 * n_tokens)) + n_tokens)
+              // (2 * n_tokens) AS DOUBLE) / 1000000.0
          AS surprise
 FROM scored
 """

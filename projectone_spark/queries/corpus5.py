@@ -52,7 +52,9 @@ scored AS (
   FROM bf JOIN bgv USING (b) JOIN pre ON split_part(bf.b, ' ', 1) = pre.p
   GROUP BY bf.doc_id)
 SELECT doc_id, n_bigrams, surprise_micro,
-       round(CAST(surprise_micro AS DOUBLE) / (1000000.0 * n_bigrams), 6)
+       CAST((surprise_micro // (1000000 * n_bigrams)) * 1000000
+            + (2 * (surprise_micro % (1000000 * n_bigrams)) + n_bigrams)
+              // (2 * n_bigrams) AS DOUBLE) / 1000000.0
          AS surprise
 FROM scored
 """
@@ -103,7 +105,8 @@ pr AS (
   GROUP BY 1, 2)
 SELECT doc_id_a, doc_id_b, n_shared,
        na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
-       round(CAST(n_shared AS DOUBLE) / (na.n_fp + nb.n_fp - n_shared), 6)
+       CAST((2000000 * n_shared + (na.n_fp + nb.n_fp - n_shared))
+            // (2 * (na.n_fp + nb.n_fp - n_shared)) AS DOUBLE) / 1000000.0
          AS sim
 FROM pr JOIN nf na ON pr.doc_id_a = na.doc_id
         JOIN nf nb ON pr.doc_id_b = nb.doc_id
@@ -186,14 +189,18 @@ def p11_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _t12_sql(n_merges: int = 8) -> str:
+def _t12_ctes(n_merges: int = 8) -> str:
     """Unrolled DuckDB mirror of functions/text.bpe_train_merges: one
     CTE level per merge (pair counts -> argmax -> vocabulary rewrite),
     the same (count DESC, l, r) tie-break and the same left-to-right
     non-overlapping replace. DuckDB's range(1, n) is end-exclusive and
     empty for n <= 1, so one-symbol words contribute no pairs exactly
-    like the Spark side's size >= 2 filter."""
-    parts = [f"""WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    like the Spark side's size >= 2 filter.
+
+    Returns the WITH-body only (CTEs ``w``, ``v0``, then ``p{{i}}``/
+    ``b{{i}}``/``v{{i}}`` per merge) so the t14 encode oracle can reuse
+    the training chain verbatim — the _sql_fragments discipline."""
+    parts = [f"""w AS (SELECT unnest({_TOKS}) AS w FROM documents),
 v0 AS (
   SELECT '__' || regexp_replace(w, '(.)', '\\1__', 'g') AS sym,
          CAST(count(*) AS BIGINT) AS wc
@@ -213,11 +220,15 @@ v{i} AS (
   SELECT replace(sym, '_' || l || '__' || r || '_',
                  '_' || l || r || '_') AS sym, wc
   FROM v{i - 1} CROSS JOIN b{i})""")
+    return "".join(parts)
+
+
+def _t12_sql(n_merges: int = 8) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, cnt AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1))
-    return "".join(parts) + "\n" + unions
+    return "WITH " + _t12_ctes(n_merges) + "\n" + unions
 
 
 @register("t12_bpe_merges", _t12_sql(),

@@ -202,7 +202,7 @@ best AS (
   FROM cells a JOIN cells b ON a.cid = b.cid AND b.vec_id < a.vec_id
   GROUP BY a.vec_id)
 SELECT cells.vec_id, cells.cid AS cell_id,
-       round(best.raw_max, 6) AS max_sim,
+       floor(best.raw_max * 1000000.0 + 0.5) / 1000000.0 AS max_sim,
        (best.raw_max IS NULL OR best.raw_max < 0.35) AS keep
 FROM cells LEFT JOIN best ON cells.vec_id = best.vec_id
 """
@@ -263,7 +263,13 @@ def e11_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cells.select("vec_id", "cell_id")
             .join(best, "vec_id", "left")
             .select("vec_id", "cell_id",
-                    F.round(F.col("raw_max"), 6).alias("max_sim"),
+                    # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): the
+                    # raw cosine doubles are bit-identical across engines
+                    # (same fixed-order IEEE ops), and this close is pure
+                    # IEEE arithmetic too — no shortest-decimal-repr
+                    # HALF_UP midpoint (the .xx5 tie class) to diverge on
+                    (F.floor(F.col("raw_max") * 1_000_000.0 + 0.5)
+                     / 1_000_000.0).alias("max_sim"),
                     (F.col("raw_max").isNull() | (F.col("raw_max") < 0.35))
                     .alias("keep")))
 

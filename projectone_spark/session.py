@@ -86,3 +86,26 @@ def configure(spark: SparkSession) -> SparkSession:
             except Exception:  # pragma: no cover - static confs raise post-start
                 pass
     return spark
+
+
+def release_checkpoint(df) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame.
+
+    ``DataFrame.unpersist()`` only talks to the SQL cache manager, which
+    never registered a local checkpoint (its blocks live at RDD level), so
+    it is a silent no-op here — verified against Spark 4.1. Iterative
+    operators that re-checkpoint per round (BPE merge training, label
+    propagation) would otherwise retain every round's copy for the life of
+    the session. This digs the checkpointed RDD out of the plan's
+    ``LogicalRDD`` node and unpersists it directly.
+
+    Only call this once nothing will read the frame again: the checkpoint
+    truncated its lineage, so the data is unrecoverable afterwards.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - best-effort release
+        pass

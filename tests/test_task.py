@@ -356,3 +356,19 @@ def test_stage_metrics_group_scoping(spark):
     assert {s["stageId"] for s in a}.isdisjoint({s["stageId"] for s in b})
     # the grouped agg in grp_a shuffled; its metrics must say so
     assert any(s["shuffleReadBytes"] > 0 for s in a)
+
+
+def test_stage_metrics_unmatched_group_settles_early(spark):
+    """A group that matched no jobs must return [] without burning the
+    whole settle budget: the store demonstrably holds OTHER jobs, so the
+    emptiness is legitimate, not an async-listener race (r6 ADVICE)."""
+    import time
+
+    from projectone_spark.observability import stage_metrics
+
+    spark.range(10).count()  # ensure the status store is non-empty
+    t0 = time.monotonic()
+    out = stage_metrics(spark, group="grp_that_never_ran", settle_secs=30.0)
+    dt = time.monotonic() - t0
+    assert out == []
+    assert dt < 5.0, f"empty-group call burned {dt:.1f}s of settle budget"
