@@ -133,8 +133,9 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # of the two most-proven anchors, s07 (4 driver greens) and f01
     # (2 greens) — both stay locally parity-checked every pytest run:
     "q42_min_cost_supplier", "q43_important_stock",
+    # new-in-round-7 (took the f02/f03 slots — 2 driver greens each):
+    "t14_bpe_encode", "t15_linear_classifier",
     # round-5 first greens, second adjudication:
-    "f02_dag_pipeline", "f03_cdc_backfill",
     "f05_quality_mixture_pipeline",
     "d10_crossdoc_ngram_dedup",
     "d11_incremental_lsh_pairs", "d12_neardup_aware_contamination",
@@ -213,6 +214,7 @@ def _ensure_loaded() -> None:
         corpus4,  # new-in-r6: unigram-surprisal quality scoring
         corpus5,  # late-r6: bigram surprisal, winnowing, epoch schedule
         corpus6,  # late-r6: BM25 retrieval
+        corpus7,  # new-in-r7: BPE encode, fastText-style classifier
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}
