@@ -603,11 +603,13 @@ def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
     creates, so the engine pins the one that matches its own training
     rewrite bit-for-bit.)
 
-    Spark-first shape — the corpus is scanned ONCE and the replace chain
-    never touches a corpus-sized relation: the scan feeds one map-side-
-    combining ``(doc, word)`` count; the DISTINCT-word vocabulary FOLDS
-    that aggregate (bounded by distinct words, not corpus size — the same
-    tf/vocab exchange-reuse discipline as :func:`unigram_surprise`); the
+    Spark-first shape — the corpus pipeline is computed ONCE and the
+    replace chain never touches a corpus-sized relation: the scan feeds
+    one map-side-combining ``(doc, word)`` count which is
+    ``localCheckpoint``-ed (the d10 discipline — the t10-style exchange-
+    reuse fold does NOT survive here because column pruning collapses a
+    count-free vocabulary fold into a plain distinct with its own scan);
+    the DISTINCT-word vocabulary folds the checkpointed counts; the
     merge chain — a scan-side Catalyst ``replace`` per rule, whole-stage
     codegen, no UDFs — runs over the vocabulary only; and one equi-join
     (AQE broadcasts the encoded vocabulary while it fits) carries each
@@ -644,9 +646,11 @@ def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
                  parallelism)
           .select(F.col(id_col), F.explode("__toks").alias("__w"))
           .filter(F.col("__w") != "")
-          .groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c")))
-    # the vocabulary folds the doc-word aggregate (one corpus scan shared
-    # via exchange reuse); the replace chain runs on these rows only
+          .groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+          .localCheckpoint(eager=False))
+    # the vocabulary folds the CHECKPOINTED doc-word aggregate, so both
+    # join inputs read one computed pipeline (zero re-scans); the replace
+    # chain runs on these vocabulary rows only
     sym = F.concat(F.lit(sep2), F.regexp_replace("__w", "(.)", "$1" + sep2))
     for left, right in merges:
         sym = F.replace(sym, F.lit(f"{sep}{left}{sep2}{right}{sep}"),
@@ -706,11 +710,15 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
     ``n_tokens`` counts in-vocabulary tokens.
 
     Plan shape at 100 TB: ONE corpus scan feeds the ``(doc, term)``
-    count; the weight table FOLDS that aggregate restricted to the
-    training split (bounded by vocabulary size); scoring is one
-    equi-join of doc-term counts against the weight table (AQE
-    broadcasts it while it fits) plus a single-row broadcast of the
-    totals — the t10/p12 exchange-reuse discipline.
+    count, which is ``localCheckpoint``-ed: the train/apply split
+    filters push BELOW the aggregate (the split flag is a grouping
+    column), so the t10-style exchange-reuse fold would de-canonicalize
+    into two full scans — the d10 checkpoint discipline pins one
+    computed pipeline instead. The weight table folds the checkpointed
+    counts restricted to the training split (bounded by vocabulary
+    size); scoring is one equi-join of the held-out counts against the
+    weight table (AQE broadcasts it while it fits) plus a single-row
+    broadcast of the totals.
 
     Returns, for rows NOT in the training split: (id, n_tokens,
     logit_micro, score_micro, pred, label).
@@ -720,7 +728,8 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
                       F.explode(tokens(text_col)).alias("term"))
             .filter(F.col("term").isNotNull()))
     tf = (base.groupBy(id_col, "__y", "__tr", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))
     vocab = (tf.filter(F.col("__tr"))
              .groupBy("term")
              .agg(F.sum(F.when(F.col("__y"), F.col("tf")).otherwise(0))

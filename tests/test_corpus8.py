@@ -1,0 +1,158 @@
+"""Round-7 batch one: BPE corpus encoding (t14) and the fastText-style
+linear classifier (t15) — hand-computed arithmetic, edge cases, and the
+one-corpus-scan plan shapes."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from projectone_spark.functions.text import (
+    bpe_encode,
+    bpe_train_merges,
+    linear_token_classifier,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------- t14
+
+
+def test_bpe_encode_hand_computed(spark):
+    # merge (a,b): "ab" -> 1 symbol, "c" stays 1. doc 1 = "ab ab c":
+    # n_words=3, n_chars=5, n_bpe=3, compression=(2e6*3+5)//10 = 600000
+    df = _docs(spark, [(1, "ab ab c")])
+    rows = bpe_encode(df, [("a", "b")]).collect()
+    assert [tuple(r) for r in rows] == [(1, 3, 5, 3, 0.6)]
+
+
+def test_bpe_encode_zero_merges_is_char_count(spark):
+    df = _docs(spark, [(1, "hello big world"), (2, "xy")])
+    got = {r["doc_id"]: r for r in bpe_encode(df, []).collect()}
+    assert got[1]["n_bpe_tokens"] == got[1]["n_chars"] == 13
+    assert got[1]["compression"] == 1.0
+    assert got[2]["n_bpe_tokens"] == 2
+
+
+def test_bpe_encode_merge_order_and_chaining(spark):
+    # rules learned in order: (a,b) then (ab,c) — the second consumes the
+    # first's output symbol; "abc" must encode to ONE token while "acb"
+    # (same chars, wrong order) gets none of the merges
+    df = _docs(spark, [(1, "abc"), (2, "acb")])
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(df, [("a", "b"), ("ab", "c")]).collect()}
+    assert got == {1: 1, 2: 3}
+
+
+def test_bpe_encode_consecutive_merges_left_to_right(spark):
+    # pair (a,a) over "aaaa" -> aa+aa (2), over "aaa" -> aa+a (2): the
+    # training-side replace semantics, applied identically at encode time
+    df = _docs(spark, [(1, "aaaa"), (2, "aaa")])
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(df, [("a", "a")]).collect()}
+    assert got == {1: 2, 2: 2}
+
+
+def test_bpe_encode_drops_tokenless_docs(spark):
+    df = _docs(spark, [(1, "ok"), (2, ""), (3, "!!!")])
+    assert {r["doc_id"] for r in bpe_encode(df, []).collect()} == {1}
+
+
+def test_bpe_encode_rejects_bad_sep_and_huge_tables(spark):
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="sep"):
+        bpe_encode(df, [], sep="a")
+    with pytest.raises(ValueError, match="codegen budget"):
+        bpe_encode(df, [("a", "b")] * 257)
+
+
+def test_bpe_roundtrip_train_then_encode(spark):
+    # encoding with the trained rules can only shrink token counts, and
+    # every merge that fired at training time fires at encode time too
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    rules = bpe_train_merges(docs, n_merges=4).collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in rules]
+    out = bpe_encode(docs, merges)
+    bad = out.filter(F.col("n_bpe_tokens") > F.col("n_chars")).count()
+    assert bad == 0
+    saved = out.agg(F.sum(F.col("n_chars") - F.col("n_bpe_tokens"))).first()[0]
+    assert saved > 0  # the trained rules actually compress the corpus
+
+
+def test_bpe_encode_computes_corpus_pipeline_once(spark):
+    """The encode stage computes the scan→tokenize→explode→count pipeline
+    ONCE (the d10 checkpoint discipline): both join inputs read the
+    checkpointed (doc, word) counts — two 'Scan ExistingRDD' nodes, ZERO
+    parquet scans — and the replace chain never rides a corpus-sized
+    relation. (The t10 exchange-reuse fold does not survive here: column
+    pruning collapses a count-free vocabulary fold into a plain distinct
+    with its own scan.)"""
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = bpe_encode(docs, [("t", "h"), ("th", "e")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+
+
+# ---------------------------------------------------------------- t15
+
+
+def test_linear_classifier_hand_computed(spark):
+    # train: d0 (pos, "good good"), d1 (neg, "bad"); apply: d2, d3.
+    # cpos/cneg: good 2/0, bad 0/1; npos=2, nneg=1, V=2.
+    # w(good) = ((1e6*3) div 1 * 3) div 4 = 2_250_000
+    # w(bad)  = ((1e6*1) div 2 * 3) div 4 =   375_000
+    # d2 "good bad": dot=2_625_000, n=2, logit=1_312_500,
+    #   score=(1_312_500+1e6) div 4 = 578_125 -> pred True
+    # d3 "bad bad": dot=750_000, n=2, logit=375_000,
+    #   score=1_375_000 div 4 = 343_750 -> pred False
+    df = _docs(spark, [(0, "good good"), (1, "bad"),
+                       (2, "good bad"), (3, "bad bad")])
+    rows = sorted(map(tuple, linear_token_classifier(
+        df, label=F.col("doc_id") % 2 == 0,
+        train=F.col("doc_id") < 2).collect()))
+    assert rows == [(2, 2, 1_312_500, 578_125, True, True),
+                    (3, 2, 375_000, 343_750, False, False)]
+
+
+def test_linear_classifier_clamps_and_oov(spark):
+    # hot: cpos=1/cneg=0, cold: cpos=0/cneg=9 -> npos=1, nneg=9, V=2:
+    # w(hot) = (2e6 div 1)*(9+2) div (1+2) = 7_333_333 -> the hard
+    # sigmoid saturates (logit >= 3e6) and score clamps at 1e6 exactly.
+    # "zzz" is out-of-vocabulary: dropped, n_tokens counts in-vocab
+    # tokens only.
+    df = _docs(spark, [(0, "hot"),
+                       (1, "cold cold cold cold cold cold cold cold cold"),
+                       (2, "hot zzz")])
+    row = linear_token_classifier(
+        df, label=F.col("doc_id") == 0, train=F.col("doc_id") < 2) \
+        .filter(F.col("doc_id") == 2).first()
+    assert row["n_tokens"] == 1  # zzz dropped
+    assert row["score_micro"] == 1_000_000
+    assert row["pred"] is True
+
+
+def test_linear_classifier_excludes_train_split(spark):
+    df = _docs(spark, [(0, "a"), (1, "b"), (2, "a b")])
+    out = linear_token_classifier(
+        df, label=F.lit(True), train=F.col("doc_id") < 2)
+    assert {r["doc_id"] for r in out.collect()} == {2}
+
+
+def test_linear_classifier_computes_corpus_pipeline_once(spark):
+    """Train-split and apply-split both read the checkpointed (doc, term)
+    counts: the split filters push below the aggregate (the flag is a
+    grouping column), so without the checkpoint each branch would re-scan
+    the corpus. Three consumers (weight table, totals fold via the weight
+    table, scoring join) — zero parquet scans."""
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = linear_token_classifier(
+        docs, label=F.col("lang") == "en", train=F.col("doc_id") % 7 == 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
