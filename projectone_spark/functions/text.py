@@ -534,11 +534,13 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     # the whole encoding rests on sep never occurring inside a symbol,
     # and sep is spliced into a regex replacement and SQL exprs — enforce
     # the precondition instead of assuming it
-    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"":
+    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"" \
+            or sep in ".^|?*+()[]{}-&<>=!":
         raise ValueError(
-            f"bpe sep must be a single non-alphanumeric, non-quote "
-            f"character (got {sep!r}): symbols are [a-z0-9]+ and the "
-            f"separator is interpolated into regex/SQL literals")
+            f"bpe sep must be a single non-alphanumeric, non-quote, "
+            f"non-regex-metacharacter (got {sep!r}): symbols are "
+            f"[a-z0-9]+ and the separator is interpolated into "
+            f"regex/SQL literals AND used as a split() regex pattern")
     spark = df.sparkSession
     words = (spread(df.select(tokens(text_col).alias("__toks")), parallelism)
              .select(F.explode("__toks").alias("__w"))
@@ -630,11 +632,13 @@ def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
     exact 6-dp half-up ratio n_bpe_tokens/n_chars. Documents with no
     tokens are absent (same contract as unigram_surprise).
     """
-    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"":
+    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"" \
+            or sep in ".^|?*+()[]{}-&<>=!":
         raise ValueError(
-            f"bpe sep must be a single non-alphanumeric, non-quote "
-            f"character (got {sep!r}): symbols are [a-z0-9]+ and the "
-            f"separator is interpolated into regex/SQL literals")
+            f"bpe sep must be a single non-alphanumeric, non-quote, "
+            f"non-regex-metacharacter (got {sep!r}): symbols are "
+            f"[a-z0-9]+ and the separator is interpolated into "
+            f"regex/SQL literals AND used as a split() regex pattern")
     if len(merges) > 256:
         raise ValueError(
             f"{len(merges)} merges exceed the expression-chain form's "
@@ -655,7 +659,7 @@ def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
     for left, right in merges:
         sym = F.replace(sym, F.lit(f"{sep}{left}{sep2}{right}{sep}"),
                         F.lit(f"{sep}{left}{right}{sep}"))
-    enc = (wf.groupBy("__w").agg(F.sum("__c").alias("__cw"))
+    enc = (wf.select("__w").distinct()
            .select("__w", F.length("__w").alias("__len"),
                    (F.size(F.split(sym, sep2)) - 2).alias("__nsym")))
     return (wf.join(enc, "__w")
@@ -688,12 +692,19 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
     micro-units — the naive-Bayes-flavored linear weights fastText's
     softmax reduces to for one output class::
 
-        w(t) = scale · (c_pos(t)+1)·(N_neg+V) / ((c_neg(t)+1)·(N_pos+V))
+        w(t) = min(1e6·scale,
+                   scale · (c_pos(t)+1)·(N_neg+V) / ((c_neg+1)·(N_pos+V)))
 
-    staged as ``((scale·(c_pos+1)) div (c_neg+1) · (N_neg+V)) div
-    (N_pos+V)`` so no intermediate exceeds ``scale · max_term_count``
-    (the dsir_importance overflow discipline). A weight above ``scale``
-    votes positive. Per scored document::
+    computed entirely in DECIMAL(38,0) (the bm25_topk 128-bit-lane
+    discipline — unlike dsir, the ratio here is NOT bounded by 1: a
+    positives-only term's numerator is ``scale·c_pos·N_neg``, which
+    wraps int64 within the advertised corpus scale) and capped at ratio
+    1e6 INSIDE the decimal lane (``least(cap·DEN, NUM) div DEN``) so the
+    quotient fits the BIGINT it leaves the lane in — a ratio beyond a
+    million-to-one carries no additional evidence. The int64 envelope on
+    the per-document sum is then ``n_tokens·cap < 2^63``: ~9.2M
+    in-vocabulary tokens per DOCUMENT, independent of corpus size. A
+    weight above ``scale`` votes positive. Per scored document::
 
         logit_micro = (Σ_t tf·w(t)) div n_tokens      -- mean token weight
         score_micro = least(scale, (logit_micro + scale) div 4)
@@ -743,8 +754,12 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
             .join(vocab, "term")
             .crossJoin(F.broadcast(totals))
             .withColumn("__w", F.expr(
-                f"(((CAST({int(scale)} AS BIGINT) * (__cpos + 1))"
-                " div (__cneg + 1)) * (__nneg + __v)) div (__npos + __v)"))
+                f"CAST(least(CAST({1_000_000 * int(scale)} AS DECIMAL(38,0))"
+                " * (__cneg + 1) * (__npos + __v),"
+                f" CAST({int(scale)} AS DECIMAL(38,0))"
+                " * (__cpos + 1) * (__nneg + __v))"
+                " div (CAST(__cneg + 1 AS DECIMAL(38,0))"
+                " * (__npos + __v)) AS BIGINT)"))
             .groupBy(id_col)
             .agg(F.first("__y").alias("__label"),
                  F.sum("tf").alias("n_tokens"),

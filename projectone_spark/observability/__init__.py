@@ -145,24 +145,28 @@ def stage_metrics(spark: SparkSession, *,
     COMPLETE/FAILED, and stable across two reads separated by a sleep.
     An empty snapshot is treated as NOT settled (the job-start event may
     itself still be queued), so the vacuous ``all([])`` can never end
-    the poll early — EXCEPT when the store already holds other jobs but
-    none tagged with the requested ``group``: the listener bus is
-    demonstrably flowing and the group genuinely matched nothing, so a
-    stable empty read settles immediately instead of burning the full
+    the poll early — EXCEPT when the listener bus has provably DRAINED
+    (``waitUntilEmpty`` returned) and the group still matches nothing:
+    every delivered event is in the store, so the group genuinely never
+    ran, and the call settles immediately instead of burning the full
     ``settle_secs`` (callers probing a group that may not have run can
-    also just pass ``settle_secs=0``).
+    also just pass ``settle_secs=0``). Other jobs merely EXISTING in the
+    store is not enough — that proves past delivery, not that this
+    group's job-start event isn't still queued.
     """
     import time as _time
 
     deadline = _time.monotonic() + max(0.0, settle_secs)
-    out, n_jobs = _stage_snapshot(spark, group)
+    out = _stage_snapshot(spark, group)
     while True:
-        legitimately_empty = (not out and group is not None and n_jobs > 0)
+        legitimately_empty = (
+            not out and group is not None
+            and _listener_bus_drained(spark, deadline))
         settled = legitimately_empty or (bool(out) and all(
             r["status"] in ("COMPLETE", "FAILED") for r in out))
         if settled:
             _time.sleep(0.05)  # the confirming read must not be
-            nxt, n_jobs = _stage_snapshot(spark, group)  # back-to-back
+            nxt = _stage_snapshot(spark, group)  # back-to-back
             if nxt == out:
                 return out
             out = nxt
@@ -170,15 +174,26 @@ def stage_metrics(spark: SparkSession, *,
             return out
         if not settled:
             _time.sleep(0.05)
-            out, n_jobs = _stage_snapshot(spark, group)
+            out = _stage_snapshot(spark, group)
 
 
-def _stage_snapshot(
-        spark: SparkSession,
-        group: str | None) -> tuple[list[dict[str, Any]], int]:
-    """Returns (stage rows, total jobs in the store regardless of group) —
-    the job count lets the settle loop distinguish 'group matched nothing'
-    from 'the listener bus hasn't delivered anything yet'."""
+def _listener_bus_drained(spark: SparkSession, deadline: float) -> bool:
+    """True when every event posted to the listener bus so far has been
+    delivered to the status store (bounded by the poll's own deadline;
+    False on timeout or if the internal API moves)."""
+    import time as _time
+
+    budget_ms = max(1, int((deadline - _time.monotonic()) * 1000))
+    try:
+        spark.sparkContext._jsc.sc().listenerBus() \
+            .waitUntilEmpty(min(budget_ms, 2000))  # type: ignore[attr-defined]
+        return True
+    except Exception:
+        return False
+
+
+def _stage_snapshot(spark: SparkSession,
+                    group: str | None) -> list[dict[str, Any]]:
     jstore = spark.sparkContext._jsc.sc().statusStore()  # type: ignore[attr-defined]
     job_of_stage: dict[int, int] = {}
     jobs = jstore.jobsList(None)
@@ -214,7 +229,7 @@ def _stage_snapshot(
         row["submissionTime"] = str(sub.get()) if sub.isDefined() else None
         row["completionTime"] = str(comp.get()) if comp.isDefined() else None
         out.append(row)
-    return out, jobs.size()
+    return out
 
 
 def log_stage_metrics(state: StateStore, name: str, spark: SparkSession, *,

@@ -29,11 +29,16 @@ def _t14_sql(n_merges: int = _N_MERGES) -> str:
     p{i}/b{i}/v{i}), then apply each learned rule b{i} to the DISTINCT
     corpus words (u0..u{n}) with the identical replace, and fold the
     encoded lengths back over the per-document word counts."""
+    # LEFT JOIN, not CROSS JOIN: when training exhausts pairs before
+    # n_merges, b{i} is EMPTY — a cross join would empty the whole
+    # u-chain (zero oracle rows) while the Spark side correctly applies
+    # only the rules that were learned. An absent rule is a no-op level.
     apply_levels = "".join(f""",
 u{i} AS (
-  SELECT w, replace(sym, '_' || b.l || '__' || b.r || '_',
-                    '_' || b.l || b.r || '_') AS sym
-  FROM u{i - 1} CROSS JOIN b{i} b)""" for i in range(1, n_merges + 1))
+  SELECT w, CASE WHEN b.l IS NULL THEN sym
+            ELSE replace(sym, '_' || b.l || '__' || b.r || '_',
+                         '_' || b.l || b.r || '_') END AS sym
+  FROM u{i - 1} LEFT JOIN b{i} b ON true)""" for i in range(1, n_merges + 1))
     return f"""
 WITH {_t12_ctes(n_merges)},
 wf AS (
@@ -100,8 +105,12 @@ tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
 sc AS (
   SELECT tf.doc_id, bool_or(tf.y) AS label,
          CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-         CAST(sum(tf.tf * ((((1000000 * (v.cpos + 1)) // (v.cneg + 1))
-                            * (tot.nneg + tot.vv)) // (tot.npos + tot.vv)))
+         CAST(sum(tf.tf * (least(CAST(1000000000000 AS HUGEINT)
+                                   * (v.cneg + 1) * (tot.npos + tot.vv),
+                                 CAST(1000000 AS HUGEINT)
+                                   * (v.cpos + 1) * (tot.nneg + tot.vv))
+                           // (CAST(v.cneg + 1 AS HUGEINT)
+                               * (tot.npos + tot.vv))))
               AS BIGINT) AS dot
   FROM tf JOIN v USING (term) CROSS JOIN tot
   WHERE NOT tf.tr

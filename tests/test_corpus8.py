@@ -65,8 +65,40 @@ def test_bpe_encode_rejects_bad_sep_and_huge_tables(spark):
     df = _docs(spark, [(1, "x")])
     with pytest.raises(ValueError, match="sep"):
         bpe_encode(df, [], sep="a")
+    # regex metacharacters would corrupt F.split(sym, sep2) silently
+    # ('.' matches anything) or crash it ('(' is a PatternSyntaxException)
+    for bad in (".", "(", "|", "*"):
+        with pytest.raises(ValueError, match="sep"):
+            bpe_encode(df, [], sep=bad)
+        with pytest.raises(ValueError, match="sep"):
+            bpe_train_merges(df, sep=bad)
     with pytest.raises(ValueError, match="codegen budget"):
         bpe_encode(df, [("a", "b")] * 257)
+
+
+def test_t14_oracle_survives_pair_exhaustion(spark):
+    """When training runs out of pairs before n_merges, the later b{i}
+    CTEs are EMPTY — the encode oracle's apply chain must treat an absent
+    rule as a no-op level (LEFT JOIN), not vaporize every row (CROSS
+    JOIN), and must keep matching the Spark side, which applies only the
+    rules that were actually learned."""
+    import duckdb
+
+    from projectone_spark.queries.corpus7 import _t14_sql
+
+    docs = [(1, "ab"), (2, "ab ab b")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in docs)
+                + ") t(doc_id, text)")
+    exp = sorted(map(tuple, con.execute(_t14_sql()).fetchall()))
+    assert exp, "oracle vaporized all rows on pair exhaustion"
+    df = _docs(spark, docs)
+    rules = bpe_train_merges(df, n_merges=8).collect()
+    assert len(rules) < 8  # training genuinely exhausted
+    got = sorted(map(tuple, bpe_encode(
+        df, [(r["left_sym"], r["right_sym"]) for r in rules]).collect()))
+    assert got == exp
 
 
 def test_bpe_roundtrip_train_then_encode(spark):

@@ -360,7 +360,7 @@ def test_stage_metrics_group_scoping(spark):
 
 def test_stage_metrics_unmatched_group_settles_early(spark):
     """A group that matched no jobs must return [] without burning the
-    whole settle budget: the store demonstrably holds OTHER jobs, so the
+    whole settle budget: once the listener bus has provably drained, the
     emptiness is legitimate, not an async-listener race (r6 ADVICE)."""
     import time
 
