@@ -31,8 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from projectone_spark.queries import check, load, register
 from projectone_spark.queries._sql_fragments import _NORM, _TOKS
 
-_T11_SQL = f"""
-WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _t11_ctes(src: str = "documents") -> str:
+    """The tok/bg/bf/bgv/pre/scored CTE chain mirroring
+    ``functions/text.bigram_surprise`` over any doc_id+text relation —
+    shared by the t11 and f12 oracles (the _surprisal_ctes discipline)."""
+    return f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
 bg AS (
   SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
            i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]))
@@ -50,7 +53,11 @@ scored AS (
          CAST(sum(bf.tf * ((1000000 * pre.cp) // bgv.cbg)) AS BIGINT)
            AS surprise_micro
   FROM bf JOIN bgv USING (b) JOIN pre ON split_part(bf.b, ' ', 1) = pre.p
-  GROUP BY bf.doc_id)
+  GROUP BY bf.doc_id)"""
+
+
+_T11_SQL = f"""
+WITH {_t11_ctes()}
 SELECT doc_id, n_bigrams, surprise_micro,
        CAST((surprise_micro // (1000000 * n_bigrams)) * 1000000
             + (2 * (surprise_micro % (1000000 * n_bigrams)) + n_bigrams)
@@ -75,11 +82,13 @@ def t11_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprise(load(spark, sf_dir, "documents"))
 
 
-# The winnow chain's oracle mirror: positions/grams exactly as
-# functions/dedup.winnow_fingerprints computes them (k=5, w=4; short
-# docs yield one whole-text gram and one all-gram window; empty drop).
-_D13_SQL = f"""
-WITH n AS (SELECT doc_id, {_NORM} AS nm FROM documents),
+def _d13_ctes(src: str = "documents") -> str:
+    """The winnow chain's oracle mirror over any doc_id+text relation:
+    positions/grams exactly as functions/dedup.winnow_fingerprints
+    computes them (k=5, w=4; short docs yield one whole-text gram and
+    one all-gram window; empty drop) — shared by the d13 and f12
+    oracles."""
+    return f"""n AS (SELECT doc_id, {_NORM} AS nm FROM {src}),
 h AS (
   SELECT doc_id,
          list_transform(range(1, greatest(length(nm) - 4, 1) + 1),
@@ -102,7 +111,11 @@ pr AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          CAST(count(*) AS BIGINT) AS n_shared
   FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+_D13_SQL = f"""
+WITH {_d13_ctes()}
 SELECT doc_id_a, doc_id_b, n_shared,
        na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
        CAST((2000000 * n_shared + (na.n_fp + nb.n_fp - n_shared))

@@ -7,7 +7,12 @@
 - t15: model-based quality/language classifier in the fastText
   supervised shape (Joulin et al. 2017) — a bounded per-token weight
   table trained on a labeled split, applied scan-side with a hard
-  sigmoid, everything in exact integer micro-units.
+  sigmoid, everything in exact integer micro-units;
+- f12: the FIVE-STAGE curation flagship — winnowing dedup → bigram-
+  surprisal quality gate → bloom decontamination → epoch schedule →
+  curriculum binning, run through the SparkTask DAG with store-table
+  handoffs at every stage boundary and per-source drop/survivor/
+  schedule/bin accounting oracle-checked end-to-end.
 
 Same exactness discipline as corpus4/5: integer arithmetic end-to-end,
 float division only as a single final correctly-rounded IEEE op.
@@ -15,11 +20,14 @@ float division only as a single final correctly-rounded IEEE op.
 
 from __future__ import annotations
 
+import textwrap
+
 from pyspark.sql import DataFrame, SparkSession
 
-from projectone_spark.queries import load, register
+from projectone_spark.queries import check, load, register
 from projectone_spark.queries._sql_fragments import _TOKS
-from projectone_spark.queries.corpus5 import _t12_ctes
+from projectone_spark.queries.corpus4 import _bloom_ctes
+from projectone_spark.queries.corpus5 import _d13_ctes, _t11_ctes, _t12_ctes
 
 _N_MERGES = 8
 
@@ -145,3 +153,267 @@ def t15_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         label=F.col("lang") == "en",
         train=F.col("doc_id") % 7 == 0)
+
+
+def _f12_sql() -> str:
+    """Composed oracle for the five-stage pipeline. Every stage reuses
+    the fragment its standalone query uses (_d13_ctes, _t11_ctes,
+    _bloom_ctes, p11's schedule recipe, p10's quantile binning), chained
+    over survivor CTEs s1/s2/s3 — so a drift between f12 and any
+    standalone stage oracle is impossible by construction."""
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+{_d13_ctes("corpus")},
+dd AS (
+  SELECT DISTINCT pr.doc_id_b AS doc_id
+  FROM pr JOIN nf na ON pr.doc_id_a = na.doc_id
+          JOIN nf nb ON pr.doc_id_b = nb.doc_id
+  WHERE 2 * n_shared >= na.n_fp + nb.n_fp - n_shared),
+s1 AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dd)),
+{_t11_ctes("s1")},
+thr AS (SELECT quantile_disc(surprise_micro, 0.5) AS t FROM scored),
+s2 AS (
+  SELECT s1.*, sc.surprise_micro
+  FROM s1 JOIN scored sc USING (doc_id) CROSS JOIN thr
+  WHERE sc.surprise_micro <= thr.t),
+{_bloom_ctes()},
+s3 AS (
+  SELECT s2.* FROM s2 JOIN per_doc p USING (doc_id)
+  WHERE 4 * p.nbl <= 3 * p.nsh),
+d AS (SELECT doc_id, source,
+             greatest(CAST(1 AS BIGINT), CAST(n_chars AS BIGINT) // 4) AS t
+      FROM s3),
+m AS (SELECT source, CAST(sum(t) AS BIGINT) AS gt,
+             CAST(count(*) AS BIGINT) AS gn
+      FROM d GROUP BY source),
+s AS (SELECT CAST(sum(gt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS ns FROM m),
+w2 AS (SELECT source, gt, gn,
+              least(CAST(4000000 AS BIGINT),
+                    (1000000 * ((total * 2) // ns)) // gt) AS em
+       FROM m CROSS JOIN s),
+c AS (SELECT d.doc_id, d.source, d.t, w2.em,
+             em // 1000000
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT)
+                         < ((em % 1000000) * 4294967296) // 1000000
+               THEN 1 ELSE 0 END AS cp
+      FROM d JOIN w2 USING (source)),
+sched AS (
+  SELECT source, CAST(min(em) AS BIGINT) AS epochs_micro,
+         CAST(sum(cp) AS BIGINT) AS n_copies,
+         CAST(sum(cp * t) AS BIGINT) AS tokens_out
+  FROM c GROUP BY source),
+q AS (SELECT quantile_disc(surprise_micro, 0.25) AS q1,
+             quantile_disc(surprise_micro, 0.50) AS q2,
+             quantile_disc(surprise_micro, 0.75) AS q3 FROM s3),
+binned AS (
+  SELECT source,
+         (CASE WHEN surprise_micro > q.q1 THEN 1 ELSE 0 END
+        + CASE WHEN surprise_micro > q.q2 THEN 1 ELSE 0 END
+        + CASE WHEN surprise_micro > q.q3 THEN 1 ELSE 0 END) AS bin
+  FROM s3 CROSS JOIN q),
+bc AS (SELECT source,
+         CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,
+         CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+         CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2,
+         CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_b3
+       FROM binned GROUP BY source),
+n0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       FROM corpus GROUP BY source),
+n1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s1 GROUP BY source),
+n2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s2 GROUP BY source),
+n3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s3 GROUP BY source)
+SELECT n0.source, n0.n_docs,
+       n0.n_docs - COALESCE(n1.n, 0) AS n_dedup_dropped,
+       COALESCE(n1.n, 0) - COALESCE(n2.n, 0) AS n_quality_dropped,
+       COALESCE(n2.n, 0) - COALESCE(n3.n, 0) AS n_contam_dropped,
+       COALESCE(n3.n, 0) AS n_survivors,
+       COALESCE(sched.epochs_micro, 0) AS epochs_micro,
+       COALESCE(sched.n_copies, 0) AS n_copies,
+       COALESCE(sched.tokens_out, 0) AS tokens_out,
+       COALESCE(bc.n_b0, 0) AS n_b0, COALESCE(bc.n_b1, 0) AS n_b1,
+       COALESCE(bc.n_b2, 0) AS n_b2, COALESCE(bc.n_b3, 0) AS n_b3
+FROM n0 LEFT JOIN n1 USING (source) LEFT JOIN n2 USING (source)
+        LEFT JOIN n3 USING (source) LEFT JOIN sched USING (source)
+        LEFT JOIN bc USING (source)
+"""
+
+
+@register("f12_curation_dag", _f12_sql(),
+          doc="the FULL curation run as a five-task SparkTask DAG with "
+              "store-table handoffs: winnowing near-dup removal (d13's "
+              "operator) -> bigram-surprisal quality gate at the exact "
+              "corpus median (t11) -> bloom decontamination at 3/4 "
+              "containment (p09) -> data-constrained epoch schedule "
+              "(p11) -> curriculum quartile binning (p10), with "
+              "per-source drop/survivor/schedule/bin accounting "
+              "oracle-checked and the stage-accounting identities "
+              "(drops + survivors = docs; bins sum to survivors) "
+              "asserted in-query",
+          tags=("sampling", "text", "dedup", "dag", "llm", "pipeline"))
+def f12_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.session import configure, scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.task import SparkTask
+    from projectone_spark.task.dag import PipelineRunner, TaskNode
+
+    configure(spark)
+    root = scratch_dir(prefix="po_f12_store_")
+    state = scratch_dir(prefix="po_f12_state_")
+
+    def task(name, body, fn, inputs, out_table):
+        b = SparkTask.builder.setName(name)
+        for inp in inputs:
+            b = b.setInput(**inp)
+        return (b.setExecution(name=fn, body=textwrap.dedent(body))
+                .setOutput(name="out", table=out_table,
+                           write_type="overwrite")
+                .setStateLocation(state).setStoreLocation(root)
+                .setSession(spark).create())
+
+    corpus_in = {"name": "corpus", "path": f"{sf_dir}/documents.parquet",
+                 "source": "parquet",
+                 "read_options": {"filter": "doc_id % 97 <> 0"}}
+    bench_in = {"name": "bench", "path": f"{sf_dir}/documents.parquet",
+                "source": "parquet",
+                "read_options": {"filter": "doc_id % 97 = 0"}}
+
+    t_dedup = task("f12_dedup", """
+        import pyspark.sql.functions as F
+        from projectone_spark.functions.dedup import winnow_fingerprint_pairs
+        def dedup_stage(corpus):
+            pairs = winnow_fingerprint_pairs(corpus)
+            drops = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+            return corpus.join(drops, "doc_id", "left_anti")
+    """, "dedup_stage", [corpus_in], "dedup_out")
+
+    t_quality = task("f12_quality", """
+        import pyspark.sql.functions as F
+        from projectone_spark.functions.text import bigram_surprise
+        def quality_stage(deduped):
+            sur = bigram_surprise(deduped)
+            thr = sur.agg(F.expr(
+                "percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY surprise_micro)").cast("long").alias("__thr"))
+            return (deduped
+                    .join(sur.select("doc_id", "surprise_micro"), "doc_id")
+                    .crossJoin(F.broadcast(thr))
+                    .filter(F.col("surprise_micro") <= F.col("__thr"))
+                    .drop("__thr"))
+    """, "quality_stage",
+        [{"name": "deduped", "path": f"{root}:dedup_out", "source": "store"}],
+        "quality_out")
+
+    t_decontam = task("f12_decontam", """
+        import pyspark.sql.functions as F
+        from projectone_spark.functions.sampling import bloom_doc_flags
+        def decontam_stage(quality, bench):
+            flags = bloom_doc_flags(quality, bench)
+            keep = (flags.filter(4 * F.col("__n_bl") <= 3 * F.col("__n_sh"))
+                    .select("doc_id"))
+            return quality.join(keep, "doc_id", "left_semi")
+    """, "decontam_stage",
+        [{"name": "quality", "path": f"{root}:quality_out",
+          "source": "store"}, bench_in],
+        "clean_out")
+
+    t_sched = task("f12_schedule", """
+        from projectone_spark.functions.sampling import epoch_schedule
+        def schedule_stage(clean):
+            return epoch_schedule(clean)
+    """, "schedule_stage",
+        [{"name": "clean", "path": f"{root}:clean_out", "source": "store"}],
+        "sched_out")
+
+    t_account = task("f12_accounting", """
+        import pyspark.sql.functions as F
+        def accounting_stage(corpus, deduped, quality, clean, sched):
+            def cnt(df, name):
+                return df.groupBy("source").agg(
+                    F.count(F.lit(1)).alias(name))
+            q = clean.agg(*[
+                F.expr(f"percentile_disc({p}) WITHIN GROUP"
+                       " (ORDER BY surprise_micro)").cast("long")
+                .alias(f"q{i}")
+                for i, p in enumerate((0.25, 0.50, 0.75), start=1)])
+            binned = (clean.crossJoin(F.broadcast(q))
+                      .select("source",
+                              ((F.col("surprise_micro") > F.col("q1"))
+                               .cast("int")
+                               + (F.col("surprise_micro") > F.col("q2"))
+                               .cast("int")
+                               + (F.col("surprise_micro") > F.col("q3"))
+                               .cast("int")).alias("bin")))
+            bc = binned.groupBy("source").agg(*[
+                F.sum(F.when(F.col("bin") == b, 1).otherwise(0))
+                .cast("bigint").alias(f"n_b{b}") for b in range(4)])
+            z = F.lit(0).cast("bigint")
+            return (cnt(corpus, "n_docs")
+                    .join(cnt(deduped, "__n1"), "source", "left")
+                    .join(cnt(quality, "__n2"), "source", "left")
+                    .join(cnt(clean, "__n3"), "source", "left")
+                    .join(sched.select("source", "epochs_micro",
+                                       "n_copies", "tokens_out"),
+                          "source", "left")
+                    .join(bc, "source", "left")
+                    .select(
+                        "source", "n_docs",
+                        (F.col("n_docs") - F.coalesce("__n1", z))
+                        .alias("n_dedup_dropped"),
+                        (F.coalesce("__n1", z) - F.coalesce("__n2", z))
+                        .alias("n_quality_dropped"),
+                        (F.coalesce("__n2", z) - F.coalesce("__n3", z))
+                        .alias("n_contam_dropped"),
+                        F.coalesce("__n3", z).alias("n_survivors"),
+                        F.coalesce("epochs_micro", z).alias("epochs_micro"),
+                        F.coalesce("n_copies", z).alias("n_copies"),
+                        F.coalesce("tokens_out", z).alias("tokens_out"),
+                        F.coalesce("n_b0", z).alias("n_b0"),
+                        F.coalesce("n_b1", z).alias("n_b1"),
+                        F.coalesce("n_b2", z).alias("n_b2"),
+                        F.coalesce("n_b3", z).alias("n_b3")))
+    """, "accounting_stage",
+        [corpus_in,
+         {"name": "deduped", "path": f"{root}:dedup_out", "source": "store"},
+         {"name": "quality", "path": f"{root}:quality_out",
+          "source": "store"},
+         {"name": "clean", "path": f"{root}:clean_out", "source": "store"},
+         {"name": "sched", "path": f"{root}:sched_out", "source": "store"}],
+        "f12_final")
+
+    runs = PipelineRunner(spark).run([
+        TaskNode("f12_dedup", t_dedup.config),
+        TaskNode("f12_quality", t_quality.config, depends_on=["f12_dedup"]),
+        TaskNode("f12_decontam", t_decontam.config,
+                 depends_on=["f12_quality"]),
+        TaskNode("f12_schedule", t_sched.config,
+                 depends_on=["f12_decontam"]),
+        TaskNode("f12_accounting", t_account.config,
+                 depends_on=["f12_schedule"]),
+    ])
+    bad = {n: r.error for n, r in runs.items() if r.status != "SUCCESS"}
+    check(not bad, f"f12 DAG tasks failed: {bad}")
+
+    out = (TableStore(root).read(spark, "f12_final")
+           .select("source", "n_docs", "n_dedup_dropped",
+                   "n_quality_dropped", "n_contam_dropped", "n_survivors",
+                   "epochs_micro", "n_copies", "tokens_out",
+                   "n_b0", "n_b1", "n_b2", "n_b3")
+           .localCheckpoint(eager=True))  # the checks below and the
+    # returned frame must not each re-read the store table
+    rows = out.collect()  # bounded: one row per source
+    check(len(rows) > 0, "f12 produced no sources")
+    for r in rows:
+        check(r["n_dedup_dropped"] + r["n_quality_dropped"]
+              + r["n_contam_dropped"] + r["n_survivors"] == r["n_docs"],
+              f"stage accounting does not sum for {r['source']}: {r}")
+        check(r["n_b0"] + r["n_b1"] + r["n_b2"] + r["n_b3"]
+              == r["n_survivors"],
+              f"curriculum bins do not sum to survivors for "
+              f"{r['source']}: {r}")
+        check(r["n_copies"] >= r["n_survivors"] * (r["epochs_micro"]
+                                                   // 1_000_000),
+              f"schedule copies below the whole-epoch floor for "
+              f"{r['source']}: {r}")
+    return out

@@ -60,8 +60,8 @@ def test_harness_prefix_contract():
     # queries added this round.
     never_adjudicated = {
         "q42_min_cost_supplier", "q43_important_stock",
-        # added in round 7 (took the f02/f03 slots):
-        "t14_bpe_encode", "t15_linear_classifier",
+        # added in round 7 (took the f02/f03/f05 slots):
+        "t14_bpe_encode", "t15_linear_classifier", "f12_curation_dag",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
