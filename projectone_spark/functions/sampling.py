@@ -221,23 +221,33 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
 
 def bloom_bitset(benchmark: DataFrame, text_col: str = "text",
                  k: int = 5, m_bits: int = 65536, n_hashes: int = 2,
-                 parallelism: int | None = None) -> list[int]:
+                 parallelism: int | None = None,
+                 shingles: DataFrame | None = None) -> list[int]:
     """Pack the benchmark's shingle positions into the ``m_bits/64``-long
     bloom bitset (one bounded aggregation + a ≤1024-row driver collect).
     Built once and passed to :func:`bloom_doc_flags` as ``bitset``, this
     is the trained state a streaming screen broadcasts into every
     micro-batch — constant 8 KiB at the default regardless of benchmark
-    size."""
+    size. Pass ``shingles`` (a checkpointed
+    :func:`bloom_exact_shingles` frame) to fold the bitset off the
+    already-derived shingle set instead of re-exploding the benchmark."""
     if m_bits < 64 or m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a positive multiple of 64, "
                          f"got {m_bits}")
     if n_hashes < 1:
         raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
-    base = spread(benchmark.select(normalize(text_col).alias("__norm")),
-                  parallelism)
-    sh = (base.select(F.explode(
-              F.array_distinct(shingles_of_norm("__norm", k))).alias("__sh"))
-          .distinct())
+    if shingles is not None:
+        if shingles.columns != ["__sh"]:
+            raise ValueError("shingles must be a one-column '__sh' frame, "
+                             f"got {shingles.columns}")
+        sh = shingles
+    else:
+        base = spread(benchmark.select(normalize(text_col).alias("__norm")),
+                      parallelism)
+        sh = (base.select(F.explode(
+                  F.array_distinct(shingles_of_norm("__norm", k)))
+                  .alias("__sh"))
+              .distinct())
     pos = sh.select(F.explode(F.array(
         *bloom_positions("__sh", m_bits, n_hashes))).alias("__p"))
     rows = (pos.select((F.col("__p") / 64).cast("int").alias("__w"),
@@ -251,12 +261,29 @@ def bloom_bitset(benchmark: DataFrame, text_col: str = "text",
     return words
 
 
+def bloom_exact_shingles(benchmark: DataFrame, text_col: str = "text",
+                         k: int = 5,
+                         parallelism: int | None = None) -> DataFrame:
+    """The benchmark's DISTINCT shingle set as a one-column ``__sh``
+    frame — the exact-verdict side of the bloom screen, precomputable
+    (and checkpointable) once so a streaming caller's micro-batches skip
+    re-deriving it (pass to :func:`bloom_doc_flags` as
+    ``bench_shingles``)."""
+    base = spread(benchmark.select(normalize(text_col).alias("__norm")),
+                  parallelism)
+    return (base.select(F.explode(
+                F.array_distinct(shingles_of_norm("__norm", k)))
+                .alias("__sh"))
+            .distinct())
+
+
 def bloom_doc_flags(corpus: DataFrame, benchmark: DataFrame,
                     text_col: str = "text", id_col: str = "doc_id",
                     group_col: str = "source", k: int = 5,
                     m_bits: int = 65536, n_hashes: int = 2,
                     parallelism: int | None = None,
-                    bitset: list[int] | None = None) -> DataFrame:
+                    bitset: list[int] | None = None,
+                    bench_shingles: DataFrame | None = None) -> DataFrame:
     """Per-document bloom/exact contamination counters — the frame
     :func:`bloom_contamination` aggregates, exposed for pipelines that
     FILTER on the screen (e.g. drop documents whose flagged-shingle
@@ -267,7 +294,11 @@ def bloom_doc_flags(corpus: DataFrame, benchmark: DataFrame,
     probes the given words instead — the train-once/probe-many shape a
     STREAMING screen needs, where the benchmark bitset is fixed state
     and every micro-batch only pays the probe. ``benchmark`` is still
-    read for the exact-verdict join (tiny by construction).
+    read for the exact-verdict join (tiny by construction);
+    ``bench_shingles`` (a one-column ``__sh`` frame of the benchmark's
+    DISTINCT shingles, e.g. a checkpointed
+    ``bloom_exact_shingles(benchmark)``) skips re-deriving even that per
+    call — with both, a micro-batch pays ONLY its own probe.
     Returns (id_col, group_col, __n_sh, __n_ex, __n_bl, __n_fneg).
     """
     # a position in a partial trailing word would F.get a null word and
@@ -289,8 +320,15 @@ def bloom_doc_flags(corpus: DataFrame, benchmark: DataFrame,
 
     # the benchmark slice is tiny next to the corpus, so recomputing its
     # shingles for the exact-verdict join costs less than an extra
-    # materialization job would
-    bench_sh = benchmark.transform(exploded).select("__sh").distinct()
+    # materialization job would — in a BATCH call; a streaming caller
+    # probing many micro-batches passes the precomputed set instead
+    if bench_shingles is not None:
+        if bench_shingles.columns != ["__sh"]:
+            raise ValueError("bench_shingles must be a one-column '__sh' "
+                             f"frame, got {bench_shingles.columns}")
+        bench_sh = bench_shingles
+    else:
+        bench_sh = benchmark.transform(exploded).select("__sh").distinct()
 
     if bitset is None:
         bitset = bloom_bitset(benchmark, text_col, k, m_bits,
