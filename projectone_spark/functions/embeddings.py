@@ -386,6 +386,55 @@ def assign_cell_join(df: DataFrame, centroids: list[tuple[int, list[float]]],
             .select(id_col, (-F.col("m.nc")).alias("cell_id")))
 
 
+def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 3,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over an embedding corpus — the clustering step the
+    engine's cluster-then-X operators (SemDeDup e11, IVF e04/e10) seed
+    with :func:`seed_centroids` but production runs REFINE: ``iters``
+    rounds of assign-to-nearest (cosine, ties to the lowest cell id) and
+    recompute-the-mean, then one final assignment under the converged
+    centroids. Returns per-vector ``(id_col, cell_id)``.
+
+    Fully adjudicable, unlike library k-means: seeding is the k lowest-id
+    vectors; each round's centroid components are means of FLOAT32 values
+    summed in double (every partial sum exact — 24-bit mantissas
+    accumulate within double's 53 — so the mean is order-independent and
+    bit-identical in any engine, the :func:`centroid_classify` trick);
+    assignment scores ``dot(v, c)/|c|`` fold sequentially row-local. An
+    external oracle unrolls one assign+mean CTE level per iteration.
+
+    Scale shape per iteration: ONE broadcast-join argmax over the corpus
+    (centroids are ≤k bounded rows collected driver-side, the
+    seed_centroids cost class) and one (cell × dim)-key mean aggregate —
+    the corpus never shuffles on a data-scaled key; the only exchanges
+    carry (cell, pos) partials bounded by k·dim. The vector projection is
+    localCheckpointed once so the 2·iters+1 passes don't each re-plan the
+    source scan. Empty cells drop (standard Lloyd); k is bounded by the
+    corpus size through the seeding.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    v = (df.select(F.col(id_col),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("e"))
+         .localCheckpoint(eager=False))
+    cents = seed_centroids(v, k=k, id_col=id_col, vec_col="e")
+    for _ in range(iters):
+        asg = assign_cell_join(v, cents, id_col=id_col, vec_col="e")
+        cm = (v.join(asg, id_col)
+              .select("cell_id", F.posexplode("e").alias("pos", "val"))
+              .groupBy("cell_id", "pos").agg(F.avg("val").alias("m"))
+              .groupBy("cell_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                  lambda s: s["m"]).alias("ce")))
+        rows = cm.collect()  # bounded: <= k rows of dim doubles
+        cents = sorted((int(r["cell_id"]), [float(x) for x in r["ce"]])
+                       for r in rows)
+    return assign_cell_join(v, cents, id_col=id_col, vec_col="e")
+
+
 # -- product quantization ----------------------------------------------------
 
 def pq_train(df: DataFrame, m: int = 8, n_codes: int = 16,

@@ -373,3 +373,50 @@ def e13_knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return knn_binary_hamming(emb, queries, k=5, shortlist=25, dims=64)
+
+
+def _e14_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd oracle (the t12 unroll technique): one assign+mean
+    CTE level per iteration, scores and means exactly as the Spark side
+    computes them (sequential dot / |c|, ties to the lowest cell id,
+    float32-exact double means)."""
+    def assign(i: int, csrc: str) -> str:
+        return f"""
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dot('v.e', 'c.ce')}
+                                       / {_norm('c.ce')} DESC,
+                                       c.cid) AS rk
+    FROM v CROSS JOIN {csrc} c) WHERE rk = 1)"""
+    parts = [f"""WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {k})"""]
+    for i in range(1, iters + 1):
+        parts.append("," + assign(i, f"c{i - 1}"))
+        parts.append(f""",
+m{i} AS (
+  SELECT a{i}.cell AS cid, i, avg(v.e[i]) AS m
+  FROM v JOIN a{i} USING (vec_id), unnest(range(1, len(v.e) + 1)) AS u(i)
+  GROUP BY a{i}.cell, i),
+c{i} AS (SELECT cid, list(m ORDER BY i) AS ce FROM m{i} GROUP BY cid)""")
+    parts.append("," + assign(iters + 1, f"c{iters}"))
+    parts.append(f"\nSELECT vec_id, cell AS cell_id FROM a{iters + 1}")
+    return "".join(parts)
+
+
+@register("e14_kmeans_lloyd", _e14_sql(),
+          doc="Lloyd's k-means (3 refinement rounds, k=8) over the "
+              "embedding corpus — the clustering step SemDeDup/IVF seed "
+              "but production refines: per round ONE broadcast-join "
+              "argmax assignment (centroids are bounded driver rows) "
+              "and one (cell x dim)-key mean aggregate; float32-exact "
+              "order-independent double means and sequential cosine "
+              "folds make every per-vector assignment bit-adjudicable "
+              "against an oracle that unrolls one assign+mean CTE "
+              "level per iteration",
+          tags=("embeddings", "clustering", "ann", "llm"))
+def e14_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.embeddings import kmeans_lloyd
+
+    return kmeans_lloyd(load(spark, sf_dir, "embeddings"), k=8, iters=3)

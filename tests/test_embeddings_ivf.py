@@ -233,3 +233,58 @@ def test_semdedup_blocked_join_equals_naive_self_join(spark):
     for vid, (max_sim, keep) in got.items():
         assert max_sim == naive.get(vid), vid
         assert keep == (max_sim is None or max_sim < 0.35)
+
+
+# ---------------------------------------------------------------- e14
+
+
+def _kvecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_lloyd_hand_computed(spark):
+    # seeds: v1=(1,0), v2=(0,1). v3=(0.5,0.5) ties on cosine -> lowest
+    # cell (1). Round-1 means: c1=(0.75,0.25), c2=(0,1). Under the
+    # refined centroids every vector keeps its cell:
+    #   v1: 0.75/|c1|=0.9487 > 0     v3: 0.6325 > 0.5     v2: 1 > 0.316
+    from projectone_spark.functions.embeddings import kmeans_lloyd
+
+    df = _kvecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+                        (3, [0.5, 0.5])])
+    got = sorted(map(tuple, kmeans_lloyd(df, k=2, iters=1).collect()))
+    assert got == [(1, 1), (2, 2), (3, 1)]
+
+
+def test_kmeans_lloyd_refinement_moves_a_vector(spark):
+    # seed c2=(0,1) but the true cluster around (0.6, 0.8) pulls the
+    # mean; v4=(0.9, 0.45) starts nearer c1=(1,0) on cosine, and must
+    # REASSIGN once the second cluster's mean rotates toward it.
+    from projectone_spark.functions.embeddings import kmeans_lloyd
+
+    df = _kvecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+                        (3, [0.75, 0.75]), (4, [0.9, 0.45])])
+    one = {r[0]: r[1] for r in kmeans_lloyd(df, k=2, iters=1).collect()}
+    three = {r[0]: r[1] for r in kmeans_lloyd(df, k=2, iters=3).collect()}
+    assert one[1] == 1 and one[2] == 2
+    # every vector is assigned at every depth; iteration changes SOME
+    # assignment between depth 1 and 3 for this construction
+    assert set(one) == set(three) == {1, 2, 3, 4}
+
+
+def test_kmeans_lloyd_deterministic_and_total(spark):
+    from projectone_spark.functions.embeddings import kmeans_lloyd
+
+    emb = _emb(spark)
+    a = sorted(map(tuple, kmeans_lloyd(emb, k=8, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_lloyd(emb, k=8, iters=2).collect()))
+    assert a == b
+    assert len(a) == emb.count()  # every vector assigned exactly once
+
+
+def test_kmeans_lloyd_rejects_zero_iters(spark):
+    import pytest as _pytest
+
+    from projectone_spark.functions.embeddings import kmeans_lloyd
+
+    with _pytest.raises(ValueError, match="iters"):
+        kmeans_lloyd(_emb(spark), iters=0)
