@@ -242,12 +242,7 @@ def bloom_bitset(benchmark: DataFrame, text_col: str = "text",
                              f"got {shingles.columns}")
         sh = shingles
     else:
-        base = spread(benchmark.select(normalize(text_col).alias("__norm")),
-                      parallelism)
-        sh = (base.select(F.explode(
-                  F.array_distinct(shingles_of_norm("__norm", k)))
-                  .alias("__sh"))
-              .distinct())
+        sh = bloom_exact_shingles(benchmark, text_col, k, parallelism)
     pos = sh.select(F.explode(F.array(
         *bloom_positions("__sh", m_bits, n_hashes))).alias("__p"))
     rows = (pos.select((F.col("__p") / 64).cast("int").alias("__w"),

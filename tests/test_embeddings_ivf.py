@@ -256,19 +256,31 @@ def test_kmeans_lloyd_hand_computed(spark):
 
 
 def test_kmeans_lloyd_refinement_moves_a_vector(spark):
-    # seed c2=(0,1) but the true cluster around (0.6, 0.8) pulls the
-    # mean; v4=(0.9, 0.45) starts nearer c1=(1,0) on cosine, and must
-    # REASSIGN once the second cluster's mean rotates toward it.
-    from projectone_spark.functions.embeddings import kmeans_lloyd
+    # The refinement loop must actually refine: under the SEED centroids
+    # c1=(1,0)/c2=(0,1), border vector v5=(0.8,0.6) scores 0.8 vs 0.6 ->
+    # cell 1. Round-1 means shift c1 toward v3's negative-y pull
+    # ((1+1+0.8)/3, (0-0.75+0.6)/3) and c2 toward v4, after which v5
+    # scores 0.767 vs 0.822 -> cell 2. A no-op loop (centroids never
+    # updated) returns the seed assignment and fails here.
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        assign_cell_join,
+        kmeans_lloyd,
+        seed_centroids,
+    )
 
     df = _kvecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
-                        (3, [0.75, 0.75]), (4, [0.9, 0.45])])
-    one = {r[0]: r[1] for r in kmeans_lloyd(df, k=2, iters=1).collect()}
-    three = {r[0]: r[1] for r in kmeans_lloyd(df, k=2, iters=3).collect()}
-    assert one[1] == 1 and one[2] == 2
-    # every vector is assigned at every depth; iteration changes SOME
-    # assignment between depth 1 and 3 for this construction
-    assert set(one) == set(three) == {1, 2, 3, 4}
+                        (3, [1.0, -0.75]), (4, [0.6, 0.8]),
+                        (5, [0.8, 0.6])])
+    v = df.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("e"))
+    under_seeds = {r[0]: r[1] for r in assign_cell_join(
+        v, seed_centroids(v, k=2, vec_col="e"), vec_col="e").collect()}
+    refined = {r[0]: r[1] for r in kmeans_lloyd(df, k=2, iters=1).collect()}
+    assert under_seeds[5] == 1
+    assert refined[5] == 2  # the refinement moved the border vector
+    assert refined == {1: 1, 2: 2, 3: 1, 4: 2, 5: 2}
 
 
 def test_kmeans_lloyd_deterministic_and_total(spark):
