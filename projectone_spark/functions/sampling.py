@@ -33,7 +33,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from projectone_spark.functions.dedup import shingles_of_norm
-from projectone_spark.functions.text import normalize, spread, tokens
+from projectone_spark.functions.text import (
+    ngram_join,
+    normalize,
+    spread,
+    tokens,
+    tokens_of_norm,
+)
 
 
 def md5_bucket(col: Column | str, n_buckets: int = 100) -> Column:
@@ -254,6 +260,63 @@ def bloom_bitset(benchmark: DataFrame, text_col: str = "text",
     for r in rows:
         words[r["__w"]] = r["__bits"]
     return words
+
+
+def token_ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
+                              n: int = 13, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              group_col: str = "source",
+                              parallelism: int | None = None) -> DataFrame:
+    """Word-n-gram benchmark decontamination — the GPT-3 recipe (Brown
+    et al. 2020, Appendix C): a training document is DIRTY when it shares
+    any 13-gram of words with the eval suite. This is the token-level
+    twin of the char-5-shingle screens (p09 bloom / d12 exact): shingles
+    catch fuzzy/reformatted leakage, exact long n-grams catch verbatim
+    quotation with near-zero false-positive rate — production pipelines
+    (GPT-3, PaLM, Llama) run this granularity.
+
+    Grams are space-joined normalized tokens, DISTINCT per document
+    row-local (``array_distinct`` before the explode — the d10
+    discipline), and carried as md5 hex keys so the benchmark-side join
+    ships 32-byte digests instead of ~100-char gram strings; md5 over
+    identical UTF-8 bytes is engine-portable, so an external oracle
+    reproduces the keys exactly.
+
+    Plan shape at 100 TB: the benchmark's distinct gram-digest set is
+    tiny by construction (eval suites, not corpora) and broadcasts; the
+    corpus side is ONE scan → row-local gram derivation → a map-side-
+    combining per-doc aggregate over the broadcast LEFT join — the only
+    corpus-sized shuffle carries (doc, digest) pairs. Documents with
+    fewer than ``n`` tokens have no grams and are absent (vacuously
+    clean — the GPT-3 filter only ever flags gram-bearing text).
+
+    Returns per corpus document: (id, group, n_grams, n_dirty, dirty).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def grams(frame: DataFrame, cols: list[str]) -> DataFrame:
+        base = spread(frame.select(*cols,
+                                   normalize(text_col).alias("__norm")),
+                      parallelism)
+        toks = tokens_of_norm("__norm")
+        return base.select(
+            *cols,
+            F.explode(F.array_distinct(ngram_join(toks, n))).alias("__g"))
+
+    bench_g = (grams(benchmark, [])
+               .select(F.md5(F.col("__g").cast("binary")).alias("__h"))
+               .distinct()
+               .withColumn("__hit", F.lit(True)))
+    return (grams(corpus, [id_col, group_col])
+            .select(id_col, group_col,
+                    F.md5(F.col("__g").cast("binary")).alias("__h"))
+            .join(F.broadcast(bench_g), "__h", "left")
+            .groupBy(id_col, group_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+                 .cast("bigint").alias("n_dirty"))
+            .withColumn("dirty", F.col("n_dirty") > 0))
 
 
 def bloom_exact_shingles(benchmark: DataFrame, text_col: str = "text",

@@ -12,7 +12,9 @@
   surprisal quality gate → bloom decontamination → epoch schedule →
   curriculum binning, run through the SparkTask DAG with store-table
   handoffs at every stage boundary and per-source drop/survivor/
-  schedule/bin accounting oracle-checked end-to-end.
+  schedule/bin accounting oracle-checked end-to-end;
+- p14: GPT-3-style word-13-gram benchmark decontamination (Brown et
+  al. 2020, Appendix C) — the token-level twin of the shingle screens.
 
 Same exactness discipline as corpus4/5: integer arithmetic end-to-end,
 float division only as a single final correctly-rounded IEEE op.
@@ -417,3 +419,44 @@ def f12_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
               f"schedule copies below the whole-epoch floor for "
               f"{r['source']}: {r}")
     return out
+
+
+_P14_SQL = f"""
+WITH c AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents
+           WHERE doc_id % 97 <> 0),
+b AS (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i+12], ' ')) AS h
+  FROM b, unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i)),
+cg AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(toks[i:i+12], ' ')) AS h
+  FROM c, unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i))
+SELECT cg.doc_id, cg.source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dirty,
+       sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS dirty
+FROM cg LEFT JOIN bg ON cg.h = bg.h
+GROUP BY cg.doc_id, cg.source
+"""
+
+
+@register("p14_ngram_decontamination", _P14_SQL,
+          doc="GPT-3-style 13-gram benchmark decontamination (Brown et "
+              "al. 2020, Appendix C): a corpus document is dirty when it "
+              "shares ANY word 13-gram with the benchmark split — the "
+              "token-level twin of the shingle screens (p09/d12), "
+              "catching verbatim quotation with near-zero false "
+              "positives; grams are row-local-distinct, carried as md5 "
+              "digests, and the benchmark side broadcasts",
+          tags=("sampling", "dedup", "text", "llm"))
+def p14_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.sampling import token_ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return token_ngram_contamination(corpus, bench)

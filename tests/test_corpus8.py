@@ -188,3 +188,45 @@ def test_linear_classifier_computes_corpus_pipeline_once(spark):
     assert "EvalPython" not in plan
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+# ---------------------------------------------------------------- p14
+
+
+def test_ngram_contamination_hand_computed(spark):
+    from projectone_spark.functions.sampling import token_ngram_contamination
+
+    # n=3 for a hand-checkable case. bench holds "a b c d" -> trigrams
+    # {a b c, b c d}. doc 1 quotes "a b c" verbatim inside noise (1 of
+    # its 4 trigrams dirty); doc 2 shares no trigram; doc 3 is too short
+    # for any trigram and must be ABSENT (vacuously clean).
+    corpus = spark.createDataFrame(
+        [(1, "x a b c y z", "s1"), (2, "a c b d a c", "s1"),
+         (3, "a b", "s2")],
+        "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame([(99, "a b c d", "s9")],
+                                  "doc_id bigint, text string, source string")
+    rows = sorted(map(tuple, token_ngram_contamination(
+        corpus, bench, n=3).collect()))
+    assert rows == [(1, "s1", 4, 1, True), (2, "s1", 4, 0, False)]
+
+
+def test_ngram_contamination_distinct_grams_per_doc(spark):
+    from projectone_spark.functions.sampling import token_ngram_contamination
+
+    # the quoted trigram appears TWICE in doc 1 but counts once:
+    # grams are distinct per document (the d10 discipline)
+    corpus = spark.createDataFrame([(1, "a b c q a b c", "s1")],
+                                   "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame([(9, "a b c", "s9")],
+                                  "doc_id bigint, text string, source string")
+    row = token_ngram_contamination(corpus, bench, n=3).first()
+    assert (row["n_grams"], row["n_dirty"], row["dirty"]) == (4, 1, True)
+
+
+def test_ngram_contamination_rejects_bad_n(spark):
+    from projectone_spark.functions.sampling import token_ngram_contamination
+
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="n must"):
+        token_ngram_contamination(df, df, n=0)
