@@ -275,12 +275,14 @@ def token_ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     quotation with near-zero false-positive rate — production pipelines
     (GPT-3, PaLM, Llama) run this granularity.
 
-    Grams are space-joined normalized tokens, DISTINCT per document
-    row-local (``array_distinct`` before the explode — the d10
-    discipline), and carried as md5 hex keys so the benchmark-side join
-    ships 32-byte digests instead of ~100-char gram strings; md5 over
-    identical UTF-8 bytes is engine-portable, so an external oracle
-    reproduces the keys exactly.
+    Grams are space-joined normalized tokens, DISTINCT per DOCUMENT —
+    ``array_distinct`` dedupes row-local before the explode (the d10
+    discipline) and a (doc, digest) distinct pins the contract even if a
+    caller's frame carries multiple rows per id (e.g. an appended
+    union). Digests are md5 hex so the benchmark-side join ships
+    32-byte keys instead of ~100-char gram strings; md5 over identical
+    UTF-8 bytes is engine-portable, so an external oracle reproduces
+    the keys exactly.
 
     Plan shape at 100 TB: the benchmark's distinct gram-digest set is
     tiny by construction (eval suites, not corpora) and broadcasts; the
@@ -311,6 +313,7 @@ def token_ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     return (grams(corpus, [id_col, group_col])
             .select(id_col, group_col,
                     F.md5(F.col("__g").cast("binary")).alias("__h"))
+            .distinct()  # per-DOCUMENT distinctness survives multi-row ids
             .join(F.broadcast(bench_g), "__h", "left")
             .groupBy(id_col, group_col)
             .agg(F.count(F.lit(1)).alias("n_grams"),

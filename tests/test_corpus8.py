@@ -224,6 +224,20 @@ def test_ngram_contamination_distinct_grams_per_doc(spark):
     assert (row["n_grams"], row["n_dirty"], row["dirty"]) == (4, 1, True)
 
 
+def test_ngram_contamination_distinct_across_rows_of_one_doc(spark):
+    from projectone_spark.functions.sampling import token_ngram_contamination
+
+    # an appended union can carry the SAME doc_id twice; distinctness is
+    # per DOCUMENT (the oracle's contract), not per row
+    corpus = spark.createDataFrame(
+        [(1, "a b c", "s1"), (1, "a b c", "s1")],
+        "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame([(9, "a b c", "s9")],
+                                  "doc_id bigint, text string, source string")
+    rows = token_ngram_contamination(corpus, bench, n=3).collect()
+    assert [tuple(r) for r in rows] == [(1, "s1", 1, 1, True)]
+
+
 def test_ngram_contamination_rejects_bad_n(spark):
     from projectone_spark.functions.sampling import token_ngram_contamination
 
