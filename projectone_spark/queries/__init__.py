@@ -133,11 +133,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # of the two most-proven anchors, s07 (4 driver greens) and f01
     # (2 greens) — both stay locally parity-checked every pytest run:
     "q42_min_cost_supplier", "q43_important_stock",
-    # new-in-round-7 (took the f02/f03/f05/d10/d11 slots — 2 driver
+    # new-in-round-7 (took the f02/f03/f05/d10/d11/d12 slots — 2 driver
     # greens each):
     "t14_bpe_encode", "t15_linear_classifier", "f12_curation_dag",
     "e14_kmeans_lloyd", "p14_ngram_decontamination",
-    "d12_neardup_aware_contamination",
+    "s23_zorder_skipping",
     "p07_mixture_rebalance", "p08_sharded_export",
     "e07_centroid_classify",
     "o02_odata_incremental_stream", "o03_odata_multibatch_stream",

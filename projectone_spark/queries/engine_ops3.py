@@ -355,3 +355,65 @@ def s22_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(sum(r.t), 2) AS DOUBLE) AS total_price "
         "FROM customer_rollup r JOIN customer c ON c.c_custkey = r.o_custkey "
         "GROUP BY c.c_mktsegment")
+
+
+_S23_SQL = """
+WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) // 4 AS ck,
+                  CAST(max(o_totalprice) AS BIGINT) // 4 AS tp
+           FROM orders)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS sum_price
+FROM orders CROSS JOIN b
+WHERE o_custkey <= b.ck AND o_totalprice <= b.tp
+GROUP BY o_orderstatus
+"""
+
+
+@register("s23_zorder_skipping", _S23_SQL,
+          doc="OPTIMIZE ZORDER BY (Delta's multi-column clustering): the "
+              "table is rewritten ordered by the Morton interleave of "
+              "(o_custkey, o_totalprice) rank buckets so each file covers "
+              "a small hyper-rectangle of the 2-D key space; a "
+              "conjunctive 2-D range read then proves file-level pruning "
+              "actually fires (candidates strictly below the file count, "
+              "and no worse than the unclustered layout's fraction) "
+              "while the pruned read's aggregate is oracle-checked for "
+              "correctness — skipping is an optimization, never a "
+              "correctness filter",
+          tags=("store", "skipping", "maintenance", "perf"))
+def s23_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.maintenance import zorder_cluster
+    from projectone_spark.store.skipping import prune_files, read_where
+
+    store = TableStore(scratch_dir(prefix="po_s23_"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    # UNclustered baseline: round-robin layout, every file spans nearly
+    # the full key range, so min/max stats prune (almost) nothing
+    store.overwrite(spark, orders.repartition(8), "ord",
+                    stats_columns=["o_custkey", "o_totalprice"])
+    # one bounded driver scalar pair (the CDC-bounds cost class) defines
+    # a deterministic 2-D box the oracle mirrors with integer division
+    row = orders.agg(F.max("o_custkey"), F.max("o_totalprice")).first()
+    preds = [("o_custkey", "<=", int(row[0]) // 4),
+             ("o_totalprice", "<=", int(row[1]) // 4)]
+    kept0, total0 = prune_files(store.manifest("ord"), preds)
+
+    zorder_cluster(store, spark, "ord", ["o_custkey", "o_totalprice"],
+                   target_files=8)
+    kept1, total1 = prune_files(store.manifest("ord"), preds)
+    check(len(kept1) < total1,
+          f"Z-order produced no pruning: {len(kept1)}/{total1} files "
+          "survive the 2-D box predicate")
+    check(len(kept1) * total0 <= len(kept0) * total1,
+          f"Z-order prunes WORSE than the unclustered layout: "
+          f"{len(kept1)}/{total1} vs {len(kept0)}/{total0}")
+
+    out = read_where(store, spark, "ord", preds)
+    return (out.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")),
+                         2).cast("double").alias("sum_price")))

@@ -210,3 +210,71 @@ def read_merged(store: TableStore, spark: SparkSession, name: str) -> DataFrame:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
     return spark.read.option("mergeSchema", "true").parquet(*m["dirs"])
+
+
+def zorder_cluster(store: TableStore, spark: SparkSession, name: str,
+                   columns: Sequence[str], target_files: int = 8,
+                   bits: int = 8) -> int:
+    """Multi-column clustering rewrite — Delta's ``OPTIMIZE ZORDER BY``:
+    the snapshot is rewritten ordered by the Morton (Z-order) interleave
+    of each row's per-column rank buckets, so every output file covers a
+    small HYPER-RECTANGLE of the key space and the per-file min/max
+    stats (``skipping.prune_files``) exclude it for predicates on ANY
+    clustered column or their conjunction. A single-column sort only
+    helps the leading column; bit interleaving is what makes a 2-D
+    range predicate prune — the reason warehouses Z-order instead of
+    sorting.
+
+    Scale shape: one pass — per-column bucket boundaries come from a
+    single ``percentile_approx`` aggregate (boundary ACCURACY only
+    affects layout quality, never data correctness), broadcast as array
+    literals; the bucket id and the interleave are scan-side codegen;
+    the one shuffle is the ``repartitionByRange`` on the z-value that
+    the rewrite needs anyway. No global sort, no window over a single
+    partition.
+    """
+    cols = list(columns)
+    if not 1 <= len(cols) <= 4:
+        raise ValueError(f"zorder_cluster needs 1-4 columns, got {cols}")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(f"table '{name}' does not exist")
+    if m.get("metrics", {}).get("bucket_by"):
+        raise ValueError(
+            f"table '{name}' is bucketed; Z-ordering would silently "
+            "discard the bucket layout")
+    df = read_merged(store, spark, name)
+    n_buckets = 1 << bits
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(*[
+        F.percentile_approx(F.col(c).cast("double"), fracs).alias(c)
+        for c in cols]).first()
+
+    def bucket(c: str, bs: list[float]):
+        # rank bucket = number of boundaries <= value (0 .. n_buckets-1),
+        # a scan-side fold over a literal boundary array
+        arr = F.lit([float(b) for b in bs])
+        v = F.col(c).cast("double")
+        return F.coalesce(
+            F.size(F.filter(arr, lambda b: b <= v)).cast("bigint"),
+            F.lit(0).cast("bigint"))  # NULL keys cluster at bucket 0
+
+    z = F.lit(0).cast("bigint")
+    k = len(cols)
+    for ci, c in enumerate(cols):
+        b = bucket(c, list(bounds[c]))
+        for bit in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * k + ci).cast("bigint")
+    part = m["partition_by"]
+    clustered = (df.withColumn("__z", z)
+                 .repartitionByRange(max(1, int(target_files)), F.col("__z"))
+                 .sortWithinPartitions("__z")
+                 .drop("__z"))
+    return store.overwrite(
+        spark, clustered, name, partition_by=part or None,
+        stats_columns=cols, _operation="zorder",
+        _expected_base=m["version"])

@@ -235,3 +235,58 @@ def test_vacuum_time_retention(spark, store):
                      retention_seconds=3600)
     assert len(dropped) == 2
     assert store.read(spark, "orders").count() == 30
+
+
+# ---------------------------------------------------------------- zorder
+
+
+def test_zorder_preserves_data_and_improves_2d_pruning(spark, store):
+    from projectone_spark.store.maintenance import zorder_cluster
+    from projectone_spark.store.skipping import prune_files
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    store.overwrite(spark, li.repartition(8), "li",
+                    stats_columns=["l_partkey", "l_suppkey"])
+    before = sorted(map(tuple, store.read(spark, "li")
+                        .drop("__metadata_valid_to_ts__").collect()))
+    mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    preds = [("l_partkey", "<=", int(mx[0]) // 4),
+             ("l_suppkey", "<=", int(mx[1]) // 4)]
+    kept0, total0 = prune_files(store.manifest("li"), preds)
+
+    zorder_cluster(store, spark, "li", ["l_partkey", "l_suppkey"],
+                   target_files=8)
+    after = sorted(map(tuple, store.read(spark, "li")
+                       .drop("__metadata_valid_to_ts__").collect()))
+    assert after == before  # a clustering rewrite must not touch values
+    kept1, total1 = prune_files(store.manifest("li"), preds)
+    assert len(kept1) < total1  # the 2-D box actually prunes files
+    # and never prunes WORSE than the unclustered layout (fractionally)
+    assert len(kept1) * total0 <= len(kept0) * total1
+
+
+def test_zorder_null_keys_survive(spark, store):
+    from projectone_spark.store.maintenance import zorder_cluster
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, None, 7), (3, 20, None), (4, None, None)],
+        "id bigint, a bigint, b bigint")
+    store.overwrite(spark, df, "t", stats_columns=["a", "b"])
+    zorder_cluster(store, spark, "t", ["a", "b"], target_files=2)
+    got = sorted(map(tuple, store.read(spark, "t")
+                     .select("id", "a", "b").collect()))
+    assert got == [(1, 10, 5), (2, None, 7), (3, 20, None), (4, None, None)]
+
+
+def test_zorder_rejects_bad_args(spark, store):
+    from projectone_spark.store.maintenance import zorder_cluster
+
+    df = spark.range(10).withColumn("a", F.col("id") % 3)
+    store.overwrite(spark, df, "t")
+    with pytest.raises(ValueError, match="1-4 columns"):
+        zorder_cluster(store, spark, "t", [])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_cluster(store, spark, "t", ["a"], bits=0)
+    with pytest.raises(FileNotFoundError):
+        zorder_cluster(store, spark, "missing", ["a"])

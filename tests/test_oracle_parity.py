@@ -60,9 +60,10 @@ def test_harness_prefix_contract():
     # queries added this round.
     never_adjudicated = {
         "q42_min_cost_supplier", "q43_important_stock",
-        # added in round 7 (took the f02/f03/f05/d10/d11 slots):
+        # added in round 7 (took the f02/f03/f05/d10/d11/d12 slots):
         "t14_bpe_encode", "t15_linear_classifier", "f12_curation_dag",
         "e14_kmeans_lloyd", "p14_ngram_decontamination",
+        "s23_zorder_skipping",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
