@@ -279,7 +279,11 @@ def token_ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     ``array_distinct`` dedupes row-local before the explode (the d10
     discipline) and a (doc, digest) distinct pins the contract even if a
     caller's frame carries multiple rows per id (e.g. an appended
-    union). Digests are md5 hex so the benchmark-side join ships
+    union). CONTRACT: an id must not span multiple ``group_col`` values —
+    distinctness and grouping key on (id, group), so an id appearing
+    under two sources is treated as two documents (one output row per
+    (id, source), shared grams counted in each); dedupe or re-key before
+    calling if that is not the intent. Digests are md5 hex so the benchmark-side join ships
     32-byte keys instead of ~100-char gram strings; md5 over identical
     UTF-8 bytes is engine-portable, so an external oracle reproduces
     the keys exactly.

@@ -152,7 +152,14 @@ def stage_metrics(spark: SparkSession, *,
     ``settle_secs`` (callers probing a group that may not have run can
     also just pass ``settle_secs=0``). Other jobs merely EXISTING in the
     store is not enough — that proves past delivery, not that this
-    group's job-start event isn't still queued.
+    group's job-start event isn't still queued. The drained-and-empty
+    early settle assumes a SYNCHRONOUS caller: the group's actions have
+    already returned on THIS thread, so their JobStart events were
+    posted before the drain check. A job submitted concurrently from
+    ANOTHER thread may not have posted its JobStart yet when the bus
+    drains — multi-threaded callers should poll again after their
+    submitting threads have joined (or pass a positive ``settle_secs``
+    and re-read) rather than trust one empty settle.
     """
     import time as _time
 

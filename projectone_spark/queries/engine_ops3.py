@@ -359,7 +359,7 @@ def s22_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S23_SQL = """
 WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) // 4 AS ck,
-                  CAST(max(o_totalprice) AS BIGINT) // 4 AS tp
+                  CAST(floor(max(o_totalprice)) AS BIGINT) // 4 AS tp
            FROM orders)
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_rows,

@@ -255,6 +255,10 @@ def zorder_cluster(store: TableStore, spark: SparkSession, name: str,
     def bucket(c: str, bs: list[float]):
         # rank bucket = number of boundaries <= value (0 .. n_buckets-1),
         # a scan-side fold over a literal boundary array
+        if not bs:
+            # entirely-NULL column or empty table: percentile_approx has
+            # no boundaries — degenerate single-bucket layout (bucket 0)
+            return F.lit(0).cast("bigint")
         arr = F.lit([float(b) for b in bs])
         v = F.col(c).cast("double")
         return F.coalesce(
@@ -264,7 +268,7 @@ def zorder_cluster(store: TableStore, spark: SparkSession, name: str,
     z = F.lit(0).cast("bigint")
     k = len(cols)
     for ci, c in enumerate(cols):
-        b = bucket(c, list(bounds[c]))
+        b = bucket(c, [] if bounds[c] is None else list(bounds[c]))
         for bit in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)),

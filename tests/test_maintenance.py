@@ -279,6 +279,22 @@ def test_zorder_null_keys_survive(spark, store):
     assert got == [(1, 10, 5), (2, None, 7), (3, 20, None), (4, None, None)]
 
 
+def test_zorder_all_null_column_degrades_to_single_bucket(spark, store):
+    """ADVICE r7: an entirely-NULL clustered column makes percentile_approx
+    return NULL bounds — must produce a degenerate single-bucket layout,
+    not a TypeError from iterating None."""
+    from projectone_spark.store.maintenance import zorder_cluster
+
+    df = spark.createDataFrame(
+        [(1, 10, None), (2, 20, None), (3, 30, None)],
+        "id bigint, a bigint, b bigint")
+    store.overwrite(spark, df, "t", stats_columns=["a", "b"])
+    zorder_cluster(store, spark, "t", ["a", "b"], target_files=2)
+    got = sorted(map(tuple, store.read(spark, "t")
+                     .select("id", "a", "b").collect()))
+    assert got == [(1, 10, None), (2, 20, None), (3, 30, None)]
+
+
 def test_zorder_rejects_bad_args(spark, store):
     from projectone_spark.store.maintenance import zorder_cluster
 

@@ -480,3 +480,24 @@ def test_in_predicate_generator_is_materialized(spark, store):
     got = read_where(store, spark, "orders",
                      [("o_orderstatus", "in", (s for s in statuses))])
     _assert_same(got, _orders(spark).filter(F.col("o_orderstatus").isin(statuses)))
+
+
+def test_s23_oracle_price_bound_uses_floor_like_python_int(duck):
+    """ADVICE r8 (medium): DuckDB ``CAST(x AS BIGINT)`` rounds half-up while
+    the s23 Spark driver truncates via ``int(row[1])``, so a max totalprice
+    with fractional part >= .5 and integer part = 3 (mod 4) would shift the
+    ``// 4`` bound by 1 between the engines. The oracle must floor() first
+    so both derive the identical integer bound for ANY max."""
+    from projectone_spark.queries import REGISTRY, queries
+
+    queries()
+    oracle = REGISTRY["s23_zorder_skipping"].oracle
+    assert "CAST(floor(max(o_totalprice)) AS BIGINT)" in oracle
+    for mx in (3.5, 3.49, 7.999, 11.5, 499705.05, 499999.75):
+        got = duck.execute(
+            "SELECT CAST(floor(max(p)) AS BIGINT) // 4 "
+            "FROM (SELECT CAST(? AS DOUBLE) AS p)", [mx]).fetchone()[0]
+        assert got == int(mx) // 4, mx
+        # and the pre-fix form really does diverge at the .5 boundary
+    assert duck.execute(
+        "SELECT CAST(3.5 AS BIGINT) // 4").fetchone()[0] == 1 != int(3.5) // 4
