@@ -642,6 +642,113 @@ def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
                  <= max_dup_frac).alias("keep")))
 
 
+def duplicate_run_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 8,
+                        min_run_tokens: int = 50,
+                        parallelism: int | None = None) -> DataFrame:
+    """Variable-length repeated-substring detection — the distributed
+    approximation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §4.1: remove MAXIMAL
+    substrings repeated in the corpus, ≥50 tokens). A faithful parallel
+    suffix array is not a Spark shape; the standard approximation is
+    CHAINED-GRAM RUN detection: a position's word n-gram is "duplicated"
+    when that exact n-gram occurs ≥2 times anywhere in the corpus
+    (including elsewhere in the same document — ExactSubstr counts
+    self-repeats), and a maximal run of CONSECUTIVE duplicated positions
+    ``[i..j]`` witnesses a repeated region of ``j - i + n`` tokens.
+    (Approximation in the usual direction: every reported run is a chain
+    of individually-repeated windows, not necessarily one contiguous
+    match at a single other site — the same relaxation cross-partition
+    MapReduce implementations of the recipe make.)
+
+    Scale shape (extends :func:`cross_doc_ngram_dedup`'s d10 machinery
+    with positions): positions and grams are derived row-local and each
+    (doc, pos, gram) row shrinks to an 8-byte ``xxhash64`` key before
+    the one corpus-scale shuffle; the (doc, pos, hash) frame is
+    checkpointed ONCE and feeds the gram-frequency aggregate, the
+    duplicated-position semi-join, and the per-doc position count. The
+    hot-gram skew story is the d10 one: the frequency aggregate gets
+    map-side partial combine and the semi-join gets AQE skew splitting —
+    and unlike pair-generating dedup there is NO bucket blow-up to cap:
+    the semi-join's output is at most its input positions (d13's df-cap
+    exists to bound PAIR fan-out; no pairs are ever formed here). Run
+    coalescing is one window per DOCUMENT over its duplicated positions
+    only — bounded by document length, never corpus-scaled.
+
+    Multi-row ids follow the p14 contract: per-document (position,
+    gram) occurrences are counted ONCE across an id's rows, so an
+    appended union re-listing the same text changes nothing (and the
+    per-document run window stays deterministic — no tied positions).
+
+    Returns per gram-bearing document (docs with < n tokens are absent —
+    vacuously clean, the p14 contract): (id, n_positions,
+    n_dup_positions, n_runs, max_run_tokens, run_tokens, keep) where
+    runs count only those with token span ≥ ``min_run_tokens``,
+    ``run_tokens`` sums flagged runs' token spans (spans of DISTINCT
+    runs can overlap when gaps are shorter than ``n``, so this is an
+    upper bound on distinct flagged tokens), and ``keep`` is
+    ``n_runs == 0`` — the Lee et al. drop criterion at document
+    granularity.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_run_tokens < n:
+        raise ValueError(
+            f"min_run_tokens must be >= n (a single duplicated window "
+            f"already spans n={n} tokens), got {min_run_tokens}")
+    base = spread(df.select(F.col(id_col),
+                            normalize(text_col).alias("__norm")),
+                  parallelism)
+    base = base.withColumn("__toks", tokens_of_norm("__norm"))
+    gd = (base.select(F.col(id_col),
+                      F.posexplode(ngram_join(F.col("__toks"), n))
+                      .alias("__pos", "__gram"))
+          .select(F.col(id_col), "__pos", F.xxhash64("__gram").alias("__g"))
+          # pin per-document (position, gram) distinctness: an id that
+          # appears in several rows (appended unions — the multi-row-id
+          # contract p14 established) contributes each occurrence ONCE,
+          # and the run window below never sees tied __pos values that
+          # would make row_number() (and thus every run statistic)
+          # nondeterministic
+          .distinct()
+          .localCheckpoint(eager=False))
+    dup_keys = (gd.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") >= 2).select("__g"))
+    # checkpointed: both the run window and the per-doc dup count fold
+    # this frame, and replaying it would re-run the frequency aggregate
+    dpos = (gd.join(dup_keys, "__g", "left_semi")
+            .select(F.col(id_col), "__pos")
+            # distinct again: ids carrying DIFFERENT texts can still put
+            # two grams at one position — collapse so the window is
+            # tie-free (and a position is "duplicated", not "duplicated
+            # twice")
+            .distinct()
+            .localCheckpoint(eager=False))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    flagged = (dpos.withColumn("__isl",
+                               F.col("__pos") - F.row_number().over(w))
+               .groupBy(id_col, "__isl")
+               .agg((F.count(F.lit(1)) + F.lit(n - 1)).alias("__rtok"))
+               .filter(F.col("__rtok") >= min_run_tokens))
+    per_doc = gd.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_positions"))
+    dps = (dpos.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_dup_positions")))
+    fl = (flagged.groupBy(id_col)
+          .agg(F.count(F.lit(1)).alias("n_runs"),
+               F.max("__rtok").alias("max_run_tokens"),
+               F.sum("__rtok").alias("run_tokens")))
+    z = F.lit(0).cast("bigint")
+    return (per_doc.join(dps, id_col, "left").join(fl, id_col, "left")
+            .select(F.col(id_col), F.col("n_positions"),
+                    F.coalesce("n_dup_positions", z).alias("n_dup_positions"),
+                    F.coalesce("n_runs", z).alias("n_runs"),
+                    F.coalesce("max_run_tokens", z).alias("max_run_tokens"),
+                    F.coalesce("run_tokens", z).alias("run_tokens"),
+                    (F.coalesce("n_runs", z) == 0).alias("keep")))
+
+
 def incremental_lsh_pairs(base: DataFrame, delta: DataFrame,
                           text_col: str = "text", id_col: str = "doc_id",
                           num_hashes: int = 4, k: int = 5,

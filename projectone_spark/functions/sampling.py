@@ -225,6 +225,22 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
                  .alias("n_false_negatives")))
 
 
+def bloom_m_bits(n_keys: int, bits_per_key: int = 16) -> int:
+    """FPR-controlled bloom sizing: the bitset width a screen that
+    FILTERS on the bloom verdict must train with (a fixed default like
+    the 8 KiB one is fine for screens that merely REPORT counts — the
+    saturation is visible in the output — but a curation gate that
+    drops documents needs the false-positive rate pinned regardless of
+    benchmark size). 16 bits/key with the module's 2 hashes gives
+    fill ≈ 1 - e^(-1/8) ≈ 11.8% and FPR ≈ 1.4% at any scale; rounded
+    up to a multiple of 64 for the word/mask pack."""
+    if bits_per_key < 1:
+        raise ValueError(f"bits_per_key must be >= 1, got {bits_per_key}")
+    if n_keys < 0:
+        raise ValueError(f"n_keys must be >= 0, got {n_keys}")
+    return max(64, 64 * ((bits_per_key * n_keys + 63) // 64))
+
+
 def bloom_bitset(benchmark: DataFrame, text_col: str = "text",
                  k: int = 5, m_bits: int = 65536, n_hashes: int = 2,
                  parallelism: int | None = None,

@@ -534,13 +534,7 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     # the whole encoding rests on sep never occurring inside a symbol,
     # and sep is spliced into a regex replacement and SQL exprs — enforce
     # the precondition instead of assuming it
-    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"" \
-            or sep in ".^|?*+()[]{}-&<>=!":
-        raise ValueError(
-            f"bpe sep must be a single non-alphanumeric, non-quote, "
-            f"non-regex-metacharacter (got {sep!r}): symbols are "
-            f"[a-z0-9]+ and the separator is interpolated into "
-            f"regex/SQL literals AND used as a split() regex pattern")
+    _check_bpe_sep(sep)
     spark = df.sparkSession
     words = (spread(df.select(tokens(text_col).alias("__toks")), parallelism)
              .select(F.explode("__toks").alias("__w"))
@@ -588,10 +582,156 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
              " merged string, pair_count bigint")
 
 
+def _check_bpe_sep(sep: str) -> None:
+    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"" \
+            or sep in ".^|?*+()[]{}-&<>=!":
+        raise ValueError(
+            f"bpe sep must be a single non-alphanumeric, non-quote, "
+            f"non-regex-metacharacter (got {sep!r}): symbols are "
+            f"[a-z0-9]+ and the separator is interpolated into "
+            f"regex/SQL literals AND used as a split() regex pattern")
+
+
+def _check_bpe_merges(merges: Sequence[tuple[str, str]]) -> None:
+    """Merge-rule sides must be symbol strings (``[a-z0-9]+``) — anything
+    else (separators, whitespace, regex metacharacters) would corrupt the
+    double-separator encoding both engines splice the rules into."""
+    import re
+
+    bad = [(l, r) for l, r in merges
+           if not (re.fullmatch(r"[a-z0-9]+", l)
+                   and re.fullmatch(r"[a-z0-9]+", r))]
+    if bad:
+        raise ValueError(
+            f"bpe merge rules must be [a-z0-9]+ symbol pairs, got {bad[:3]}")
+
+
+def bpe_doc_word_counts(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        parallelism: int | None = None) -> DataFrame:
+    """The ONE corpus-sized computation of the encode pipeline: a
+    map-side-combining ``(doc, word) -> count`` aggregate, returned
+    ``localCheckpoint``-ed so the vocabulary fold and the per-document
+    fold both read a single computed pipeline (the d10 discipline — the
+    t10-style exchange-reuse fold does NOT survive here because column
+    pruning collapses a count-free vocabulary fold into a plain distinct
+    with its own scan). Columns: (id_col, __w, __c)."""
+    return (spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
+                   parallelism)
+            .select(F.col(id_col), F.explode("__toks").alias("__w"))
+            .filter(F.col("__w") != "")
+            .groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=False))
+
+
+def bpe_vocab_encode(vocab: DataFrame, merges: Sequence[tuple[str, str]],
+                     sep: str = "_", engine: str = "expr") -> DataFrame:
+    """Encode a DISTINCT-word vocabulary frame (one ``__w`` column) with
+    the trained merge table, returning ``(__w, __len, __nsym)`` — the
+    bounded model-application stage both :func:`bpe_encode` engines
+    share, exposed so a SAVED tokenizer can be applied to new corpora
+    and so the two engines can be equality-gated against each other.
+
+    ``engine='expr'``: one scan-side Catalyst ``replace`` per rule —
+    whole-stage codegen, no Python — for merge tables that fit a codegen
+    expression tree (guarded at 256 rules).
+
+    ``engine='arrow'``: the PRODUCTION form for tokenizer-scale tables
+    (30k–100k merges) — an Arrow-batched ``mapInPandas`` stage over the
+    same vocabulary frame. Each batch joins its words into one
+    newline-separated blob (symbols are ``[a-z0-9]`` and ``sep`` is
+    enforced non-alphanumeric, so ``\\n`` can never occur inside a
+    symbol string) and applies each rule as a single C-speed
+    ``str.replace`` pass over the whole blob — O(merges × batch_chars)
+    with no per-word Python loop per rule. Python's ``str.replace``,
+    Spark's ``replace`` and DuckDB's ``replace`` all scan left-to-right
+    and continue AFTER the consumed match, so the three engines agree
+    bit-for-bit including overlapping-occurrence cases — proven
+    in-query by t16's equality gate.
+
+    Every corpus-sized part of the plan is identical under either
+    engine; only this vocabulary-bounded stage swaps.
+    """
+    _check_bpe_sep(sep)
+    _check_bpe_merges(merges)
+    sep2 = sep + sep
+    if engine == "expr":
+        if len(merges) > 256:
+            raise ValueError(
+                f"{len(merges)} merges exceed the expression-chain form's "
+                "codegen budget (256); use engine='arrow' (the Arrow-"
+                "batched pandas stage over the same vocabulary frame) for "
+                "tokenizer-scale merge tables")
+        sym = F.concat(F.lit(sep2),
+                       F.regexp_replace("__w", "(.)", "$1" + sep2))
+        for left, right in merges:
+            sym = F.replace(sym, F.lit(f"{sep}{left}{sep2}{right}{sep}"),
+                            F.lit(f"{sep}{left}{right}{sep}"))
+        return vocab.select("__w", F.length("__w").alias("__len"),
+                            (F.size(F.split(sym, sep2)) - 2).alias("__nsym"))
+    if engine != "arrow":
+        raise ValueError(f"unknown bpe engine {engine!r}; "
+                         "expected 'expr' or 'arrow'")
+    rules = [(f"{sep}{left}{sep2}{right}{sep}", f"{sep}{left}{right}{sep}")
+             for left, right in merges]
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            words = [w if isinstance(w, str) else None
+                     for w in pdf["__w"].tolist()]
+            live = [w for w in words if w is not None]
+            if not live:
+                yield pd.DataFrame(
+                    {"__w": pd.Series(words, dtype="object"),
+                     "__len": pd.Series([None] * len(words), dtype="Int32"),
+                     "__nsym": pd.Series([None] * len(words), dtype="Int32")})
+                continue
+            blob = "\n".join(sep2 + sep2.join(w) + sep2 for w in live)
+            for pat, rep in rules:
+                blob = blob.replace(pat, rep)
+            it = iter(len(s.split(sep2)) - 2 for s in blob.split("\n"))
+            # NULL words null-propagate to NULL rows — bit-for-bit what
+            # the expr engine's Catalyst null semantics produce
+            nsym = [next(it) if w is not None else None for w in words]
+            yield pd.DataFrame(
+                {"__w": pd.Series(words, dtype="object"),
+                 "__len": pd.Series(
+                     [len(w) if w is not None else None for w in words],
+                     dtype="Int32"),
+                 "__nsym": pd.Series(nsym, dtype="Int32")})
+
+    return vocab.select("__w").mapInPandas(
+        encode_batches, "__w string, __len int, __nsym int")
+
+
+def bpe_fold(wf: DataFrame, enc: DataFrame,
+             id_col: str = "doc_id") -> DataFrame:
+    """Carry per-word encoded lengths back over the (doc, word) counts
+    and close the per-document statistics — the shared tail of both
+    :func:`bpe_encode` engines. One vocabulary-sized equi-join (AQE
+    broadcasts ``enc`` while it fits) plus a map-side-combining
+    per-document aggregate."""
+    return (wf.join(enc, "__w")
+            .groupBy(id_col)
+            .agg(F.sum("__c").alias("n_words"),
+                 F.sum(F.col("__c") * F.col("__len")).alias("n_chars"),
+                 F.sum(F.col("__c") * F.col("__nsym")).alias("n_bpe_tokens"))
+            # exact 6-dp half-up ratio (n_bpe_tokens <= n_chars, so no
+            # whole part): same .xx5-tie-proof close as winnow sim
+            .select(F.col(id_col), F.col("n_words"), F.col("n_chars"),
+                    F.col("n_bpe_tokens"),
+                    (F.expr("(2000000 * n_bpe_tokens + n_chars)"
+                            " div (2 * n_chars)").cast("double")
+                     / F.lit(1000000.0)).alias("compression")))
+
+
 def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
                text_col: str = "text", id_col: str = "doc_id",
                sep: str = "_",
-               parallelism: int | None = None) -> DataFrame:
+               parallelism: int | None = None,
+               engine: str = "expr") -> DataFrame:
     """Apply trained BPE merge rules to the corpus — the tokenizer
     APPLICATION step completing :func:`bpe_train_merges`'s training step
     (Sennrich et al. 2016 §3.2: "we apply the learned operations").
@@ -620,11 +760,11 @@ def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
     how often each word repeats in the corpus.
 
     ``merges`` is the trained rule table — bounded model state, applied
-    in order. The expression-chain form is for merge tables that fit a
-    codegen expression tree (guarded below); a full 30k-merge production
-    tokenizer would swap the chain for an Arrow-batched pandas stage over
-    the same bounded vocabulary frame, leaving every corpus-sized part of
-    this plan unchanged.
+    in order. ``engine`` picks the vocabulary-stage form (see
+    :func:`bpe_vocab_encode`): ``'expr'`` (default) is the Catalyst
+    replace chain, guarded at 256 rules; ``'arrow'`` is the Arrow-
+    batched pandas stage for tokenizer-scale tables — every corpus-sized
+    part of the plan is identical either way.
 
     Returns per document: (id, n_words, n_chars, n_bpe_tokens,
     compression) where n_chars is the pre-merge symbol count (one per
@@ -632,48 +772,12 @@ def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
     exact 6-dp half-up ratio n_bpe_tokens/n_chars. Documents with no
     tokens are absent (same contract as unigram_surprise).
     """
-    if len(sep) != 1 or sep.isalnum() or sep in "'\\$\"" \
-            or sep in ".^|?*+()[]{}-&<>=!":
-        raise ValueError(
-            f"bpe sep must be a single non-alphanumeric, non-quote, "
-            f"non-regex-metacharacter (got {sep!r}): symbols are "
-            f"[a-z0-9]+ and the separator is interpolated into "
-            f"regex/SQL literals AND used as a split() regex pattern")
-    if len(merges) > 256:
-        raise ValueError(
-            f"{len(merges)} merges exceed the expression-chain form's "
-            "codegen budget (256); apply tokenizer-scale merge tables "
-            "with an Arrow-batched pandas stage over the distinct-word "
-            "vocabulary instead")
-    sep2 = sep + sep
-    wf = (spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
-                 parallelism)
-          .select(F.col(id_col), F.explode("__toks").alias("__w"))
-          .filter(F.col("__w") != "")
-          .groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
-          .localCheckpoint(eager=False))
+    wf = bpe_doc_word_counts(df, text_col, id_col, parallelism)
     # the vocabulary folds the CHECKPOINTED doc-word aggregate, so both
-    # join inputs read one computed pipeline (zero re-scans); the replace
+    # join inputs read one computed pipeline (zero re-scans); the merge
     # chain runs on these vocabulary rows only
-    sym = F.concat(F.lit(sep2), F.regexp_replace("__w", "(.)", "$1" + sep2))
-    for left, right in merges:
-        sym = F.replace(sym, F.lit(f"{sep}{left}{sep2}{right}{sep}"),
-                        F.lit(f"{sep}{left}{right}{sep}"))
-    enc = (wf.select("__w").distinct()
-           .select("__w", F.length("__w").alias("__len"),
-                   (F.size(F.split(sym, sep2)) - 2).alias("__nsym")))
-    return (wf.join(enc, "__w")
-            .groupBy(id_col)
-            .agg(F.sum("__c").alias("n_words"),
-                 F.sum(F.col("__c") * F.col("__len")).alias("n_chars"),
-                 F.sum(F.col("__c") * F.col("__nsym")).alias("n_bpe_tokens"))
-            # exact 6-dp half-up ratio (n_bpe_tokens <= n_chars, so no
-            # whole part): same .xx5-tie-proof close as winnow sim
-            .select(F.col(id_col), F.col("n_words"), F.col("n_chars"),
-                    F.col("n_bpe_tokens"),
-                    (F.expr("(2000000 * n_bpe_tokens + n_chars)"
-                            " div (2 * n_chars)").cast("double")
-                     / F.lit(1000000.0)).alias("compression")))
+    enc = bpe_vocab_encode(wf.select("__w").distinct(), merges, sep, engine)
+    return bpe_fold(wf, enc, id_col)
 
 
 def linear_token_classifier(df: DataFrame, label: Column, train: Column,
@@ -727,9 +831,13 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
     into two full scans — the d10 checkpoint discipline pins one
     computed pipeline instead. The weight table folds the checkpointed
     counts restricted to the training split (bounded by vocabulary
-    size); scoring is one equi-join of the held-out counts against the
-    weight table (AQE broadcasts it while it fits) plus a single-row
-    broadcast of the totals.
+    size); the weight expression is folded ONCE on that vocabulary frame
+    (totals broadcast into it), so the MATERIALIZED ``(term, weight)``
+    table — the saved-model artifact a production scorer reuses — is
+    what the scoring join ships: one BIGINT per term, the DECIMAL(38,0)
+    lane never touching a corpus-sized row. Scoring is one equi-join of
+    the held-out counts against that table (AQE broadcasts it while it
+    fits).
 
     Returns, for rows NOT in the training split: (id, n_tokens,
     logit_micro, score_micro, pred, label).
@@ -750,16 +858,19 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
     totals = vocab.agg(F.sum("__cpos").alias("__npos"),
                        F.sum("__cneg").alias("__nneg"),
                        F.count(F.lit(1)).alias("__v"))
+    # the weight fold happens HERE, on the vocabulary-bounded frame —
+    # the scoring join below ships the finished BIGINT, and this frame
+    # is the reusable saved-model table
+    weights = (vocab.crossJoin(F.broadcast(totals))
+               .select("term", F.expr(
+                   f"CAST(least(CAST({1_000_000 * int(scale)} AS"
+                   " DECIMAL(38,0)) * (__cneg + 1) * (__npos + __v),"
+                   f" CAST({int(scale)} AS DECIMAL(38,0))"
+                   " * (__cpos + 1) * (__nneg + __v))"
+                   " div (CAST(__cneg + 1 AS DECIMAL(38,0))"
+                   " * (__npos + __v)) AS BIGINT)").alias("__w")))
     return (tf.filter(~F.col("__tr"))
-            .join(vocab, "term")
-            .crossJoin(F.broadcast(totals))
-            .withColumn("__w", F.expr(
-                f"CAST(least(CAST({1_000_000 * int(scale)} AS DECIMAL(38,0))"
-                " * (__cneg + 1) * (__npos + __v),"
-                f" CAST({int(scale)} AS DECIMAL(38,0))"
-                " * (__cpos + 1) * (__nneg + __v))"
-                " div (CAST(__cneg + 1 AS DECIMAL(38,0))"
-                " * (__npos + __v)) AS BIGINT)"))
+            .join(weights, "term")
             .groupBy(id_col)
             .agg(F.first("__y").alias("__label"),
                  F.sum("tf").alias("n_tokens"),
@@ -772,6 +883,85 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
                     F.col("logit_micro"), F.col("score_micro"),
                     (F.col("score_micro") > int(scale) // 2).alias("pred"),
                     F.col("__label").alias("label")))
+
+
+def classifier_calibration(scored: DataFrame, score_col: str = "score_micro",
+                           label_col: str = "label", step: int = 50_000,
+                           scale: int = 1_000_000) -> DataFrame:
+    """Precision/recall/F1 sweep over score cutoffs — how a curation
+    pipeline chooses the quality-classifier threshold ON DATA instead of
+    hard-coding one (pairs with :func:`linear_token_classifier` the way
+    the e08 full-probe oracle pairs with e04): for every cutoff ``c`` on
+    a fixed micro-unit grid, a document is predicted positive iff
+    ``score >= c``, and the confusion counts close into exact-integer
+    micro-unit precision/recall/F1.
+
+    Scale shape: ONE corpus-sized aggregate — the per-(score-bucket,
+    label) count, ``localCheckpoint``-ed because both the totals row and
+    the sweep join fold it (without the pin each consumer would replay
+    the upstream scoring pipeline) — then everything runs on the
+    bounded ``(scale/step + 1) × 2`` bucket frame: the cutoff grid
+    joins buckets on ``bucket >= k`` (a broadcast nested-loop over two
+    bounded sides), so cutoff ``k·step`` counts exactly the documents
+    with ``score_micro >= k·step`` — the bucket floor loses nothing
+    because cutoffs sit ON bucket boundaries. Bucketing is FLOOR
+    division (Spark's ``div`` truncates toward zero, so negatives get
+    an explicit floor branch): a negative score lands in a negative
+    bucket and is predicted positive at NO cutoff, matching the
+    ``score >= c`` contract at ``c = 0`` and DuckDB's flooring ``//``.
+    No window over a single data-scaled partition anywhere.
+
+    All ratios are exact integer micro-units (truncating div, both
+    engines agree: numerators are non-negative): ``precision =
+    scale·tp div (tp+fp)`` (NULL when nothing is predicted positive),
+    ``recall = scale·tp div pos`` (NULL when there are no positives),
+    ``f1 = 2·scale·tp div (tp + fp + pos)`` (the fn-substituted closed
+    form; NULL when the denominator is 0).
+
+    Returns one row per cutoff: (cutoff_micro, tp, fp, fn, tn,
+    precision_micro, recall_micro, f1_micro).
+    """
+    if step < 1 or int(scale) % int(step) != 0:
+        raise ValueError(
+            f"step must be a positive divisor of scale for an exact "
+            f"boundary grid, got step={step} scale={scale}")
+    step, scale = int(step), int(scale)
+    spark = scored.sparkSession
+    bk = (scored.select(F.expr(
+              f"CASE WHEN {score_col} >= 0 THEN {score_col} div {step} "
+              f"ELSE -((-({score_col}) + {step - 1}) div {step}) END")
+          .alias("__b"),
+                        F.col(label_col).alias("__y"))
+          .groupBy("__b", "__y").agg(F.count(F.lit(1)).alias("__n"))
+          .localCheckpoint(eager=False))
+    tot = bk.agg(
+        F.coalesce(F.sum(F.when(F.col("__y"), F.col("__n"))), F.lit(0))
+        .cast("bigint").alias("__pos"),
+        F.coalesce(F.sum(F.when(~F.col("__y"), F.col("__n"))), F.lit(0))
+        .cast("bigint").alias("__neg"))
+    ks = spark.range(0, scale // step + 1).select(F.col("id").alias("__k"))
+    return (ks.join(bk, F.col("__b") >= F.col("__k"), "left")
+            .groupBy("__k")
+            .agg(F.coalesce(F.sum(F.when(F.col("__y"), F.col("__n"))),
+                            F.lit(0)).cast("bigint").alias("tp"),
+                 F.coalesce(F.sum(F.when(~F.col("__y"), F.col("__n"))),
+                            F.lit(0)).cast("bigint").alias("fp"))
+            .crossJoin(F.broadcast(tot))
+            .select((F.col("__k") * step).cast("bigint")
+                    .alias("cutoff_micro"),
+                    "tp", "fp",
+                    (F.col("__pos") - F.col("tp")).cast("bigint").alias("fn"),
+                    (F.col("__neg") - F.col("fp")).cast("bigint").alias("tn"),
+                    F.when(F.col("tp") + F.col("fp") > 0, F.expr(
+                        f"({scale} * tp) div (tp + fp)")).cast("bigint")
+                    .alias("precision_micro"),
+                    F.when(F.col("__pos") > 0, F.expr(
+                        f"({scale} * tp) div __pos")).cast("bigint")
+                    .alias("recall_micro"),
+                    F.when(F.col("tp") + F.col("fp") + F.col("__pos") > 0,
+                           F.expr(f"(2 * {scale} * tp)"
+                                  " div (tp + fp + __pos)")).cast("bigint")
+                    .alias("f1_micro")))
 
 
 def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

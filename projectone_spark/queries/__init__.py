@@ -134,13 +134,20 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # (2 greens) — both stay locally parity-checked every pytest run:
     "q42_min_cost_supplier", "q43_important_stock",
     # new-in-round-7 (took the f02/f03/f05/d10/d11/d12 slots — 2 driver
-    # greens each):
+    # greens each), kept for their SECOND adjudication per the r7 brief:
     "t14_bpe_encode", "t15_linear_classifier", "f12_curation_dag",
     "e14_kmeans_lloyd", "p14_ngram_decontamination",
     "s23_zorder_skipping",
-    "p07_mixture_rebalance", "p08_sharded_export",
-    "e07_centroid_classify",
-    "o02_odata_incremental_stream", "o03_odata_multibatch_stream",
+    # new-in-round-8: Arrow-batched production BPE encode, classifier
+    # threshold calibration, ExactSubstr-style duplicate runs, and the
+    # flagship extended to packed training batches — taking the slots of
+    # the four most-proven remaining anchors (p07/p08/e07/o02, 3 driver
+    # greens each; all stay locally parity-checked every pytest run,
+    # and o03/st12 keep the OData-stream and stream-merge families
+    # driver-covered):
+    "t16_bpe_encode_arrow", "t17_classifier_calibration",
+    "d14_duplicate_runs", "f13_training_batches",
+    "o03_odata_multibatch_stream",
     "st12_stream_dedup_merge",
     # never driver-adjudicated (new in r5 tail / new in r6):
     "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
@@ -214,6 +221,7 @@ def _ensure_loaded() -> None:
         corpus5,  # late-r6: bigram surprisal, winnowing, epoch schedule
         corpus6,  # late-r6: BM25 retrieval
         corpus7,  # new-in-r7: BPE encode, fastText-style classifier
+        corpus8,  # new-in-r8: arrow BPE, calibration, dup runs, batches
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}

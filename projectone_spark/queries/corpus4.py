@@ -74,22 +74,32 @@ _H1 = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
 _H2 = "CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT)"
 
 
-def _bloom_ctes() -> str:
+def _bloom_ctes(sized: bool = False) -> str:
     """The sh/bsh/bits/probe/per_doc CTE chain mirroring
     ``functions/sampling.bloom_doc_flags`` (benchmark = doc_id % 97 = 0,
-    probe over the rest) — shared by the p09 and f11 oracles."""
+    probe over the rest) — shared by the p09 and f11 oracles.
+    ``sized=True`` mirrors the FPR-pinned form the curation DAGs filter
+    with: ``m = bloom_m_bits(count(bsh))`` instead of the fixed 65536
+    (``bm`` holds the scalar; the probe cross-joins it)."""
+    if sized:
+        bm = ("bm AS (SELECT greatest(64, 64 * ((16 * count(*) + 63)"
+              " // 64)) AS m FROM bsh),\n")
+        mod = "bm.m"
+        bits_join = " CROSS JOIN bm"
+    else:
+        bm, mod, bits_join = "", "65536", ""
     return f"""sh AS (
   SELECT doc_id, source, unnest({_SHINGLES}) AS s FROM documents),
 bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-bits AS (
-  SELECT DISTINCT ({_H1} + i * {_H2}) % 65536 AS p
-  FROM bsh CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+{bm}bits AS (
+  SELECT DISTINCT ({_H1} + i * {_H2}) % {mod} AS p
+  FROM bsh CROSS JOIN (SELECT unnest([0, 1]) AS i){bits_join}),
 probe AS (
   SELECT doc_id, source,
          s IN (SELECT s FROM bsh) AS ex,
-         ({_H1} % 65536) IN (SELECT p FROM bits)
-           AND (({_H1} + {_H2}) % 65536) IN (SELECT p FROM bits) AS bl
-  FROM sh WHERE doc_id % 97 <> 0),
+         ({_H1} % {mod}) IN (SELECT p FROM bits)
+           AND (({_H1} + {_H2}) % {mod}) IN (SELECT p FROM bits) AS bl
+  FROM sh{bits_join} WHERE doc_id % 97 <> 0),
 per_doc AS (
   SELECT doc_id, source,
          CAST(count(*) AS BIGINT) AS nsh,

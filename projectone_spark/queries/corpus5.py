@@ -202,19 +202,21 @@ def p11_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _t12_ctes(n_merges: int = 8) -> str:
-    """Unrolled DuckDB mirror of functions/text.bpe_train_merges: one
-    CTE level per merge (pair counts -> argmax -> vocabulary rewrite),
-    the same (count DESC, l, r) tie-break and the same left-to-right
-    non-overlapping replace. DuckDB's range(1, n) is end-exclusive and
-    empty for n <= 1, so one-symbol words contribute no pairs exactly
-    like the Spark side's size >= 2 filter.
+def _t12_ctes(n_merges: int = 8, src: str = "documents") -> str:
+    """Unrolled DuckDB mirror of functions/text.bpe_train_merges over
+    any doc_id+text relation ``src``: one CTE level per merge (pair
+    counts -> argmax -> vocabulary rewrite), the same (count DESC, l, r)
+    tie-break and the same left-to-right non-overlapping replace.
+    DuckDB's range(1, n) is end-exclusive and empty for n <= 1, so
+    one-symbol words contribute no pairs exactly like the Spark side's
+    size >= 2 filter.
 
     Returns the WITH-body only (CTEs ``w``, ``v0``, then ``p{{i}}``/
-    ``b{{i}}``/``v{{i}}`` per merge) so the t14 encode oracle can reuse
-    the training chain verbatim — the _sql_fragments discipline."""
-    parts = [f"""w AS (SELECT unnest({_TOKS}) AS w FROM documents),
-v0 AS (
+    ``b{{i}}``/``v{{i}}`` per merge) so the t14 encode oracle — and
+    f13's train-on-the-clean-corpus chain — can reuse the training
+    chain verbatim, the _sql_fragments discipline."""
+    parts = [f"""w AS (SELECT unnest({_TOKS}) AS w FROM {src}),
+v0 AS MATERIALIZED (
   SELECT '__' || regexp_replace(w, '(.)', '\\1__', 'g') AS sym,
          CAST(count(*) AS BIGINT) AS wc
   FROM w WHERE w <> '' GROUP BY w)"""]
@@ -229,7 +231,7 @@ p{i} AS (
                     len(string_split(sym, '__')) - 1) AS a FROM v{i - 1}) s
   ) t GROUP BY p.l, p.r),
 b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
-v{i} AS (
+v{i} AS MATERIALIZED (
   SELECT replace(sym, '_' || l || '__' || r || '_',
                  '_' || l || r || '_') AS sym, wc
   FROM v{i - 1} CROSS JOIN b{i})""")

@@ -34,11 +34,14 @@ from projectone_spark.queries.corpus5 import _d13_ctes, _t11_ctes, _t12_ctes
 _N_MERGES = 8
 
 
-def _t14_sql(n_merges: int = _N_MERGES) -> str:
-    """Encode oracle: reuse t12's training CTE chain verbatim (w, v0,
-    p{i}/b{i}/v{i}), then apply each learned rule b{i} to the DISTINCT
-    corpus words (u0..u{n}) with the identical replace, and fold the
-    encoded lengths back over the per-document word counts."""
+def _t14_apply_ctes(n_merges: int = _N_MERGES,
+                    src: str = "documents") -> str:
+    """The encode-application CTE chain over any doc_id+text relation
+    ``src`` — requires t12's training CTEs (``b{{i}}``) in scope: the
+    per-document word counts (wf), the DISTINCT-word vocabulary with one
+    LEFT-JOIN replace level per learned rule (u0..u{{n}}), the encoded
+    lengths (enc), and the per-document fold (agg). Shared by the
+    t14/t16 oracles and f13's train-then-encode chain."""
     # LEFT JOIN, not CROSS JOIN: when training exhausts pairs before
     # n_merges, b{i} is EMPTY — a cross join would empty the whole
     # u-chain (zero oracle rows) while the Spark side correctly applies
@@ -49,11 +52,9 @@ u{i} AS (
             ELSE replace(sym, '_' || b.l || '__' || b.r || '_',
                          '_' || b.l || b.r || '_') END AS sym
   FROM u{i - 1} LEFT JOIN b{i} b ON true)""" for i in range(1, n_merges + 1))
-    return f"""
-WITH {_t12_ctes(n_merges)},
-wf AS (
+    return f"""wf AS MATERIALIZED (
   SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
-  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents) s
+  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM {src}) s
   WHERE w <> '' GROUP BY doc_id, w),
 u0 AS (
   SELECT DISTINCT w, '__' || regexp_replace(w, '(.)', '\\1__', 'g') AS sym
@@ -66,7 +67,17 @@ agg AS (
          CAST(sum(c) AS BIGINT) AS n_words,
          CAST(sum(c * length(w)) AS BIGINT) AS n_chars,
          CAST(sum(c * nsym) AS BIGINT) AS n_bpe_tokens
-  FROM wf JOIN enc USING (w) GROUP BY wf.doc_id)
+  FROM wf JOIN enc USING (w) GROUP BY wf.doc_id)"""
+
+
+def _t14_sql(n_merges: int = _N_MERGES) -> str:
+    """Encode oracle: reuse t12's training CTE chain verbatim (w, v0,
+    p{i}/b{i}/v{i}), then apply each learned rule b{i} to the DISTINCT
+    corpus words (u0..u{n}) with the identical replace, and fold the
+    encoded lengths back over the per-document word counts."""
+    return f"""
+WITH {_t12_ctes(n_merges)},
+{_t14_apply_ctes(n_merges)}
 SELECT doc_id, n_words, n_chars, n_bpe_tokens,
        CAST((2000000 * n_bpe_tokens + n_chars) // (2 * n_chars) AS DOUBLE)
          / 1000000.0 AS compression
@@ -96,8 +107,14 @@ def t14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
-_T15_SQL = f"""
-WITH tok AS (
+def _t15_ctes() -> str:
+    """The tok/tf/v/tot/sc/cls CTE chain mirroring
+    ``functions/text.linear_token_classifier`` on the documents table
+    (label: lang='en', train split: doc_id%7=0), closing with ``cls`` —
+    one row per held-out document with (doc_id, n_tokens, logit_micro,
+    score_micro, pred, label). Shared by the t15 oracle and t17's
+    calibration sweep (the _sql_fragments discipline)."""
+    return f"""tok AS (
   SELECT doc_id, lang = 'en' AS y, doc_id % 7 = 0 AS tr,
          unnest({_TOKS}) AS term
   FROM documents),
@@ -124,14 +141,21 @@ sc AS (
               AS BIGINT) AS dot
   FROM tf JOIN v USING (term) CROSS JOIN tot
   WHERE NOT tf.tr
-  GROUP BY tf.doc_id)
-SELECT doc_id, n_tokens,
-       CAST(dot // n_tokens AS BIGINT) AS logit_micro,
-       CAST(least(1000000, (dot // n_tokens + 1000000) // 4) AS BIGINT)
-         AS score_micro,
-       least(1000000, (dot // n_tokens + 1000000) // 4) > 500000 AS pred,
-       label
-FROM sc
+  GROUP BY tf.doc_id),
+cls AS (
+  SELECT doc_id, n_tokens,
+         CAST(dot // n_tokens AS BIGINT) AS logit_micro,
+         CAST(least(1000000, (dot // n_tokens + 1000000) // 4) AS BIGINT)
+           AS score_micro,
+         least(1000000, (dot // n_tokens + 1000000) // 4) > 500000 AS pred,
+         label
+  FROM sc)"""
+
+
+_T15_SQL = f"""
+WITH {_t15_ctes()}
+SELECT doc_id, n_tokens, logit_micro, score_micro, pred, label
+FROM cls
 """
 
 
@@ -157,6 +181,105 @@ def t15_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         train=F.col("doc_id") % 7 == 0)
 
 
+def _curation_task_builder(spark, root, state):
+    """One SparkTask factory shared by the curation DAGs (f12 here, f13
+    in corpus8) so the task wiring — execution body, overwrite output,
+    state/store locations — exists once."""
+    from projectone_spark.task import SparkTask
+
+    def task(name, body, fn, inputs, out_table):
+        b = SparkTask.builder.setName(name)
+        for inp in inputs:
+            b = b.setInput(**inp)
+        return (b.setExecution(name=fn, body=textwrap.dedent(body))
+                .setOutput(name="out", table=out_table,
+                           write_type="overwrite")
+                .setStateLocation(state).setStoreLocation(root)
+                .setSession(spark).create())
+
+    return task
+
+
+def _curation_inputs(sf_dir: str):
+    """The corpus/benchmark split both curation DAGs read: doc_id % 97
+    partitions documents into train-corpus and held-out benchmark."""
+    corpus_in = {"name": "corpus", "path": f"{sf_dir}/documents.parquet",
+                 "source": "parquet",
+                 "read_options": {"filter": "doc_id % 97 <> 0"}}
+    bench_in = {"name": "bench", "path": f"{sf_dir}/documents.parquet",
+                "source": "parquet",
+                "read_options": {"filter": "doc_id % 97 = 0"}}
+    return corpus_in, bench_in
+
+
+# the three curation stages f12 and f13 share — ONE definition, so a
+# change to a stage's criterion propagates to both DAGs the same way
+# their oracles share _d13_ctes/_t11_ctes/_bloom_ctes by construction
+_DEDUP_BODY = """
+    import pyspark.sql.functions as F
+    from projectone_spark.functions.dedup import winnow_fingerprint_pairs
+    def dedup_stage(corpus):
+        pairs = winnow_fingerprint_pairs(corpus)
+        drops = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+        return corpus.join(drops, "doc_id", "left_anti")
+"""
+
+_QUALITY_BODY = """
+    import pyspark.sql.functions as F
+    from projectone_spark.functions.text import bigram_surprise
+    def quality_stage(deduped):
+        sur = bigram_surprise(deduped)
+        thr = sur.agg(F.expr(
+            "percentile_disc(0.5) WITHIN GROUP"
+            " (ORDER BY surprise_micro)").cast("long").alias("__thr"))
+        return (deduped
+                .join(sur.select("doc_id", "surprise_micro"), "doc_id")
+                .crossJoin(F.broadcast(thr))
+                .filter(F.col("surprise_micro") <= F.col("__thr"))
+                .drop("__thr"))
+"""
+
+_DECONTAM_BODY = """
+    import pyspark.sql.functions as F
+    from projectone_spark.functions.sampling import (
+        bloom_doc_flags, bloom_exact_shingles, bloom_m_bits)
+    def decontam_stage(quality, bench):
+        # a gate that DROPS documents must pin the bloom's false-positive
+        # rate: size the bitset off the benchmark's shingle count (the
+        # benchmark is bounded by construction, so the count is a
+        # train-time scalar and the bitset stays broadcast-small) — a
+        # fixed 8 KiB bitset saturates once the eval suite grows and
+        # silently drops the whole corpus
+        m = bloom_m_bits(bloom_exact_shingles(bench).count())
+        flags = bloom_doc_flags(quality, bench, m_bits=m)
+        keep = (flags.filter(4 * F.col("__n_bl") <= 3 * F.col("__n_sh"))
+                .select("doc_id"))
+        return quality.join(keep, "doc_id", "left_semi")
+"""
+
+
+def _curation_stage_tasks(task, root, corpus_in, bench_in, prefix,
+                          decontam_body=_DECONTAM_BODY):
+    """Build the shared dedup -> quality -> decontam task chain writing
+    dedup_out / quality_out / clean_out store tables. ``decontam_body``
+    swaps the screen granularity (f12 gates on shingle-bloom
+    containment; f13 gates on the GPT-3 13-gram screen) while the stage
+    wiring stays one definition."""
+    t_dedup = task(f"{prefix}_dedup", _DEDUP_BODY, "dedup_stage",
+                   [corpus_in], "dedup_out")
+    t_quality = task(
+        f"{prefix}_quality", _QUALITY_BODY, "quality_stage",
+        [{"name": "deduped", "path": f"{root}:dedup_out",
+          "source": "store"}],
+        "quality_out")
+    t_decontam = task(
+        f"{prefix}_decontam", decontam_body, "decontam_stage",
+        [{"name": "quality", "path": f"{root}:quality_out",
+          "source": "store"}, bench_in],
+        "clean_out")
+    return t_dedup, t_quality, t_decontam
+
+
 def _f12_sql() -> str:
     """Composed oracle for the five-stage pipeline. Every stage reuses
     the fragment its standalone query uses (_d13_ctes, _t11_ctes,
@@ -178,7 +301,7 @@ s2 AS (
   SELECT s1.*, sc.surprise_micro
   FROM s1 JOIN scored sc USING (doc_id) CROSS JOIN thr
   WHERE sc.surprise_micro <= thr.t),
-{_bloom_ctes()},
+{_bloom_ctes(sized=True)},
 s3 AS (
   SELECT s2.* FROM s2 JOIN per_doc p USING (doc_id)
   WHERE 4 * p.nbl <= 3 * p.nsh),
@@ -257,68 +380,16 @@ FROM n0 LEFT JOIN n1 USING (source) LEFT JOIN n2 USING (source)
 def f12_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.session import configure, scratch_dir
     from projectone_spark.store import TableStore
-    from projectone_spark.task import SparkTask
     from projectone_spark.task.dag import PipelineRunner, TaskNode
 
     configure(spark)
     root = scratch_dir(prefix="po_f12_store_")
     state = scratch_dir(prefix="po_f12_state_")
+    task = _curation_task_builder(spark, root, state)
+    corpus_in, bench_in = _curation_inputs(sf_dir)
 
-    def task(name, body, fn, inputs, out_table):
-        b = SparkTask.builder.setName(name)
-        for inp in inputs:
-            b = b.setInput(**inp)
-        return (b.setExecution(name=fn, body=textwrap.dedent(body))
-                .setOutput(name="out", table=out_table,
-                           write_type="overwrite")
-                .setStateLocation(state).setStoreLocation(root)
-                .setSession(spark).create())
-
-    corpus_in = {"name": "corpus", "path": f"{sf_dir}/documents.parquet",
-                 "source": "parquet",
-                 "read_options": {"filter": "doc_id % 97 <> 0"}}
-    bench_in = {"name": "bench", "path": f"{sf_dir}/documents.parquet",
-                "source": "parquet",
-                "read_options": {"filter": "doc_id % 97 = 0"}}
-
-    t_dedup = task("f12_dedup", """
-        import pyspark.sql.functions as F
-        from projectone_spark.functions.dedup import winnow_fingerprint_pairs
-        def dedup_stage(corpus):
-            pairs = winnow_fingerprint_pairs(corpus)
-            drops = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
-            return corpus.join(drops, "doc_id", "left_anti")
-    """, "dedup_stage", [corpus_in], "dedup_out")
-
-    t_quality = task("f12_quality", """
-        import pyspark.sql.functions as F
-        from projectone_spark.functions.text import bigram_surprise
-        def quality_stage(deduped):
-            sur = bigram_surprise(deduped)
-            thr = sur.agg(F.expr(
-                "percentile_disc(0.5) WITHIN GROUP"
-                " (ORDER BY surprise_micro)").cast("long").alias("__thr"))
-            return (deduped
-                    .join(sur.select("doc_id", "surprise_micro"), "doc_id")
-                    .crossJoin(F.broadcast(thr))
-                    .filter(F.col("surprise_micro") <= F.col("__thr"))
-                    .drop("__thr"))
-    """, "quality_stage",
-        [{"name": "deduped", "path": f"{root}:dedup_out", "source": "store"}],
-        "quality_out")
-
-    t_decontam = task("f12_decontam", """
-        import pyspark.sql.functions as F
-        from projectone_spark.functions.sampling import bloom_doc_flags
-        def decontam_stage(quality, bench):
-            flags = bloom_doc_flags(quality, bench)
-            keep = (flags.filter(4 * F.col("__n_bl") <= 3 * F.col("__n_sh"))
-                    .select("doc_id"))
-            return quality.join(keep, "doc_id", "left_semi")
-    """, "decontam_stage",
-        [{"name": "quality", "path": f"{root}:quality_out",
-          "source": "store"}, bench_in],
-        "clean_out")
+    t_dedup, t_quality, t_decontam = _curation_stage_tasks(
+        task, root, corpus_in, bench_in, prefix="f12")
 
     t_sched = task("f12_schedule", """
         from projectone_spark.functions.sampling import epoch_schedule

@@ -1,0 +1,423 @@
+"""Corpus operators added in round 8 (registry tail):
+
+- t16: production-scale BPE encode — the Arrow-batched ``mapInPandas``
+  vocabulary stage t14's 256-merge guard promises, proven EQUAL to the
+  Catalyst expression chain in-query (both engines encode the same
+  vocabulary frame; the multiset difference must be empty) with every
+  corpus-sized part of the plan unchanged;
+- t17: quality-classifier threshold calibration — a precision/recall/F1
+  sweep over score cutoffs on t15's held-out scores, exact integer
+  micro-units, cumulative-count monotonicity asserted in-query;
+- d14: variable-length repeated-substring detection — the distributed
+  chained-gram-run approximation of ExactSubstr dedup (Lee et al. 2022)
+  at the production ≥50-token threshold, extending d10's fixed-8-gram
+  machinery with positions and one per-document run-coalescing window;
+- f13: the flagship extended to actual TRAINING BATCHES — curate
+  (winnow dedup → surprisal gate, f12's shared stage bodies → GPT-3
+  13-gram decontamination, p14's screen at the production granularity)
+  then train a BPE tokenizer ON the clean corpus, encode with the Arrow
+  vocabulary stage, and pack token counts into fixed-length sequences,
+  with the packing identity Σ tokens_in = tokens_packed + tail_waste
+  asserted in-query and per-source accounting oracle-checked.
+
+Same exactness discipline as corpus4-7: integer arithmetic end-to-end,
+float division only as a single final correctly-rounded IEEE op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.queries import check, load, register
+from projectone_spark.queries._sql_fragments import _TOKS
+from projectone_spark.queries.corpus5 import _d13_ctes, _t11_ctes, _t12_ctes
+from projectone_spark.queries.corpus7 import (
+    _N_MERGES,
+    _t14_apply_ctes,
+    _t14_sql,
+    _t15_ctes,
+)
+
+
+@register("t16_bpe_encode_arrow", _t14_sql(),
+          doc="production-scale BPE encode (the Arrow-batched vocabulary "
+              "stage t14's 256-merge guard names): the merge chain runs "
+              "as one mapInPandas stage over the DISTINCT-word "
+              "vocabulary — each Arrow batch applies every rule as a "
+              "C-speed str.replace pass over a joined blob, so the form "
+              "scales to 30k-100k-rule tokenizer tables where a codegen "
+              "expression tree cannot — while every corpus-sized part "
+              "of the plan (ONE scan into the checkpointed (doc, word) "
+              "count, one vocabulary equi-join back) is unchanged; the "
+              "pandas stage is proven bit-for-bit EQUAL to the "
+              "expression chain in-query before its result is used, and "
+              "the oracle is t14's training+apply chain",
+          tags=("text", "tokenizer", "llm", "arrow"))
+def t16_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.text import (
+        bpe_doc_word_counts,
+        bpe_fold,
+        bpe_train_merges,
+        bpe_vocab_encode,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # bounded model state: n_merges rows (same driver-collect class as t14)
+    rules = bpe_train_merges(docs, n_merges=_N_MERGES).collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in rules]
+    wf = bpe_doc_word_counts(docs)
+    vocab = wf.select("__w").distinct()
+    e_arrow = (bpe_vocab_encode(vocab, merges, engine="arrow")
+               .localCheckpoint(eager=False))
+    # the equivalence gate runs at the VOCABULARY level (bounded), not
+    # over the corpus fold: the two engines must produce the identical
+    # multiset of (word, len, nsym) rows — both exceptAll directions
+    # union into ONE symmetric-difference job
+    e_expr = bpe_vocab_encode(vocab, merges, engine="expr") \
+        .localCheckpoint(eager=False)
+    check(e_arrow.exceptAll(e_expr)
+          .unionAll(e_expr.exceptAll(e_arrow)).count() == 0,
+          "arrow vocabulary encode diverges from the expression chain")
+    return bpe_fold(wf, e_arrow)
+
+
+_STEP = 50_000
+
+
+def _t17_sql(step: int = _STEP) -> str:
+    n_cuts = 1_000_000 // step + 1
+    return f"""
+WITH {_t15_ctes()},
+bk AS (
+  SELECT score_micro // {step} AS b, label, CAST(count(*) AS BIGINT) AS n
+  FROM cls GROUP BY 1, 2),
+ct AS (
+  SELECT CAST(coalesce(sum(CASE WHEN label THEN n END), 0) AS BIGINT) AS pos,
+         CAST(coalesce(sum(CASE WHEN NOT label THEN n END), 0) AS BIGINT)
+           AS neg
+  FROM bk),
+ks AS (SELECT CAST(unnest(range(0, {n_cuts})) AS BIGINT) AS k),
+agg AS (
+  SELECT ks.k,
+         CAST(coalesce(sum(CASE WHEN bk.label THEN bk.n END), 0) AS BIGINT)
+           AS tp,
+         CAST(coalesce(sum(CASE WHEN NOT bk.label THEN bk.n END), 0)
+              AS BIGINT) AS fp
+  FROM ks LEFT JOIN bk ON bk.b >= ks.k
+  GROUP BY ks.k)
+SELECT CAST(k * {step} AS BIGINT) AS cutoff_micro, tp, fp,
+       CAST(pos - tp AS BIGINT) AS fn,
+       CAST(neg - fp AS BIGINT) AS tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST((1000000 * tp) // (tp + fp) AS BIGINT) END
+         AS precision_micro,
+       CASE WHEN pos > 0 THEN CAST((1000000 * tp) // pos AS BIGINT) END
+         AS recall_micro,
+       CASE WHEN tp + fp + pos > 0
+            THEN CAST((2000000 * tp) // (tp + fp + pos) AS BIGINT) END
+         AS f1_micro
+FROM agg CROSS JOIN ct
+"""
+
+
+@register("t17_classifier_calibration", _t17_sql(),
+          doc="quality-classifier threshold calibration (pairs with t15 "
+              "the way e08 pairs with e04): a precision/recall/F1 sweep "
+              "over a fixed micro-unit cutoff grid on the held-out "
+              "scores — ONE corpus-sized (score-bucket, label) "
+              "aggregate, then everything folds the bounded bucket "
+              "frame; exact integer micro-unit ratios, and the "
+              "cumulative-count monotonicity (tp/fp non-increasing in "
+              "the cutoff) plus the confusion identities (tp+fn = pos, "
+              "fp+tn = neg per row) asserted in-query",
+          tags=("text", "quality", "llm"))
+def t17_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import (
+        classifier_calibration,
+        linear_token_classifier,
+    )
+
+    scored = linear_token_classifier(
+        load(spark, sf_dir, "documents"),
+        label=F.col("lang") == "en",
+        train=F.col("doc_id") % 7 == 0)
+    out = classifier_calibration(scored, step=_STEP) \
+        .localCheckpoint(eager=True)  # the gate below and the returned
+    # frame must not each replay the corpus-sized scoring pipeline
+    rows = sorted(out.collect(), key=lambda r: r["cutoff_micro"])  # bounded:
+    # one row per grid cutoff (21 at the default step)
+    check(len(rows) == 1_000_000 // _STEP + 1, "calibration grid incomplete")
+    pos, neg = rows[0]["tp"] + rows[0]["fn"], rows[0]["fp"] + rows[0]["tn"]
+    for prev, cur in zip(rows, rows[1:]):
+        check(cur["tp"] <= prev["tp"] and cur["fp"] <= prev["fp"],
+              f"cumulative counts not monotone at {cur['cutoff_micro']}")
+    for r in rows:
+        check(r["tp"] + r["fn"] == pos and r["fp"] + r["tn"] == neg,
+              f"confusion identities broken at {r['cutoff_micro']}")
+    return out
+
+
+_D14_N = 8
+_D14_MIN_RUN = 50
+
+
+def _d14_sql(n: int = _D14_N, min_run: int = _D14_MIN_RUN) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, i AS pos,
+         array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS u(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dp AS (SELECT DISTINCT doc_id, pos FROM g
+       WHERE gram IN (SELECT gram FROM dup)),
+isl AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM dp),
+runs AS (
+  SELECT doc_id, CAST(count(*) + {n - 1} AS BIGINT) AS rtok
+  FROM isl GROUP BY doc_id, i),
+fl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(max(rtok) AS BIGINT) AS max_run_tokens,
+         CAST(sum(rtok) AS BIGINT) AS run_tokens
+  FROM runs WHERE rtok >= {min_run} GROUP BY doc_id),
+np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions
+       FROM g GROUP BY doc_id),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
+       FROM dp GROUP BY doc_id)
+SELECT np.doc_id, np.n_positions,
+       CAST(coalesce(nd.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       CAST(coalesce(fl.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(coalesce(fl.max_run_tokens, 0) AS BIGINT) AS max_run_tokens,
+       CAST(coalesce(fl.run_tokens, 0) AS BIGINT) AS run_tokens,
+       coalesce(fl.n_runs, 0) = 0 AS keep
+FROM np LEFT JOIN nd USING (doc_id) LEFT JOIN fl USING (doc_id)
+"""
+
+
+@register("d14_duplicate_runs", _d14_sql(),
+          doc="variable-length repeated-substring detection — the "
+              "chained-gram-run approximation of ExactSubstr dedup (Lee "
+              "et al. 2022 §4.1) at the production ≥50-token threshold: "
+              "a position is duplicated when its word 8-gram occurs ≥2 "
+              "times anywhere in the corpus (self-repeats included), "
+              "and maximal consecutive duplicated positions coalesce "
+              "into runs via one per-document window; per-document "
+              "position/run/span accounting and the keep verdict are "
+              "oracle-checked",
+          tags=("dedup", "text", "llm"))
+def d14_duplicate_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.dedup import duplicate_run_stats
+
+    return duplicate_run_stats(load(spark, sf_dir, "documents"),
+                               n=_D14_N, min_run_tokens=_D14_MIN_RUN)
+
+
+_SEQ_LEN = 512
+
+
+def _f13_sql() -> str:
+    """Composed oracle: f12's dedup + quality fragments reused verbatim
+    (drift with the standalone stage oracles is impossible by
+    construction), then the p14-granularity 13-gram dirty set gating
+    s3, then t12's training CTEs and t14's apply CTEs retargeted at s3
+    (the tokenizer is trained ON the clean corpus), then p03's
+    prefix-sum packing recipe per source."""
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT * FROM documents WHERE doc_id % 97 <> 0),
+{_d13_ctes("corpus")},
+dd AS (
+  SELECT DISTINCT pr.doc_id_b AS doc_id
+  FROM pr JOIN nf na ON pr.doc_id_a = na.doc_id
+          JOIN nf nb ON pr.doc_id_b = nb.doc_id
+  WHERE 2 * n_shared >= na.n_fp + nb.n_fp - n_shared),
+s1 AS MATERIALIZED (
+  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dd)),
+{_t11_ctes("s1")},
+thr AS (SELECT quantile_disc(surprise_micro, 0.5) AS t FROM scored),
+s2 AS MATERIALIZED (
+  SELECT s1.*
+  FROM s1 JOIN scored sc USING (doc_id) CROSS JOIN thr
+  WHERE sc.surprise_micro <= thr.t),
+g13b AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i+12], ' ')) AS h
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0) b,
+       unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i)),
+dirty13 AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM s2) c,
+       unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i)
+  WHERE md5(array_to_string(toks[i:i+12], ' ')) IN (SELECT h FROM g13b)),
+s3 AS MATERIALIZED (
+  SELECT s2.* FROM s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM dirty13)),
+{_t12_ctes(_N_MERGES, "s3")},
+{_t14_apply_ctes(_N_MERGES, "s3")},
+pk AS (
+  SELECT s3.source, agg.doc_id, agg.n_bpe_tokens AS toks,
+         CAST(floor((sum(agg.n_bpe_tokens)
+                       OVER (PARTITION BY s3.source ORDER BY agg.doc_id
+                             ROWS UNBOUNDED PRECEDING) - agg.n_bpe_tokens)
+                    / {float(_SEQ_LEN)}) AS BIGINT) AS bin
+  FROM agg JOIN s3 USING (doc_id)),
+bins AS (
+  SELECT source, bin, CAST(sum(toks) AS BIGINT) AS bin_tokens
+  FROM pk GROUP BY source, bin),
+per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(bin_tokens // {_SEQ_LEN}) AS BIGINT) AS n_seqs,
+         CAST(sum(bin_tokens % {_SEQ_LEN}) AS BIGINT) AS tail_tokens
+  FROM bins GROUP BY source),
+toks_in AS (
+  SELECT source, CAST(sum(toks) AS BIGINT) AS tokens_in
+  FROM pk GROUP BY source),
+surv AS (SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+         FROM s3 GROUP BY source)
+SELECT surv.source, surv.n_survivors,
+       CAST(coalesce(toks_in.tokens_in, 0) AS BIGINT) AS tokens_in,
+       CAST(coalesce(per_src.n_bins, 0) AS BIGINT) AS n_bins,
+       CAST(coalesce(per_src.n_seqs, 0) AS BIGINT) AS n_seqs,
+       CAST(coalesce(per_src.n_seqs, 0) * {_SEQ_LEN} AS BIGINT)
+         AS tokens_packed,
+       CAST(coalesce(per_src.tail_tokens, 0) AS BIGINT) AS tail_tokens
+FROM surv LEFT JOIN toks_in USING (source) LEFT JOIN per_src USING (source)
+"""
+
+
+_NGRAM_DECONTAM_BODY = """
+    import pyspark.sql.functions as F
+    from projectone_spark.functions.sampling import (
+        token_ngram_contamination)
+    def decontam_stage(quality, bench):
+        # the GPT-3 13-gram screen (p14's operator): drop a document iff
+        # it shares ANY word 13-gram with the benchmark. f12's shingle-
+        # bloom containment gate is the wrong granularity for a FILTER
+        # when corpus and benchmark share a sentence pool — short
+        # shingles flag everything; verbatim 13-grams flag only real
+        # leakage. Docs with < 13 tokens have no grams and pass
+        # vacuously (the anti-join keeps them).
+        flags = token_ngram_contamination(quality, bench, n=13)
+        dirty = flags.filter(F.col("dirty")).select("doc_id")
+        return quality.join(dirty, "doc_id", "left_anti")
+"""
+
+
+@register("f13_training_batches", _f13_sql(),
+          doc="the curation flagship extended to actual TRAINING "
+              "BATCHES, as a five-task SparkTask DAG with store-table "
+              "handoffs: winnowing near-dup removal -> bigram-surprisal "
+              "median gate (f12's stages 1-2, shared bodies) -> GPT-3 "
+              "13-gram decontamination (p14's screen — the production "
+              "granularity; a shingle-containment gate drops everything "
+              "once the corpus shares a sentence pool with the split) "
+              "-> BPE tokenizer trained ON the clean corpus and applied "
+              "through the Arrow vocabulary stage (t16's engine) -> "
+              "prefix-sum packing of encoded token counts into "
+              "512-token sequences (p03's recipe per source); "
+              "per-source survivor/token/sequence accounting is "
+              "oracle-checked and the packing identity "
+              "tokens_in = tokens_packed + tail_waste asserted in-query",
+          tags=("sampling", "text", "dedup", "dag", "llm", "pipeline",
+                "tokenizer"))
+
+def f13_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.queries.corpus7 import (
+        _curation_inputs,
+        _curation_stage_tasks,
+        _curation_task_builder,
+    )
+    from projectone_spark.session import configure, scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.task.dag import PipelineRunner, TaskNode
+
+    configure(spark)
+    root = scratch_dir(prefix="po_f13_store_")
+    state = scratch_dir(prefix="po_f13_state_")
+    task = _curation_task_builder(spark, root, state)
+    corpus_in, bench_in = _curation_inputs(sf_dir)
+
+    # stages 1-2 are f12's by construction (shared bodies, the same way
+    # the oracle reuses f12's CTE fragments); stage 3 swaps in the
+    # 13-gram screen
+    t_dedup, t_quality, t_decontam = _curation_stage_tasks(
+        task, root, corpus_in, bench_in, prefix="f13",
+        decontam_body=_NGRAM_DECONTAM_BODY)
+
+    t_encode = task("f13_encode", """
+        from projectone_spark.functions.text import (
+            bpe_encode, bpe_train_merges)
+        def encode_stage(clean):
+            # bounded model state: the trained rule table (8 rows here;
+            # the Arrow engine is the 30k-rule production path)
+            rules = bpe_train_merges(clean, n_merges=8).collect()
+            merges = [(r["left_sym"], r["right_sym"]) for r in rules]
+            return (bpe_encode(clean, merges, engine="arrow")
+                    .join(clean.select("doc_id", "source"), "doc_id"))
+    """, "encode_stage",
+        [{"name": "clean", "path": f"{root}:clean_out", "source": "store"}],
+        "encode_out")
+
+    t_pack = task("f13_pack", """
+        import pyspark.sql.functions as F
+        from projectone_spark.functions.sampling import pack_sequences
+        def pack_stage(enc, clean):
+            packed = pack_sequences(enc, "n_bpe_tokens", 512,
+                                    ["source"], "doc_id")
+            bins = (packed.groupBy("source", "bin")
+                    .agg(F.sum("n_bpe_tokens").alias("bin_tokens")))
+            per_src = bins.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_bins"),
+                F.sum(F.expr("bin_tokens div 512")).alias("n_seqs"),
+                F.sum(F.expr("bin_tokens % 512")).alias("tail_tokens"))
+            toks = enc.groupBy("source").agg(
+                F.sum("n_bpe_tokens").alias("tokens_in"))
+            surv = clean.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_survivors"))
+            z = F.lit(0).cast("bigint")
+            return (surv.join(toks, "source", "left")
+                    .join(per_src, "source", "left")
+                    .select("source", "n_survivors",
+                            F.coalesce("tokens_in", z).alias("tokens_in"),
+                            F.coalesce("n_bins", z).alias("n_bins"),
+                            F.coalesce("n_seqs", z).alias("n_seqs"),
+                            (F.coalesce("n_seqs", z) * 512)
+                            .alias("tokens_packed"),
+                            F.coalesce("tail_tokens", z)
+                            .alias("tail_tokens")))
+    """, "pack_stage",
+        [{"name": "enc", "path": f"{root}:encode_out", "source": "store"},
+         {"name": "clean", "path": f"{root}:clean_out", "source": "store"}],
+        "f13_final")
+
+    runs = PipelineRunner(spark).run([
+        TaskNode("f13_dedup", t_dedup.config),
+        TaskNode("f13_quality", t_quality.config, depends_on=["f13_dedup"]),
+        TaskNode("f13_decontam", t_decontam.config,
+                 depends_on=["f13_quality"]),
+        TaskNode("f13_encode", t_encode.config, depends_on=["f13_decontam"]),
+        TaskNode("f13_pack", t_pack.config, depends_on=["f13_encode"]),
+    ])
+    bad = {n: r.error for n, r in runs.items() if r.status != "SUCCESS"}
+    check(not bad, f"f13 DAG tasks failed: {bad}")
+
+    out = (TableStore(root).read(spark, "f13_final")
+           .select("source", "n_survivors", "tokens_in", "n_bins",
+                   "n_seqs", "tokens_packed", "tail_tokens")
+           .localCheckpoint(eager=True))  # the checks below and the
+    # returned frame must not each re-read the store table
+    rows = out.collect()  # bounded: one row per source
+    check(len(rows) > 0, "f13 produced no sources")
+    for r in rows:
+        check(r["tokens_in"] == r["tokens_packed"] + r["tail_tokens"],
+              f"packing identity broken for {r['source']}: {r}")
+        check(r["tokens_packed"] == r["n_seqs"] * _SEQ_LEN,
+              f"sequence accounting broken for {r['source']}: {r}")
+        check(r["tokens_in"] == 0 or r["n_bins"] >= 1,
+              f"tokens without bins for {r['source']}: {r}")
+    return out

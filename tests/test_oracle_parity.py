@@ -53,17 +53,13 @@ def test_harness_prefix_contract():
     assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
-    # round-7 rotation intent: every query that has never had a driver
-    # correctness row occupies a prefix slot. The whole r6 cohort went
-    # green in CORRECTNESS_r06.json (50/50), so the set reset to the two
-    # late-r6 TPC-H shapes that missed the r6 prefix freeze, plus any
-    # queries added this round.
+    # round-8 rotation intent: every query that has never had a driver
+    # correctness row occupies a prefix slot. The whole r7 cohort went
+    # green in CORRECTNESS_r07.json (50/50 — zero rotation debt), so
+    # the set reset to the queries added this round.
     never_adjudicated = {
-        "q42_min_cost_supplier", "q43_important_stock",
-        # added in round 7 (took the f02/f03/f05/d10/d11/d12 slots):
-        "t14_bpe_encode", "t15_linear_classifier", "f12_curation_dag",
-        "e14_kmeans_lloyd", "p14_ngram_decontamination",
-        "s23_zorder_skipping",
+        "t16_bpe_encode_arrow", "t17_classifier_calibration",
+        "d14_duplicate_runs", "f13_training_batches",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
