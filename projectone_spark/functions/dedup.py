@@ -642,6 +642,50 @@ def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
                  <= max_dup_frac).alias("keep")))
 
 
+def _duplicate_position_frames(df: DataFrame, text_col: str, id_col: str,
+                               n: int, min_run_tokens: int,
+                               parallelism: int | None):
+    """The shared head of the ExactSubstr-approximation pair
+    (:func:`duplicate_run_stats` detects, :func:`duplicate_run_removal`
+    applies): the checkpointed per-document (position, gram-hash) frame
+    ``gd`` and the checkpointed duplicated-position frame ``dpos``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_run_tokens < n:
+        raise ValueError(
+            f"min_run_tokens must be >= n (a single duplicated window "
+            f"already spans n={n} tokens), got {min_run_tokens}")
+    base = spread(df.select(F.col(id_col),
+                            normalize(text_col).alias("__norm")),
+                  parallelism)
+    base = base.withColumn("__toks", tokens_of_norm("__norm"))
+    gd = (base.select(F.col(id_col),
+                      F.posexplode(ngram_join(F.col("__toks"), n))
+                      .alias("__pos", "__gram"))
+          .select(F.col(id_col), "__pos", F.xxhash64("__gram").alias("__g"))
+          # pin per-document (position, gram) distinctness: an id that
+          # appears in several rows (appended unions — the multi-row-id
+          # contract p14 established) contributes each occurrence ONCE,
+          # and the run window below never sees tied __pos values that
+          # would make row_number() (and thus every run statistic)
+          # nondeterministic
+          .distinct()
+          .localCheckpoint(eager=False))
+    dup_keys = (gd.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") >= 2).select("__g"))
+    # checkpointed: both the run window and the per-doc dup count fold
+    # this frame, and replaying it would re-run the frequency aggregate
+    dpos = (gd.join(dup_keys, "__g", "left_semi")
+            .select(F.col(id_col), "__pos")
+            # distinct again: ids carrying DIFFERENT texts can still put
+            # two grams at one position — collapse so the window is
+            # tie-free (and a position is "duplicated", not "duplicated
+            # twice")
+            .distinct()
+            .localCheckpoint(eager=False))
+    return gd, dpos
+
+
 def duplicate_run_stats(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 8,
                         min_run_tokens: int = 50,
@@ -692,40 +736,8 @@ def duplicate_run_stats(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    if min_run_tokens < n:
-        raise ValueError(
-            f"min_run_tokens must be >= n (a single duplicated window "
-            f"already spans n={n} tokens), got {min_run_tokens}")
-    base = spread(df.select(F.col(id_col),
-                            normalize(text_col).alias("__norm")),
-                  parallelism)
-    base = base.withColumn("__toks", tokens_of_norm("__norm"))
-    gd = (base.select(F.col(id_col),
-                      F.posexplode(ngram_join(F.col("__toks"), n))
-                      .alias("__pos", "__gram"))
-          .select(F.col(id_col), "__pos", F.xxhash64("__gram").alias("__g"))
-          # pin per-document (position, gram) distinctness: an id that
-          # appears in several rows (appended unions — the multi-row-id
-          # contract p14 established) contributes each occurrence ONCE,
-          # and the run window below never sees tied __pos values that
-          # would make row_number() (and thus every run statistic)
-          # nondeterministic
-          .distinct()
-          .localCheckpoint(eager=False))
-    dup_keys = (gd.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
-                .filter(F.col("__c") >= 2).select("__g"))
-    # checkpointed: both the run window and the per-doc dup count fold
-    # this frame, and replaying it would re-run the frequency aggregate
-    dpos = (gd.join(dup_keys, "__g", "left_semi")
-            .select(F.col(id_col), "__pos")
-            # distinct again: ids carrying DIFFERENT texts can still put
-            # two grams at one position — collapse so the window is
-            # tie-free (and a position is "duplicated", not "duplicated
-            # twice")
-            .distinct()
-            .localCheckpoint(eager=False))
+    gd, dpos = _duplicate_position_frames(df, text_col, id_col, n,
+                                          min_run_tokens, parallelism)
     w = Window.partitionBy(id_col).orderBy("__pos")
     flagged = (dpos.withColumn("__isl",
                                F.col("__pos") - F.row_number().over(w))
@@ -747,6 +759,74 @@ def duplicate_run_stats(df: DataFrame, text_col: str = "text",
                     F.coalesce("max_run_tokens", z).alias("max_run_tokens"),
                     F.coalesce("run_tokens", z).alias("run_tokens"),
                     (F.coalesce("n_runs", z) == 0).alias("keep")))
+
+
+def duplicate_run_removal(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8,
+                          min_run_tokens: int = 50,
+                          parallelism: int | None = None) -> DataFrame:
+    """The APPLY step of the ExactSubstr recipe — Lee et al. 2022 §4.1
+    REMOVES the repeated substrings and keeps the rest of the document
+    (dropping whole documents, d14's ``keep`` verdict, "destroys the
+    distribution of document lengths"; the paper's recipe cuts only the
+    repeated spans). Pairs :func:`duplicate_run_stats` the way t14's
+    encode pairs t12's training: same duplicated-position chain, plus
+    the exact token-interval union of the flagged runs.
+
+    A flagged run of positions ``[a..b]`` covers tokens
+    ``[a, b + n - 1]``; adjacent runs' token spans overlap when the
+    position gap between them is smaller than ``n``, so the removed
+    count is the size of the UNION of the spans — computed by the
+    classic running-max interval merge, one more per-document window
+    over the (bounded) flagged-run list. Both windows order by
+    positions that are distinct within a document (the
+    :func:`_duplicate_position_frames` pin), so every statistic is
+    deterministic.
+
+    Returns per gram-bearing document: (id, n_tokens, n_runs,
+    tokens_removed, tokens_kept) — ``n_tokens`` is recovered exactly as
+    ``n_positions + n - 1``, and ``tokens_kept = n_tokens -
+    tokens_removed`` is what survives into the training corpus.
+    """
+    from pyspark.sql import Window
+
+    gd, dpos = _duplicate_position_frames(df, text_col, id_col, n,
+                                          min_run_tokens, parallelism)
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = (dpos.withColumn("__isl",
+                            F.col("__pos") - F.row_number().over(w))
+            .groupBy(id_col, "__isl")
+            .agg(F.min("__pos").alias("__start"),
+                 (F.count(F.lit(1)) + F.lit(n - 1)).alias("__rtok"))
+            .filter(F.col("__rtok") >= min_run_tokens)
+            .select(F.col(id_col), "__start",
+                    (F.col("__start") + F.col("__rtok") - 1).alias("__end")))
+    # interval union: island starts are distinct per doc, so ORDER BY
+    # __start is a total order and the running max-end merge is exact
+    wr = Window.partitionBy(id_col).orderBy("__start")
+    prev_end = F.max("__end").over(
+        wr.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (runs
+              .withColumn("__new",
+                          F.when(prev_end.isNull()
+                                 | (F.col("__start") > prev_end), 1)
+                          .otherwise(0))
+              .withColumn("__grp", F.sum("__new").over(wr))
+              .groupBy(id_col, "__grp")
+              .agg((F.max("__end") - F.min("__start") + 1).alias("__cov")))
+    rem = merged.groupBy(id_col).agg(
+        F.sum("__cov").cast("bigint").alias("tokens_removed"))
+    nr = runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+    per_doc = gd.groupBy(id_col).agg(
+        (F.count(F.lit(1)) + F.lit(n - 1)).cast("bigint").alias("n_tokens"))
+    z = F.lit(0).cast("bigint")
+    return (per_doc.join(nr, id_col, "left").join(rem, id_col, "left")
+            .select(F.col(id_col), "n_tokens",
+                    F.coalesce("n_runs", z).alias("n_runs"),
+                    F.coalesce("tokens_removed", z).alias("tokens_removed"),
+                    (F.col("n_tokens") - F.coalesce("tokens_removed", z))
+                    .alias("tokens_kept")))
 
 
 def incremental_lsh_pairs(base: DataFrame, delta: DataFrame,

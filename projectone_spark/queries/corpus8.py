@@ -163,9 +163,11 @@ _D14_N = 8
 _D14_MIN_RUN = 50
 
 
-def _d14_sql(n: int = _D14_N, min_run: int = _D14_MIN_RUN) -> str:
-    return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _d14_base_ctes(n: int = _D14_N) -> str:
+    """The duplicated-position CTE chain (t/g/dup/dp/isl/np) both
+    ExactSubstr-approximation oracles fold — mirrors
+    ``functions/dedup._duplicate_position_frames``."""
+    return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
   SELECT DISTINCT doc_id, i AS pos,
          array_to_string(toks[i:i+{n - 1}], ' ') AS gram
@@ -174,9 +176,16 @@ dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
 dp AS (SELECT DISTINCT doc_id, pos FROM g
        WHERE gram IN (SELECT gram FROM dup)),
 isl AS (
-  SELECT doc_id,
+  SELECT doc_id, pos,
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
   FROM dp),
+np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions
+       FROM g GROUP BY doc_id)"""
+
+
+def _d14_sql(n: int = _D14_N, min_run: int = _D14_MIN_RUN) -> str:
+    return f"""
+WITH {_d14_base_ctes(n)},
 runs AS (
   SELECT doc_id, CAST(count(*) + {n - 1} AS BIGINT) AS rtok
   FROM isl GROUP BY doc_id, i),
@@ -185,8 +194,6 @@ fl AS (
          CAST(max(rtok) AS BIGINT) AS max_run_tokens,
          CAST(sum(rtok) AS BIGINT) AS run_tokens
   FROM runs WHERE rtok >= {min_run} GROUP BY doc_id),
-np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions
-       FROM g GROUP BY doc_id),
 nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
        FROM dp GROUP BY doc_id)
 SELECT np.doc_id, np.n_positions,
@@ -421,3 +428,162 @@ def f13_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         check(r["tokens_in"] == 0 or r["n_bins"] >= 1,
               f"tokens without bins for {r['source']}: {r}")
     return out
+
+
+def _d15_sql(n: int = _D14_N, min_run: int = _D14_MIN_RUN) -> str:
+    """d14's duplicated-position chain plus the exact token-interval
+    union: runs carry their start, intervals [start, start+rtok-1]
+    merge by the running-max-end window, and the union size per doc is
+    what the removal cuts."""
+    return f"""
+WITH {_d14_base_ctes(n)},
+runs AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS st,
+         CAST(count(*) + {n - 1} AS BIGINT) AS rtok
+  FROM isl GROUP BY doc_id, i
+  HAVING count(*) + {n - 1} >= {min_run}),
+iv AS (SELECT doc_id, st, st + rtok - 1 AS en FROM runs),
+mk AS (
+  SELECT doc_id, st, en,
+         CASE WHEN st > coalesce(max(en) OVER (
+                PARTITION BY doc_id ORDER BY st
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv),
+gr AS (
+  SELECT doc_id, st, en,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS UNBOUNDED PRECEDING) AS grp
+  FROM mk),
+cov AS (SELECT doc_id, grp, max(en) - min(st) + 1 AS c
+        FROM gr GROUP BY doc_id, grp),
+rem AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tokens_removed
+        FROM cov GROUP BY doc_id),
+nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs
+       FROM runs GROUP BY doc_id)
+SELECT np.doc_id,
+       CAST(np.n_positions + {n - 1} AS BIGINT) AS n_tokens,
+       CAST(coalesce(nr.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(coalesce(rem.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+       CAST(np.n_positions + {n - 1} - coalesce(rem.tokens_removed, 0)
+            AS BIGINT) AS tokens_kept
+FROM np LEFT JOIN nr USING (doc_id) LEFT JOIN rem USING (doc_id)
+"""
+
+
+@register("d15_duplicate_run_removal", _d15_sql(),
+          doc="the APPLY step of ExactSubstr dedup (Lee et al. 2022 "
+              "remove the repeated spans, not the documents — dropping "
+              "whole docs distorts the length distribution): d14's "
+              "flagged runs become token intervals, overlapping "
+              "intervals merge by the running-max-end window (one more "
+              "bounded per-document pass), and the per-document "
+              "removed/kept token accounting is oracle-checked; pairs "
+              "d14 the way t14's encode pairs t12's training",
+          tags=("dedup", "text", "llm"))
+def d15_duplicate_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.dedup import duplicate_run_removal
+
+    return duplicate_run_removal(load(spark, sf_dir, "documents"),
+                                 n=_D14_N, min_run_tokens=_D14_MIN_RUN)
+
+
+def _t18_sql() -> str:
+    return f"""
+WITH {_t15_ctes()},
+b AS (
+  SELECT score_micro AS s,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+  FROM cls GROUP BY score_micro),
+c AS (
+  SELECT s, np, nn,
+         coalesce(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM b)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       CAST(count(*) AS BIGINT) AS n_scores,
+       CAST(sum(np * (2 * nb + nn)) AS BIGINT) AS two_u,
+       CASE WHEN sum(np) > 0 AND sum(nn) > 0
+            THEN CAST((1000000 * sum(np * (2 * nb + nn)))
+                      // (2 * sum(np) * sum(nn)) AS BIGINT) END AS auc_micro
+FROM c
+"""
+
+
+@register("t18_roc_auc", _t18_sql(),
+          doc="exact ROC-AUC of the t15 classifier's held-out scores by "
+              "the Mann-Whitney rank-sum identity with tie correction "
+              "(2U = sum over distinct scores of npos*(2*neg_below + "
+              "nneg)) — the threshold-free companion to t17's "
+              "fixed-grid sweep: ONE corpus-sized aggregate onto the "
+              "micro-unit-bounded distinct-score frame, then a "
+              "cumulative window over that bounded frame only; exact "
+              "integers until one closing truncating division",
+          tags=("text", "quality", "llm"))
+def t18_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import (
+        linear_token_classifier,
+        roc_auc_exact,
+    )
+
+    scored = linear_token_classifier(
+        load(spark, sf_dir, "documents"),
+        label=F.col("lang") == "en",
+        train=F.col("doc_id") % 7 == 0)
+    return roc_auc_exact(scored)
+
+
+_E15_K = 8
+
+
+def _e15_sql(k: int = _E15_K) -> str:
+    """Unrolled farthest-first oracle (the e14 unroll technique): one
+    argmax CTE level per seed, squared distances folded sequentially in
+    double exactly as the Spark side's scan-side least() chain."""
+    from projectone_spark.queries._embed_sql import _E_DBL
+
+    def sq(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+                f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+
+    parts = [f"""WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+s0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)"""]
+    srcs = ["s0"]
+    for i in range(1, k):
+        dists = [sq("v.e", f"{s}.e") for s in srcs]
+        d = dists[0] if len(dists) == 1 else f"least({', '.join(dists)})"
+        joins = " CROSS JOIN ".join(srcs)
+        parts.append(f""",
+s{i} AS (
+  SELECT v.vec_id, v.e, {d} AS d
+  FROM v CROSS JOIN {joins}
+  ORDER BY d DESC, v.vec_id LIMIT 1)""")
+        srcs.append(f"s{i}")
+    sel = ["SELECT CAST(0 AS BIGINT) AS seed_rank, vec_id,"
+           " CAST(NULL AS DOUBLE) AS dist_sq FROM s0"]
+    sel += [f"SELECT CAST({i} AS BIGINT), vec_id, d FROM s{i}"
+            for i in range(1, k)]
+    parts.append("\n" + "\nUNION ALL\n".join(sel))
+    return "".join(parts)
+
+
+@register("e15_farthest_first_seeds", _e15_sql(),
+          doc="Gonzalez farthest-first traversal (k-center seeding, the "
+              "deterministic limit of k-means++ D^2 sampling) — pairs "
+              "e14's Lloyd refinement the way seeding pairs training: "
+              "k-1 rounds of ONE corpus scan against a scan-side "
+              "least() of literal squared-distance folds (chosen seeds "
+              "are k-bounded driver rows), each round collecting one "
+              "argmax row with ties to the lowest id; every pick and "
+              "its selection distance oracle-checked against a fully "
+              "unrolled per-seed CTE chain",
+          tags=("embeddings", "clustering", "ann", "llm"))
+def e15_farthest_first_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.embeddings import kmeans_farthest_first
+
+    return kmeans_farthest_first(load(spark, sf_dir, "embeddings"),
+                                 k=_E15_K)

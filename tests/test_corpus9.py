@@ -292,3 +292,125 @@ def test_bpe_doc_word_counts_schema(spark):
     df = _docs(spark, [(1, "b a a"), (2, "")])
     rows = sorted(map(tuple, bpe_doc_word_counts(df).collect()))
     assert rows == [(1, "a", 2), (1, "b", 1)]
+
+
+# -------------------------------------------------- d15 run removal
+
+
+def test_duplicate_run_removal_hand_computed(spark):
+    from projectone_spark.functions.dedup import duplicate_run_removal
+
+    df = _docs(spark, [
+        (1, "a b c d e"),      # run pos 0-1 -> tokens [0,2] removed
+        (2, "x a b c y"),      # run pos 1-2 -> tokens [1,3] removed
+        (3, "p q"),            # clean
+        (4, "m n m n m"),      # self-repeat covers the whole doc
+    ])
+    got = {r["doc_id"]: tuple(r) for r in
+           duplicate_run_removal(df, n=2, min_run_tokens=3).collect()}
+    #               id  ntok nruns removed kept
+    assert got[1] == (1, 5, 1, 3, 2)
+    assert got[2] == (2, 5, 1, 3, 2)
+    assert got[3] == (3, 2, 0, 0, 2)
+    assert got[4] == (4, 5, 1, 5, 0)
+
+
+def test_duplicate_run_removal_merges_overlapping_spans(spark):
+    """Two flagged runs whose TOKEN spans overlap (position gap < n)
+    must count the union once — the running-max interval merge."""
+    from projectone_spark.functions.dedup import duplicate_run_removal
+
+    # doc 1's 3-gram dup positions are {0,1,3,4} (pos 2 unique): islands
+    # [0,1] and [3,4], token intervals [0,3] and [3,6] -> union [0,6]
+    df = _docs(spark, [
+        (1, "a b c d e f g"),
+        (2, "a b c d x d e f g"),
+    ])
+    got = {r["doc_id"]: r for r in
+           duplicate_run_removal(df, n=3, min_run_tokens=4).collect()}
+    assert got[1]["n_runs"] == 2
+    assert got[1]["tokens_removed"] == 7 and got[1]["tokens_kept"] == 0
+    # doc 2's intervals [0,3] and [5,8] are disjoint: 8 of 9 removed
+    assert got[2]["tokens_removed"] == 8 and got[2]["tokens_kept"] == 1
+
+
+def test_duplicate_run_removal_consistent_with_stats(spark):
+    """n_runs must agree with d14 and the interval UNION can never
+    exceed d14's per-run token sum (spans may overlap)."""
+    from projectone_spark.functions.dedup import (
+        duplicate_run_removal, duplicate_run_stats)
+
+    df = _docs(spark, [(i, t) for i, t in enumerate(
+        ["a b c d e", "x a b c y", "m n m n m", "a b c d x d e f g",
+         "p q r s t u v w"])])
+    stats = {r["doc_id"]: r for r in
+             duplicate_run_stats(df, n=2, min_run_tokens=3).collect()}
+    rem = {r["doc_id"]: r for r in
+           duplicate_run_removal(df, n=2, min_run_tokens=3).collect()}
+    assert set(stats) == set(rem)
+    for i in stats:
+        assert stats[i]["n_runs"] == rem[i]["n_runs"]
+        assert rem[i]["tokens_removed"] <= stats[i]["run_tokens"] \
+            or stats[i]["n_runs"] == 0
+        assert rem[i]["tokens_removed"] + rem[i]["tokens_kept"] \
+            == rem[i]["n_tokens"]
+
+
+# ------------------------------------------------------- t18 ROC-AUC
+
+
+def test_roc_auc_hand_computed(spark):
+    from projectone_spark.functions.text import roc_auc_exact
+
+    scored = spark.createDataFrame(
+        [(90, True), (80, False), (80, True), (70, False)],
+        "score_micro bigint, label boolean")
+    row = roc_auc_exact(scored).collect()[0]
+    # pairs: (90>80F), (90>70), (80T=80F ties half), (80T>70) -> U=3.5
+    assert tuple(row) == (2, 2, 3, 7, 875_000)
+
+
+def test_roc_auc_degenerate_classes(spark):
+    from projectone_spark.functions.text import roc_auc_exact
+
+    pos_only = spark.createDataFrame([(10, True), (20, True)],
+                                     "score_micro bigint, label boolean")
+    row = roc_auc_exact(pos_only).collect()[0]
+    assert row["auc_micro"] is None and row["n_neg"] == 0
+    # perfect separation -> exactly 1.0
+    sep = spark.createDataFrame(
+        [(100, True), (90, True), (10, False)],
+        "score_micro bigint, label boolean")
+    assert roc_auc_exact(sep).collect()[0]["auc_micro"] == 1_000_000
+
+
+# -------------------------------------------- e15 farthest-first seeds
+
+
+def test_farthest_first_hand_computed(spark):
+    from projectone_spark.functions.embeddings import kmeans_farthest_first
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 0.0]), (3, [0.0, 4.0]), (4, [1.0, 1.0])],
+        "vec_id bigint, embedding array<float>")
+    got = sorted(map(tuple, kmeans_farthest_first(emb, k=3).collect()))
+    assert got == [(0, 1, None), (1, 3, 16.0), (2, 2, 9.0)]
+
+
+def test_farthest_first_ties_and_edges(spark):
+    from projectone_spark.functions.embeddings import kmeans_farthest_first
+
+    # equidistant candidates: the lower id wins
+    emb = spark.createDataFrame(
+        [(1, [0.0]), (2, [2.0]), (3, [-2.0])],
+        "vec_id bigint, embedding array<float>")
+    got = sorted(map(tuple, kmeans_farthest_first(emb, k=2).collect()))
+    assert got == [(0, 1, None), (1, 2, 4.0)]
+    # k=1 is just the deterministic start
+    assert [tuple(r) for r in
+            kmeans_farthest_first(emb, k=1).collect()] == [(0, 1, None)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        kmeans_farthest_first(emb.filter("vec_id > 99"), k=2)
+    with _pytest.raises(ValueError, match="k must be"):
+        kmeans_farthest_first(emb, k=0)
