@@ -111,7 +111,11 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in sorted(slowest.items())},
         "n_queries": len(timings),
+        # honest retry accounting: only the `retried` slowest queries
+        # are best-of-two; the rest are single-sample (their stderr
+        # lines have no r2= entry)
         "best_of": 2,
+        "retried": len(retry),
         "max_load1": round(max_load, 1),
         "sf": float(sf) if sf else None,
     }, separators=(",", ":")), flush=True)

@@ -292,7 +292,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
 def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", k: int = 5, w: int = 4,
-                             max_df: int = 128,
+                             max_df: int = 128, min_shared: int = 1,
                              parallelism: int | None = None) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints, with
     exact Jaccard over the kept fingerprint sets — MOSS's match step.
@@ -307,8 +307,17 @@ def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
     threshold as an exact INTEGER compare (``2·shared ≥ union``), so the
     gate can never diverge across engines on a float boundary.
 
+    ``min_shared`` is MOSS's minimum-match floor: on a LOW-GRAM-DIVERSITY
+    corpus the stop-cap discards most fingerprint mass and the surviving
+    per-doc sets are tiny, so single-fingerprint coincidences clear the
+    Jaccard gate (probe-measured: a 100k-doc synthetic corpus with ~3%
+    true near-dups emitted 1.7M pairs at the default; requiring ≥3
+    shared fingerprints suppresses the noise without touching real
+    near-dup pairs, whose kept sets overlap heavily). Default 1 keeps
+    the original MOSS gate.
+
     Returns (doc_id_a, doc_id_b, n_shared, n_fp_a, n_fp_b, sim) for
-    pairs with sim ≥ 0.5.
+    pairs with sim ≥ 0.5 and n_shared ≥ ``min_shared``.
     """
     fp = winnow_fingerprints(df, text_col, id_col, k, w, parallelism)
     dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
@@ -332,7 +341,8 @@ def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
     # exact half-up numerator and the closing divide of two exact
     # integers is one correctly-rounded IEEE op in both engines
     return (pairs.join(na, "doc_id_a").join(nb, "doc_id_b")
-            .filter(2 * F.col("n_shared") >= union)
+            .filter((2 * F.col("n_shared") >= union)
+                    & (F.col("n_shared") >= int(min_shared)))
             .select("doc_id_a", "doc_id_b", "n_shared", "n_fp_a", "n_fp_b",
                     (F.expr("(2000000 * n_shared"
                             " + (n_fp_a + n_fp_b - n_shared))"
@@ -744,7 +754,12 @@ def duplicate_run_stats(df: DataFrame, text_col: str = "text",
                .groupBy(id_col, "__isl")
                .agg((F.count(F.lit(1)) + F.lit(n - 1)).alias("__rtok"))
                .filter(F.col("__rtok") >= min_run_tokens))
-    per_doc = gd.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_positions"))
+    # DISTINCT positions, not (pos, gram) pairs: an id spanning rows
+    # with different texts puts two grams at one position, and counting
+    # pairs would overstate n_positions (and the n_tokens recovery in
+    # duplicate_run_removal) relative to the position-keyed dup counts
+    per_doc = gd.groupBy(id_col).agg(
+        F.countDistinct("__pos").alias("n_positions"))
     dps = (dpos.groupBy(id_col)
            .agg(F.count(F.lit(1)).alias("n_dup_positions")))
     fl = (flagged.groupBy(id_col)
@@ -818,8 +833,10 @@ def duplicate_run_removal(df: DataFrame, text_col: str = "text",
         F.sum("__cov").cast("bigint").alias("tokens_removed"))
     nr = runs.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+    # distinct positions (see duplicate_run_stats): exact token recovery
     per_doc = gd.groupBy(id_col).agg(
-        (F.count(F.lit(1)) + F.lit(n - 1)).cast("bigint").alias("n_tokens"))
+        (F.countDistinct("__pos") + F.lit(n - 1)).cast("bigint")
+        .alias("n_tokens"))
     z = F.lit(0).cast("bigint")
     return (per_doc.join(nr, id_col, "left").join(rem, id_col, "left")
             .select(F.col(id_col), "n_tokens",

@@ -48,26 +48,40 @@ def _topk(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
 
 def _shortlist_topk(scored: DataFrame, query_id_col: str,
                     order: Sequence[Column], limit: int,
-                    salt_mod: int = 64) -> DataFrame:
+                    salt_mod: int = 64, final: bool = True) -> DataFrame:
     """Exact two-level per-query top-``limit`` over a CORPUS-SIZED
     candidate frame: a pre-pass window over (query, salt-of-neighbor)
-    keeps each partition at ~corpus/salt_mod rows, then the final
-    per-query window ranks only the ``salt_mod × limit`` survivors.
-    Top-k under a TOTAL order (every call site ties off by neighbor_id)
-    is decomposable — the union of per-salt top-limits contains the
-    global top-limit — so the result is row-identical to the single
-    window while never concentrating the candidate list into
-    ``n_queries`` window partitions (probe-measured at 1M vectors × 50
-    queries: 2.1 GB of window sort spill without the pre-pass, zero
-    with it). Keep the single window only for frames already bounded by
-    a shortlist."""
+    splits each query's candidates across ``salt_mod`` groups, then the
+    final per-query window ranks only the ``salt_mod × limit``
+    survivors. Top-k under a TOTAL order (every call site ties off by
+    neighbor_id) is decomposable — the union of per-salt top-limits
+    contains the global top-limit — so the result is row-identical to
+    the single window.
+
+    What this buys (probe-measured at 1M vectors): PARALLELISM when
+    queries are fewer than cores — a single per-query window
+    concentrates all rank work into ``n_queries`` groups (3 queries ×
+    1M corpus: 7.0 s single window vs 2.9 s two-level, 2.4×; on a
+    1000-core cluster a small probe batch would otherwise idle almost
+    every core). What it does NOT buy: the sorter's spill, which is
+    proportional to total candidate bytes per task, not to group
+    count — at 50 queries × 1M rows the ~2.5 GB candidate set spills
+    gracefully under local[32]'s per-task memory either way (wall time
+    ×1.8 at ×10 data; production tunes rows/task via partition count).
+    Keep the single window only for frames already bounded by a
+    shortlist. ``final=False`` skips the closing per-query window and
+    returns the (superset) union of per-salt top-limits — for callers
+    that immediately re-rank with :func:`_topk` anyway."""
     w1 = Window.partitionBy(query_id_col, "__salt").orderBy(*order)
+    pruned = (scored
+              .withColumn("__salt", F.pmod(F.xxhash64("neighbor_id"),
+                                           F.lit(salt_mod)))
+              .withColumn("__r1", F.row_number().over(w1))
+              .filter(F.col("__r1") <= limit))
+    if not final:
+        return pruned.drop("__salt", "__r1")
     w2 = Window.partitionBy(query_id_col).orderBy(*order)
-    return (scored
-            .withColumn("__salt", F.pmod(F.xxhash64("neighbor_id"),
-                                         F.lit(salt_mod)))
-            .withColumn("__r1", F.row_number().over(w1))
-            .filter(F.col("__r1") <= limit)
+    return (pruned
             .withColumn("__r2", F.row_number().over(w2))
             .filter(F.col("__r2") <= limit)
             .drop("__salt", "__r1", "__r2"))
@@ -96,8 +110,10 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                               / (F.col("__qn") * F.col("__vn")), 6).alias("score")))
     # two-level: the candidate frame is corpus-(fraction-)sized, so the
     # per-query top-k must not funnel it into n_queries window partitions
+    # (prune-only pre-pass; _topk does the final exact rank)
     return _topk(_shortlist_topk(scored, query_id_col,
-                                 [F.desc("score"), F.asc("neighbor_id")], k),
+                                 [F.desc("score"), F.asc("neighbor_id")], k,
+                                 final=False),
                  query_id_col, k)
 
 
@@ -156,8 +172,10 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                               / (F.col("__qn") * F.col("__vn")), 6).alias("score")))
     # two-level: the candidate frame is corpus-(fraction-)sized, so the
     # per-query top-k must not funnel it into n_queries window partitions
+    # (prune-only pre-pass; _topk does the final exact rank)
     return _topk(_shortlist_topk(scored, query_id_col,
-                                 [F.desc("score"), F.asc("neighbor_id")], k),
+                                 [F.desc("score"), F.asc("neighbor_id")], k,
+                                 final=False),
                  query_id_col, k)
 
 
@@ -334,8 +352,10 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
                               / (F.col("__qn") * F.col("__vn")), 6).alias("score")))
     # two-level: the candidate frame is corpus-(fraction-)sized, so the
     # per-query top-k must not funnel it into n_queries window partitions
+    # (prune-only pre-pass; _topk does the final exact rank)
     return _topk(_shortlist_topk(scored, query_id_col,
-                                 [F.desc("score"), F.asc("neighbor_id")], k),
+                                 [F.desc("score"), F.asc("neighbor_id")], k,
+                                 final=False),
                  query_id_col, k)
 
 
@@ -522,18 +542,36 @@ def kmeans_farthest_first(df: DataFrame, k: int = 8,
     for rank in range(1, k):
         mind = F.least(*[sqdist(vec) for _, _, _, vec in chosen]) \
             if len(chosen) > 1 else sqdist(chosen[0][3])
-        far = (v.select(F.col(id_col), mind.alias("__d"))
+        # ONE single-row aggregate per round: the max struct carries the
+        # winning vector itself (comparison never reaches it — the
+        # negated id in field 2 is already unique), so there is no
+        # second corpus pass to fetch it
+        far = (v.select(F.col(id_col), mind.alias("__d"), "e")
                .agg(F.max(F.struct(F.col("__d").alias("d"),
-                                   (-F.col(id_col)).alias("ni"))).alias("m"))
-               .select((-F.col("m.ni")).alias("pid"), F.col("m.d"))
+                                   (-F.col(id_col)).alias("ni"),
+                                   F.col("e").alias("e"))).alias("m"))
+               .select((-F.col("m.ni")).alias("pid"), F.col("m.d"),
+                       F.col("m.e"))
                .collect()[0])  # bounded: one row per round
-        vec = (v.filter(F.col(id_col) == far["pid"]).collect())[0]["e"]
+        if float(far["d"]) == 0.0:
+            # the farthest remaining point coincides with a chosen seed:
+            # fewer than k distinct vectors exist, and continuing would
+            # silently return duplicate seeds
+            raise ValueError(
+                f"k={k} exceeds the corpus's distinct vector count "
+                f"({rank} seeds cover every point exactly)")
         chosen.append((rank, far["pid"], float(far["d"]),
-                       [float(x) for x in vec]))
+                       [float(x) for x in far["e"]]))
     spark = df.sparkSession
-    return spark.createDataFrame(
-        [(r, i, d) for r, i, d, _ in chosen],
-        f"seed_rank long, {id_col} long, dist_sq double")
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("seed_rank", T.LongType()),
+        T.StructField(id_col, id_type),
+        T.StructField("dist_sq", T.DoubleType())])
+    return spark.createDataFrame([(r, i, d) for r, i, d, _ in chosen],
+                                 schema)
 
 
 # -- product quantization ----------------------------------------------------

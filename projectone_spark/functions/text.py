@@ -681,12 +681,31 @@ def bpe_vocab_encode(vocab: DataFrame, merges: Sequence[tuple[str, str]],
         for pdf in batches:
             words = [w if isinstance(w, str) else None
                      for w in pdf["__w"].tolist()]
-            live = [w for w in words if w is not None]
+            # the blob encoding rests on '\n' never occurring inside a
+            # word and sep never occurring inside a symbol — an external
+            # saved-tokenizer vocabulary gets the same loud precondition
+            # sep/merges get (a newline word would silently shift every
+            # later word's count; a sep-bearing word corrupts BOTH
+            # engines' double-separator encoding)
+            bad = [w for w in words
+                   if w is not None and ("\n" in w or sep in w)]
+            if bad:
+                raise ValueError(
+                    f"bpe vocabulary words must not contain newlines or "
+                    f"the separator {sep!r}, got {bad[:3]}")
+            # '' encodes to zero symbols (what the expr engine's
+            # '__'-only sym yields); keep it out of the blob, whose
+            # segment arithmetic assumes non-empty words
+            live = [w for w in words if w]
             if not live:
                 yield pd.DataFrame(
                     {"__w": pd.Series(words, dtype="object"),
-                     "__len": pd.Series([None] * len(words), dtype="Int32"),
-                     "__nsym": pd.Series([None] * len(words), dtype="Int32")})
+                     "__len": pd.Series(
+                         [None if w is None else 0 for w in words],
+                         dtype="Int32"),
+                     "__nsym": pd.Series(
+                         [None if w is None else 0 for w in words],
+                         dtype="Int32")})
                 continue
             blob = "\n".join(sep2 + sep2.join(w) + sep2 for w in live)
             for pat, rep in rules:
@@ -694,7 +713,8 @@ def bpe_vocab_encode(vocab: DataFrame, merges: Sequence[tuple[str, str]],
             it = iter(len(s.split(sep2)) - 2 for s in blob.split("\n"))
             # NULL words null-propagate to NULL rows — bit-for-bit what
             # the expr engine's Catalyst null semantics produce
-            nsym = [next(it) if w is not None else None for w in words]
+            nsym = [None if w is None else (0 if w == "" else next(it))
+                    for w in words]
             yield pd.DataFrame(
                 {"__w": pd.Series(words, dtype="object"),
                  "__len": pd.Series(

@@ -179,7 +179,7 @@ isl AS (
   SELECT doc_id, pos,
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
   FROM dp),
-np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions
+np AS (SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_positions
        FROM g GROUP BY doc_id)"""
 
 

@@ -414,3 +414,60 @@ def test_farthest_first_ties_and_edges(spark):
         kmeans_farthest_first(emb.filter("vec_id > 99"), k=2)
     with _pytest.raises(ValueError, match="k must be"):
         kmeans_farthest_first(emb, k=0)
+
+
+def test_bpe_vocab_rejects_hostile_words(spark):
+    """External saved-tokenizer vocabularies get the same loud
+    precondition as sep/merges: a newline word would silently shift
+    every later word's count in the arrow blob, a sep-bearing word
+    corrupts the double-separator encoding in BOTH engines."""
+    for bad in ("a\nb", "a_b"):
+        vocab = spark.createDataFrame([(bad,), ("ok",)], "__w string")
+        with pytest.raises(Exception, match="must not contain"):
+            bpe_vocab_encode(vocab, [("o", "k")], engine="arrow").collect()
+
+
+def test_bpe_vocab_empty_string_matches_expr(spark):
+    """'' encodes to zero symbols under BOTH engines (the expr sym for
+    '' is just the bare separator pair)."""
+    vocab = spark.createDataFrame([("",), ("ab",)], "__w string")
+    a = sorted(map(tuple, bpe_vocab_encode(
+        vocab, [("a", "b")], engine="arrow").collect()))
+    b = sorted(map(tuple, bpe_vocab_encode(
+        vocab, [("a", "b")], engine="expr").collect()))
+    assert a == b and ("", 0, 0) in a and ("ab", 2, 1) in a
+
+
+def test_farthest_first_rejects_k_beyond_distinct(spark):
+    """Once every remaining point coincides with a chosen seed the
+    traversal must refuse, not silently return duplicate seeds."""
+    from projectone_spark.functions.embeddings import kmeans_farthest_first
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_farthest_first(emb, k=3)
+
+
+def test_winnow_min_shared_floor(spark):
+    """MOSS's minimum-match floor: real near-dups share many kept
+    fingerprints and survive a small floor; raising the floor above
+    their overlap suppresses the pair — and the default floor of 1 is
+    the original gate (d13/f12 behavior unchanged)."""
+    from projectone_spark.functions.dedup import winnow_fingerprint_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "band plays an unusual tune about distant mountains and "
+            "rivers flowing toward the endless sea at dawn")
+    df = _docs(spark, [(1, base), (2, base + " extra closing words"),
+                       (3, "completely different content about xylophones "
+                           "quartz and jigsaw puzzles near the zoo")])
+    pairs = winnow_fingerprint_pairs(df).collect()
+    assert len(pairs) == 1 and pairs[0]["doc_id_a"] == 1
+    shared = pairs[0]["n_shared"]
+    assert shared >= 3
+    still = winnow_fingerprint_pairs(df, min_shared=shared).collect()
+    assert len(still) == 1
+    gone = winnow_fingerprint_pairs(df, min_shared=shared + 1).collect()
+    assert gone == []
