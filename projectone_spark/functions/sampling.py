@@ -85,6 +85,38 @@ def deterministic_split(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn(out_col, expr)
 
 
+def quality_weighted_sample(scored: DataFrame,
+                            score_col: str = "score_micro",
+                            id_col: str = "doc_id",
+                            scale: int = 1_000_000,
+                            salt: str = "qws",
+                            out_col: str = "kept") -> DataFrame:
+    """Score-proportional deterministic sampling — the SOFT quality
+    filter production curation runs instead of a hard threshold (CCNet
+    keeps documents by perplexity bucket with bucket-level acceptance
+    rates; DataComp/FineWeb sample by classifier score so mid-quality
+    text is down-weighted, not eliminated): a document is kept with
+    probability EXACTLY ``score/scale``, decided by comparing the
+    engine-portable :func:`md5_u32` uniform of ``salt:id`` against the
+    score — ``u32 · scale < score · 2^32``, all exact BIGINT arithmetic
+    (max operand ~4.3e15, no overflow, no float, no RNG state), so the
+    decision is stable across runs/partitionings/appends and an
+    external oracle reproduces every verdict. Scores ≤ 0 are never
+    kept; scores ≥ ``scale`` always are — the clamp falls out of the
+    integer compare for free.
+
+    Scan-side only: adds ``out_col`` (boolean) to the frame, no
+    shuffle, no collect — compose with a filter for the survivor
+    corpus or aggregate for acceptance accounting.
+    """
+    if int(scale) < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    u = md5_u32(F.concat_ws(":", F.lit(salt),
+                            F.col(id_col).cast("string")))
+    return scored.withColumn(
+        out_col, u * int(scale) < F.col(score_col) * F.lit(4294967296))
+
+
 def quota_sample(df: DataFrame, group_col: str, order_col: str,
                  quota: int, tie_col: str, ascending: bool = False,
                  rank_col: str = "rk") -> DataFrame:

@@ -151,11 +151,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "d15_duplicate_run_removal",
     "t18_roc_auc",
     "e15_farthest_first_seeds",
+    # (e08 — 2 greens, its IVF family still driver-covered by
+    # e04/e05/e10/e12/e13 — gave its slot to the soft quality filter)
+    "p15_quality_weighted_sample",
     # never driver-adjudicated (new in r5 tail / new in r6):
     "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
     "f06_avro_roundtrip", "f07_post_task_cleanup", "f08_event_handlers",
     "f09_file_path_cdc", "v01_row_expectations",
-    "e08_knn_ivf_fullprobe",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
     "v02_stage_metrics_accounting", "e04_knn_ivf", "e05_knn_pq",
     "t10_unigram_surprise", "e10_incremental_ivf_maintenance",

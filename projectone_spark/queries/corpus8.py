@@ -18,7 +18,15 @@
   then train a BPE tokenizer ON the clean corpus, encode with the Arrow
   vocabulary stage, and pack token counts into fixed-length sequences,
   with the packing identity Σ tokens_in = tokens_packed + tail_waste
-  asserted in-query and per-source accounting oracle-checked.
+  asserted in-query and per-source accounting oracle-checked;
+- d15: the APPLY step of ExactSubstr — token-interval union of d14's
+  flagged runs (running-max merge), per-document removed/kept counts;
+- t18: exact ROC-AUC by the Mann-Whitney rank-sum identity — the
+  threshold-free companion to t17;
+- e15: Gonzalez farthest-first k-center seeding, every pick adjudicated
+  against a fully unrolled per-seed oracle;
+- p15: score-proportional deterministic sampling (the CCNet/DataComp
+  soft quality filter) via the engine-portable md5 uniform.
 
 Same exactness discipline as corpus4-7: integer arithmetic end-to-end,
 float division only as a single final correctly-rounded IEEE op.
@@ -587,3 +595,48 @@ def e15_farthest_first_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_farthest_first(load(spark, sf_dir, "embeddings"),
                                  k=_E15_K)
+
+
+def _p15_sql(scale: int = 1_000_000, salt: str = "qws") -> str:
+    return f"""
+WITH {_t15_ctes()}
+SELECT doc_id, score_micro,
+       CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)),
+                            1, 8)) AS BIGINT) * {scale}
+         < score_micro * 4294967296 AS kept
+FROM cls
+"""
+
+
+@register("p15_quality_weighted_sample", _p15_sql(),
+          doc="score-proportional deterministic sampling — the SOFT "
+              "quality filter (CCNet/DataComp/FineWeb recipe: sample by "
+              "classifier score instead of a hard cutoff, so "
+              "mid-quality text is down-weighted, not eliminated): "
+              "every document kept with probability exactly "
+              "score/scale via the engine-portable md5 uniform of "
+              "salt:id, all exact BIGINT arithmetic, scan-side, no RNG "
+              "state — every per-document verdict oracle-checked, and "
+              "the clamp identities (score<=0 never kept, "
+              "score>=scale always kept) asserted in-query",
+          tags=("sampling", "quality", "llm"))
+def p15_quality_weighted_sample(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.sampling import quality_weighted_sample
+    from projectone_spark.functions.text import linear_token_classifier
+
+    scored = linear_token_classifier(
+        load(spark, sf_dir, "documents"),
+        label=F.col("lang") == "en",
+        train=F.col("doc_id") % 7 == 0)
+    out = (quality_weighted_sample(scored)
+           .select("doc_id", "score_micro", "kept")
+           .localCheckpoint(eager=True))  # the clamp gates below and
+    # the returned frame must not each replay the scoring pipeline
+    bad = out.filter(
+        ((F.col("score_micro") <= 0) & F.col("kept"))
+        | ((F.col("score_micro") >= 1_000_000) & ~F.col("kept"))).count()
+    check(bad == 0, f"{bad} documents violate the sampling clamp")
+    return out

@@ -471,3 +471,25 @@ def test_winnow_min_shared_floor(spark):
     assert len(still) == 1
     gone = winnow_fingerprint_pairs(df, min_shared=shared + 1).collect()
     assert gone == []
+
+
+def test_quality_weighted_sample_exact_verdicts(spark):
+    """Every keep verdict is the exact integer compare of the md5
+    uniform against the score — reproduced here in pure Python — and
+    the clamp falls out for free (score<=0 never kept, >=scale always)."""
+    import hashlib
+
+    from projectone_spark.functions.sampling import quality_weighted_sample
+
+    rows = [(1, -5), (2, 0), (3, 250_000), (4, 999_999),
+            (5, 1_000_000), (6, 2_000_000)]
+    scored = spark.createDataFrame(rows, "doc_id bigint, score_micro bigint")
+    got = {r["doc_id"]: r["kept"] for r in
+           quality_weighted_sample(scored).collect()}
+    for i, s in rows:
+        u = int(hashlib.md5(f"qws:{i}".encode()).hexdigest()[:8], 16)
+        assert got[i] == (u * 1_000_000 < s * 4294967296), (i, s, u)
+    assert not got[1] and not got[2]   # clamp low
+    assert got[5] and got[6]           # clamp high
+    with pytest.raises(ValueError, match="scale"):
+        quality_weighted_sample(scored, scale=0)

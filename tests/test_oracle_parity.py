@@ -61,7 +61,7 @@ def test_harness_prefix_contract():
         "t16_bpe_encode_arrow", "t17_classifier_calibration",
         "d14_duplicate_runs", "f13_training_batches",
         "d15_duplicate_run_removal", "t18_roc_auc",
-        "e15_farthest_first_seeds",
+        "e15_farthest_first_seeds", "p15_quality_weighted_sample",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
