@@ -902,3 +902,160 @@ def knn_binary_hamming(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  l2_norm(F.col("__qvec")).alias("__qn")),
         short, "hamming", id_col, query_id_col)
     return _topk(rr, query_id_col, k)
+
+
+def sq8_bounds(corpus: DataFrame, dims: int,
+               vec_col: str = "embedding") -> DataFrame:
+    """One-row frame of per-dimension (min, max) arrays over the corpus
+    — the entire trained state of a scalar int8 quantizer, as columns
+    ``__mn``/``__mx`` (``array<double>``, 1-based coordinate order).
+    min/max are exact and order-independent (no float summation), so
+    the bounds are bit-identical in any engine and the quantizer needs
+    no adjudicated model artifact.
+
+    Shape: one (pos)-keyed aggregate over the dim-explode (key space =
+    dims, the :func:`centroid_classify` pattern — per-dim UNROLLED
+    aggregate/code expressions compile multi-second whole-stage codegen
+    at 64 dims, measured, so everything per-dim here is array-typed),
+    reassembled into two arrays on a single row. At 100 TB this is the
+    one full scan the quantizer ever takes, folding to ~1 KiB."""
+    if dims <= 0:
+        raise ValueError(f"dims must be positive, got {dims}")
+
+    def _asc(col: str) -> Column:
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", col))),
+            lambda s: s[col])
+
+    return (corpus
+            .select(F.posexplode(
+                F.slice(F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")),
+                        1, dims)).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+            .agg(_asc("mn").alias("__mn"), _asc("mx").alias("__mx")))
+
+
+def sq8_codes(vec: Column, dims: int) -> Column:
+    """int8-style scalar quantization codes (FAISS ``SQ8``): coordinate
+    ``i`` maps to ``floor((x - mn_i) * 255 / (mx_i - mn_i))`` clamped to
+    [0, 255], or 0 when the dimension is constant. Expects the
+    :func:`sq8_bounds` array columns (``__mn``/``__mx``) in scope
+    (broadcast-joined by the caller); one higher-order expression, not
+    ``dims`` unrolled ones (codegen size — see :func:`sq8_bounds`).
+
+    Cross-engine exactness: every step is a single correctly-rounded
+    IEEE double op on deterministic inputs (min/max of float32 values),
+    so identical expressions yield identical codes in any engine — the
+    codes, and everything ranked on them, are exact integers."""
+
+    def code(i: Column) -> Column:
+        x = F.element_at(vec, i).cast("double")
+        mn = F.element_at(F.col("__mn"), i)
+        mx = F.element_at(F.col("__mx"), i)
+        q = F.floor((x - mn) * F.lit(255.0) / (mx - mn))
+        return (F.when(mx > mn,
+                       F.least(F.lit(255).cast("bigint"),
+                               F.greatest(F.lit(0).cast("bigint"), q)))
+                .otherwise(F.lit(0).cast("bigint")).cast("int"))
+
+    return F.transform(F.sequence(F.lit(1), F.lit(dims)), code)
+
+
+def knn_sq8(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            shortlist: int = 25, dims: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id",
+            parallelism: int | None = None) -> DataFrame:
+    """Two-stage KNN over scalar int8 quantization (the FAISS
+    ``IndexScalarQuantizer(SQ8)`` recipe with symmetric distance):
+    stage 1 ranks every candidate by the exact integer squared L2
+    distance between uint8 code arrays (both sides quantized with the
+    CORPUS's per-dimension bounds), stage 2 re-ranks the per-query
+    ``shortlist`` with exact full-dimension cosine and returns the top
+    ``k``.
+
+    Same funnel scaffolding as :func:`knn_binary_hamming`, one rung up
+    the compression ladder: 1 byte/dim instead of 1 bit/dim (64 B vs
+    256 B float32 — a 4× smaller stage-1 projection that, unlike sign
+    bits, preserves magnitude), candidate pairs carry only (query,
+    neighbor, sq_dist) with ``sq_dist ≤ dims * 255² < 2^31``, and full
+    vectors are re-fetched by broadcast-back for just
+    ``n_queries × shortlist`` rows. Stage 1 is INTEGER-ranked, so the
+    whole funnel is bit-exact-oracle-checkable; ties break by neighbor
+    id in both stages.
+
+    Plan shape at 100 TB: one bounds scan folding to a broadcast row,
+    one code-projection scan (scan-side Catalyst arithmetic, no
+    shuffle), the pair loop over codes only, and the established
+    two-level shortlist window. Pre-materializing the code column next
+    to the vectors (a writers.append of the projection) turns the
+    stage-1 scan into a 4×-pruned column read.
+
+    Returns (query_id, neighbor_id, sq_dist, score, rank) for the top-k.
+    """
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__vec")),
+               parallelism)
+    bounds = sq8_bounds(c, dims, vec_col="__vec")
+    cc = (c.crossJoin(F.broadcast(bounds))
+          .select(id_col, sq8_codes(F.col("__vec"), dims).alias("__c")))
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    qc = (q.crossJoin(F.broadcast(bounds))
+          .select(query_id_col, sq8_codes(F.col("__qvec"), dims).alias("__qc")))
+    sq = F.aggregate(
+        F.zip_with(F.col("__c"), F.col("__qc"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = (cc.crossJoin(F.broadcast(qc))
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(F.col(query_id_col),
+                      F.col(id_col).alias("neighbor_id"),
+                      sq.alias("sq_dist")))
+    short = _shortlist_topk(scored, query_id_col,
+                            [F.asc("sq_dist"), F.asc("neighbor_id")],
+                            shortlist) \
+        .select(query_id_col, "neighbor_id", "sq_dist")
+    rr = _funnel_rerank(
+        c.select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__vn")),
+        q.select(query_id_col, "__qvec",
+                 l2_norm(F.col("__qvec")).alias("__qn")),
+        short, "sq_dist", id_col, query_id_col)
+    return _topk(rr, query_id_col, k)
+
+
+def knn_recall(exact: DataFrame, approx: DataFrame, method: str, k: int,
+               query_id_col: str = "query_id",
+               neighbor_col: str = "neighbor_id") -> DataFrame:
+    """Recall@k of an ANN result set against the exact top-k — the
+    standard retrieval-quality audit (what FAISS/ann-benchmarks report)
+    run INSIDE the engine so an index rebuild ships with its own
+    measured recall.
+
+    Both inputs are per-query top-k pair sets (``n_queries × k`` rows —
+    bounded by construction, never corpus-sized), so the audit is a
+    broadcast-scale left join + one bounded aggregation regardless of
+    corpus size: at 100 TB the expensive parts are the retrievals being
+    audited, never the audit itself. ``n_hit`` counts exact neighbors
+    the method recovered; ``recall_micro = (1e6 * n_hit) div k`` keeps
+    the ratio in exact integers (k=5 divides 1e6 evenly; other k floor,
+    documented) with the one closing divide producing the double.
+
+    Returns (method, query_id, n_hit, recall_micro, recall)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    hit = (approx.select(query_id_col, neighbor_col)
+           .withColumn("__hit", F.lit(1)))
+    return (exact.select(query_id_col, neighbor_col)
+            .join(hit, [query_id_col, neighbor_col], "left")
+            .groupBy(query_id_col)
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .cast("bigint").alias("n_hit"))
+            .select(F.lit(method).alias("method"), F.col(query_id_col),
+                    F.col("n_hit"),
+                    F.expr(f"(CAST(1000000 AS BIGINT) * n_hit) div {int(k)}")
+                    .alias("recall_micro"))
+            .withColumn("recall",
+                        F.col("recall_micro").cast("double")
+                        / F.lit(1000000.0)))

@@ -855,3 +855,130 @@ def unimax_allocation(df: DataFrame, text_col: str = "text",
                     "alloc_tokens",
                     (F.col("__em").cast("double")
                      / F.lit(float(scale))).alias("epochs")))
+
+
+def doremi_reweight(df: DataFrame, text_col: str = "text",
+                    group_col: str = "source",
+                    eta: tuple[int, int] = (1, 1),
+                    scale: int = 1_000_000) -> DataFrame:
+    """One DoReMi reweighting step (Xie et al. 2023, "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining"): tilt each
+    domain's mixture weight by its EXCESS LOSS over a reference, so the
+    next training round over-samples domains the current model finds
+    hard. The engine-native instantiation keeps every step exact:
+
+    - per-domain loss = mean per-token unigram surprisal in integer
+      micro-units (the :func:`~projectone_spark.functions.text.
+      unigram_surprise` proxy — no external model), reference = the
+      corpus-wide mean;
+    - excess = max(0, domain_loss - reference_loss) (DoReMi's clipped
+      per-domain excess);
+    - update: DoReMi's exponentiated-gradient step ``w ∝ w·exp(η·excess)``
+      is replaced by its LINEAR multiplicative-weights twin
+      ``w ∝ tokens·(1 + η·excess/ref)`` (the first-order expansion with
+      the excess normalized by the reference loss) so the whole update
+      stays in integer arithmetic — same fixed point (zero excess ⇒
+      token-share mixture), same monotone tilt, no transcendental
+      floats to adjudicate;
+    - normalization: weights land on an exact ``scale``-unit grid via
+      LARGEST-REMAINDER apportionment (floor quotas, then one extra unit
+      to the largest remainders, ties by domain name), so
+      ``Σ weight_micro == scale`` exactly — as does the reported
+      token-share ``baseline_micro`` grid, making the tilt auditable
+      row-by-row. DoReMi's uniform-smoothing term is unnecessary here:
+      the linear factor is ≥ 1, so no domain's RAW weight can vanish
+      (a sub-``1/scale`` share can still floor to 0 grid units, in
+      which case ``boost`` is NULL — both engines, guarded).
+
+    Integer envelopes (all documented-not-checked, like ``t10``):
+    per-token micro-units need ``scale·N < 2^63`` (N = corpus tokens —
+    ~40 TB of text at the default scale; drop ``scale`` past that);
+    the 128-bit DECIMAL(38,0)/HUGEINT lane holds the per-domain
+    surprisal sums and the apportionment products, whose worst case is
+    ``scale²·η·N·T_g < 10^38``.
+
+    Plan shape at 100 TB: ONE corpus scan → (domain, term) counts; the
+    vocabulary fold, the domain fold, and the apportionment all run on
+    vocabulary- or domain-bounded frames (the single-partition windows
+    are bounded by the domain count, like :func:`unimax_allocation`'s).
+
+    Returns (group_col, n_tokens, mean_surprise_micro, ref_micro,
+    excess_micro, baseline_micro, weight_micro, boost) — one row per
+    domain with at least one token, ``boost = weight/baseline`` HALF-UP
+    at 6 dp.
+    """
+    from projectone_spark.functions.text import surprisal_micro_fold
+
+    en, ed = eta
+    if min(en, ed) <= 0:
+        raise ValueError(f"eta must be a positive rational, got {eta}")
+    # ONE shared definition of the surprisal recipe with t10 (the fold
+    # is keyed by domain here, by document there)
+    dom = (surprisal_micro_fold(df, group_col, text_col, scale)
+           .groupBy(group_col)
+           .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                F.sum(F.expr("CAST(tf AS DECIMAL(38,0)) * __micro"))
+                .alias("__s")))
+    every = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    d = (dom.withColumn("mean_surprise_micro",
+                        F.expr("(2 * __s + n_tokens) div (2 * n_tokens)"))
+         .withColumn("__t_all", F.sum("n_tokens").over(every))
+         .withColumn("__s_all", F.sum("__s").over(every))
+         .withColumn("ref_micro",
+                     F.expr("(2 * __s_all + __t_all) div (2 * __t_all)"))
+         .withColumn("excess_micro",
+                     F.greatest(F.lit(0).cast("bigint"),
+                                F.col("mean_surprise_micro")
+                                - F.col("ref_micro")))
+         # rel = HALF-UP micro-units of eta * excess / ref
+         .withColumn("__rel", F.expr(
+             f"(CAST(excess_micro AS DECIMAL(38,0))"
+             f" * {2 * int(en) * int(scale)} + {int(ed)} * ref_micro)"
+             f" div (CAST(2 AS BIGINT) * {int(ed)} * ref_micro)"))
+         .withColumn("__w", F.expr(
+             f"CAST(n_tokens AS DECIMAL(38,0))"
+             f" * (CAST({int(scale)} AS BIGINT) + __rel)")))
+
+    def _apportion(frame: DataFrame, num_col: str, out_col: str,
+                   tag: str) -> DataFrame:
+        """Largest-remainder apportionment of ``scale`` units across
+        domains, proportional to ``num_col`` (exact: floors + one unit
+        to the largest remainders, remainder ties by domain name)."""
+        tot, flo, rem, rnk, dfc = (f"__{tag}{s}" for s in
+                                   ("tot", "flo", "rem", "rnk", "dfc"))
+        by_rem = Window.partitionBy().orderBy(
+            F.desc(rem), F.asc(group_col))
+        return (frame
+                .withColumn(tot, F.sum(num_col).over(every))
+                .withColumn(flo, F.expr(
+                    f"(CAST({num_col} AS DECIMAL(38,0)) * {int(scale)})"
+                    f" div {tot}"))
+                .withColumn(rem, F.expr(
+                    f"(CAST({num_col} AS DECIMAL(38,0)) * {int(scale)})"
+                    f" % {tot}"))
+                .withColumn(dfc,
+                            F.lit(int(scale)).cast("bigint")
+                            - F.sum(flo).over(every))
+                .withColumn(rnk, F.row_number().over(by_rem))
+                .withColumn(out_col,
+                            (F.col(flo)
+                             + F.when(F.col(rnk) <= F.col(dfc), 1)
+                             .otherwise(0)).cast("bigint"))
+                .drop(tot, flo, rem, rnk, dfc))
+
+    d = _apportion(d, "__w", "weight_micro", "w")
+    d = _apportion(d, "n_tokens", "baseline_micro", "b")
+    # zero-guard mirrors the oracle: a domain whose token share rounds
+    # to 0 grid units (share < 1/scale with no remainder unit) reports
+    # boost NULL — ANSI Spark would otherwise abort on the division
+    # while DuckDB returns NULL
+    return (d.withColumn("boost", F.when(
+                F.col("baseline_micro") > 0,
+                F.expr(
+                    f"CAST((2 * weight_micro * CAST({int(scale)} AS BIGINT)"
+                    " + baseline_micro) div (2 * baseline_micro) AS DOUBLE)")
+                / F.lit(float(scale))))
+            .select(group_col, "n_tokens", "mean_surprise_micro",
+                    "ref_micro", "excess_micro", "baseline_micro",
+                    "weight_micro", "boost"))

@@ -324,6 +324,39 @@ def distinctive_terms(df: DataFrame, text_col: str = "text",
             .select(group_col, "term", "tf", "df_docs", "score"))
 
 
+def surprisal_micro_fold(df: DataFrame, key_col: str,
+                         text_col: str = "text",
+                         scale: int = 1_000_000) -> DataFrame:
+    """The shared unigram-surprisal fold: per-(key, term) counts joined
+    with the per-token surprisal micro-unit ``(scale * N) div c_t`` —
+    ONE definition of the exact recipe, keyed by document for
+    :func:`unigram_surprise` (t10) and by domain for
+    ``sampling.doremi_reweight`` (p16), so the tokenization / micro
+    rounding cannot silently diverge between the score and the mixture
+    step that consumes it as a loss proxy.
+
+    One corpus scan: the vocabulary counts and the corpus total both
+    FOLD the tf table, so all three consumers sit on a single
+    scan+explode+shuffle (ReuseExchange) instead of re-reading the
+    corpus per branch. Returns (key_col, term, tf, __c, __n, __micro).
+    """
+    # the explicit isNotNull matches the null filter the optimizer pushes
+    # into the join branches, keeping every branch's scan subtree
+    # canonically identical so AQE stage reuse can deduplicate them
+    exploded = (df.select(F.col(key_col),
+                          F.explode(tokens(text_col)).alias("term"))
+                .filter(F.col("term").isNotNull()))
+    tf = (exploded.groupBy(key_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    return (tf.join(vocab, "term")
+            .crossJoin(F.broadcast(total))
+            .withColumn("__micro",
+                        F.expr(f"(CAST({int(scale)} AS BIGINT) * __n)"
+                               " div __c")))
+
+
 def unigram_surprise(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      scale: int = 1_000_000) -> DataFrame:
@@ -366,24 +399,7 @@ def unigram_surprise(df: DataFrame, text_col: str = "text",
     Returns (id, n_tokens, surprise_micro, surprise) for documents with
     at least one token.
     """
-    # the explicit isNotNull matches the null filter the optimizer pushes
-    # into the join branches, keeping every branch's scan subtree
-    # canonically identical so AQE stage reuse can deduplicate them
-    exploded = (df.select(F.col(id_col),
-                          F.explode(tokens(text_col)).alias("term"))
-                .filter(F.col("term").isNotNull()))
-    tf = (exploded.groupBy(id_col, "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    # vocabulary counts and the corpus total both fold the tf table, so
-    # all three consumers sit on ONE scan+explode+shuffle (ReuseExchange)
-    # instead of re-reading the corpus per branch
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("__c"))
-    total = vocab.agg(F.sum("__c").alias("__n"))
-    return (tf.join(vocab, "term")
-            .crossJoin(F.broadcast(total))
-            .withColumn("__micro",
-                        F.expr(f"(CAST({int(scale)} AS BIGINT) * __n)"
-                               " div __c"))
+    return (surprisal_micro_fold(df, id_col, text_col, scale)
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  F.sum(F.col("tf") * F.col("__micro")).alias("surprise_micro"))

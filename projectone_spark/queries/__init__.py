@@ -164,9 +164,12 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "p09_bloom_contamination", "st13_stream_neardup_index",
     "e11_semdedup_prune", "f11_curation_pipeline",
     "p10_curriculum_order",
-    # third-look fillers (r4 cohort, 2 greens) — replaced as new queries land:
-    "a01_approx_sketches", "a02_incremental_distinct_sketch",
-    "m05_image_phash_dedup",
+    # second round-8 batch: scalar-int8 ANN funnel, the recall@k audit
+    # over both quantized funnels, and the DoReMi mixture-reweighting
+    # step — taking the third-look filler slots (a01/a02/m05, r4 cohort,
+    # 3 driver greens each after r7's clean sheet; the sketch and
+    # multimodal families stay locally parity-checked every pytest run):
+    "e16_knn_sq8", "e17_ann_recall_audit", "p16_doremi_reweight",
     # late-r6 additions took the last three filler slots (s17/s19/s21
     # rotated out — 2+ green rounds each, still parity-checked locally):
     "t11_bigram_surprise", "d13_winnowing_neardups", "p11_epoch_schedule",

@@ -640,3 +640,107 @@ def p15_quality_weighted_sample(spark: SparkSession,
         | ((F.col("score_micro") >= 1_000_000) & ~F.col("kept"))).count()
     check(bad == 0, f"{bad} documents violate the sampling clamp")
     return out
+
+
+def _p16_sql(scale: int = 1_000_000, en: int = 1, ed: int = 1) -> str:
+    """Mirror of functions/sampling.doremi_reweight: per-domain mean
+    unigram surprisal (t10's micro-units), clipped excess over the
+    corpus mean, linear multiplicative-weights tilt, largest-remainder
+    apportionment onto the exact ``scale`` grid. HUGEINT is DuckDB's
+    twin of Spark's DECIMAL(38,0) lane; every `//` operand is
+    non-negative, so truncation == floor in both engines."""
+    return f"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY source, term),
+voc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM voc),
+dom AS (
+  SELECT tf.source, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(tf.tf AS HUGEINT)
+                  * (({scale}::BIGINT * tot.n) // voc.c)) AS HUGEINT) AS s
+  FROM tf JOIN voc USING (term) CROSS JOIN tot
+  GROUP BY tf.source),
+d1 AS (
+  SELECT source, n_tokens, s,
+         CAST((2 * s + n_tokens) // (2 * n_tokens) AS BIGINT)
+           AS mean_surprise_micro,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS t_all,
+         CAST(sum(s) OVER () AS HUGEINT) AS s_all
+  FROM dom),
+d2 AS (
+  SELECT *, CAST((2 * s_all + t_all) // (2 * t_all) AS BIGINT) AS ref_micro
+  FROM d1),
+d3 AS (
+  SELECT *, greatest(0, mean_surprise_micro - ref_micro) AS excess_micro
+  FROM d2),
+d4 AS (
+  SELECT *,
+         (CAST(excess_micro AS HUGEINT) * {2 * en * scale}
+          + {ed} * ref_micro) // (2::HUGEINT * {ed} * ref_micro) AS rel
+  FROM d3),
+d5 AS (SELECT *, CAST(n_tokens AS HUGEINT) * ({scale} + rel) AS w FROM d4),
+aw AS (
+  SELECT *, sum(w) OVER () AS wtot,
+         (w * {scale}) // sum(w) OVER () AS wflo,
+         (w * {scale}) % sum(w) OVER () AS wrem
+  FROM d5),
+aw2 AS (
+  SELECT *, {scale} - sum(wflo) OVER () AS wdef,
+         row_number() OVER (ORDER BY wrem DESC, source) AS wrnk
+  FROM aw),
+aw3 AS (
+  SELECT *, CAST(wflo + CASE WHEN wrnk <= wdef THEN 1 ELSE 0 END AS BIGINT)
+           AS weight_micro
+  FROM aw2),
+ab AS (
+  SELECT *,
+         (CAST(n_tokens AS HUGEINT) * {scale}) // t_all AS bflo,
+         (CAST(n_tokens AS HUGEINT) * {scale}) % t_all AS brem
+  FROM aw3),
+ab2 AS (
+  SELECT *, {scale} - sum(bflo) OVER () AS bdef,
+         row_number() OVER (ORDER BY brem DESC, source) AS brnk
+  FROM ab),
+ab3 AS (
+  SELECT *, CAST(bflo + CASE WHEN brnk <= bdef THEN 1 ELSE 0 END AS BIGINT)
+           AS baseline_micro
+  FROM ab2)
+SELECT source, n_tokens, mean_surprise_micro, ref_micro, excess_micro,
+       baseline_micro, weight_micro,
+       CASE WHEN baseline_micro > 0
+            THEN CAST((2 * weight_micro * {scale}::BIGINT + baseline_micro)
+                      // (2 * baseline_micro) AS DOUBLE) / {scale}
+            END AS boost
+FROM ab3
+"""
+
+
+@register("p16_doremi_reweight", _p16_sql(),
+          doc="DoReMi domain-mixture reweighting step (Xie et al. 2023) "
+              "in exact integer arithmetic: per-domain mean unigram "
+              "surprisal (t10's micro-units) as the loss proxy, clipped "
+              "excess over the corpus-wide reference, the linear "
+              "multiplicative-weights twin of the exponentiated-"
+              "gradient tilt (same fixed point, no transcendental "
+              "floats), and largest-remainder apportionment so both the "
+              "tilted weights and the token-share baseline sum to "
+              "EXACTLY one million micro-units — the apportionment "
+              "identities asserted in-query; one corpus scan, every "
+              "later stage domain- or vocabulary-bounded",
+          tags=("sampling", "mixture", "doremi", "llm"))
+def p16_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.sampling import doremi_reweight
+
+    out = (doremi_reweight(load(spark, sf_dir, "documents"),
+                           group_col="source", eta=(1, 1))
+           .localCheckpoint(eager=True))  # the grid checks below and the
+    # returned frame must not each replay the corpus aggregation
+    sums = out.agg(F.sum("weight_micro").alias("w"),
+                   F.sum("baseline_micro").alias("b")).first()
+    check(sums["w"] == 1_000_000 and sums["b"] == 1_000_000,
+          f"apportionment grids broken: weights={sums['w']} "
+          f"baseline={sums['b']}")
+    return out

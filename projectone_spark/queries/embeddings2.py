@@ -328,30 +328,40 @@ def _sign_word_sql(vec: str, off: int) -> str:
             f"ELSE 0 END)) AS BIGINT)")
 
 
-_E13_SQL = f"""
-WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
-w AS (SELECT vec_id, e, {_sign_word_sql('e', 0)} AS w0,
+def _ham_ctes(p: str = "", shortlist: int = 25) -> str:
+    """CTE chain for the binary-Hamming funnel (e13; reused prefixed by
+    the e17 recall audit). Assumes a ``v(vec_id, e)`` CTE is already in
+    scope; emits ``{p}w``/``{p}q``/``{p}s1``/``{p}sh``/``{p}rr``/``{p}rk``
+    with ``{p}rk`` carrying (query_id, neighbor_id, hamming, score,
+    rank)."""
+    return f"""{p}w AS (SELECT vec_id, e, {_sign_word_sql('e', 0)} AS w0,
              {_sign_word_sql('e', 32)} AS w1 FROM v),
-q AS (SELECT vec_id AS query_id, e AS qe, w0 AS q0, w1 AS q1 FROM w
+{p}q AS (SELECT vec_id AS query_id, e AS qe, w0 AS q0, w1 AS q1 FROM {p}w
       WHERE vec_id % 50 = 0),
-s1 AS (
-  SELECT q.query_id, w.vec_id AS neighbor_id, w.e AS e, q.qe AS qe,
-         CAST(bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1))
-              AS BIGINT) AS hamming
-  FROM w CROSS JOIN q WHERE w.vec_id <> q.query_id),
-sh AS (
+{p}s1 AS (
+  SELECT {p}q.query_id, {p}w.vec_id AS neighbor_id, {p}w.e AS e,
+         {p}q.qe AS qe,
+         CAST(bit_count(xor({p}w.w0, {p}q.q0))
+              + bit_count(xor({p}w.w1, {p}q.q1)) AS BIGINT) AS hamming
+  FROM {p}w CROSS JOIN {p}q WHERE {p}w.vec_id <> {p}q.query_id),
+{p}sh AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY hamming, neighbor_id) AS srank
-  FROM s1),
-rr AS (
+  FROM {p}s1),
+{p}rr AS (
   SELECT query_id, neighbor_id, hamming,
          round({_dot('qe', 'e')} / ({_norm('qe')} * {_norm('e')}), 6) AS score
-  FROM sh WHERE srank <= 25),
-rk AS (
+  FROM {p}sh WHERE srank <= {shortlist}),
+{p}rk AS (
   SELECT query_id, neighbor_id, hamming, score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, neighbor_id) AS rank
-  FROM rr)
+  FROM {p}rr)"""
+
+
+_E13_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+{_ham_ctes()}
 SELECT query_id, neighbor_id, hamming, score, rank FROM rk WHERE rank <= 5
 """
 
@@ -420,3 +430,149 @@ def e14_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.functions.embeddings import kmeans_lloyd
 
     return kmeans_lloyd(load(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+def _sq8_ctes(p: str = "", dims: int = 64, shortlist: int = 25) -> str:
+    """CTE chain for the SQ8 funnel (e16; reused prefixed by the e17
+    recall audit): per-dim corpus min/max bounds -> integer codes ->
+    integer squared-L2 stage-1 rank -> exact-cosine rerank of the
+    shortlist. Assumes a ``v(vec_id, e)`` CTE is already in scope;
+    ``{p}rk`` carries (query_id, neighbor_id, sq_dist, score, rank).
+    Mirrors functions/embeddings.sq8_bounds/sq8_codes/knn_sq8 op-for-op
+    (same IEEE double steps, same clamps, same tie-breaks)."""
+    return f"""{p}b AS (SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+      FROM v CROSS JOIN (SELECT unnest(range(1, {dims} + 1)) AS i) dd
+      GROUP BY i),
+{p}pc AS (SELECT v.vec_id, {p}b.i,
+              CASE WHEN {p}b.mx > {p}b.mn
+                   THEN CAST(least(255, greatest(0,
+                        floor((v.e[{p}b.i] - {p}b.mn) * 255.0
+                              / ({p}b.mx - {p}b.mn))))
+                        AS INTEGER)
+                   ELSE 0 END AS code
+       FROM v CROSS JOIN {p}b),
+{p}cd AS (SELECT vec_id, list(code ORDER BY i) AS c FROM {p}pc
+          GROUP BY vec_id),
+{p}w AS (SELECT v.vec_id, v.e, {p}cd.c FROM v JOIN {p}cd USING (vec_id)),
+{p}q AS (SELECT vec_id AS query_id, e AS qe, c AS qc FROM {p}w
+      WHERE vec_id % 50 = 0),
+{p}s1 AS (
+  SELECT {p}q.query_id, {p}w.vec_id AS neighbor_id, {p}w.e AS e,
+         {p}q.qe AS qe,
+         CAST(list_aggregate(list_transform(range(1, {dims} + 1),
+              i -> ({p}w.c[i] - {p}q.qc[i]) * ({p}w.c[i] - {p}q.qc[i])),
+              'sum') AS BIGINT) AS sq_dist
+  FROM {p}w CROSS JOIN {p}q WHERE {p}w.vec_id <> {p}q.query_id),
+{p}sh AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sq_dist, neighbor_id) AS srank
+  FROM {p}s1),
+{p}rr AS (
+  SELECT query_id, neighbor_id, sq_dist,
+         round({_dot('qe', 'e')} / ({_norm('qe')} * {_norm('e')}), 6) AS score
+  FROM {p}sh WHERE srank <= {shortlist}),
+{p}rk AS (
+  SELECT query_id, neighbor_id, sq_dist, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM {p}rr)"""
+
+
+_E16_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+{_sq8_ctes()}
+SELECT query_id, neighbor_id, sq_dist, score, rank FROM rk WHERE rank <= 5
+"""
+
+
+@register("e16_knn_sq8", _E16_SQL,
+          doc="scalar-int8-quantized funnel retrieval (the FAISS SQ8 "
+              "recipe, symmetric distance): per-dim corpus min/max "
+              "bounds fold to one broadcast row (the quantizer's entire "
+              "trained state, exact order-independent aggregates), "
+              "stage-1 shortlist by exact integer squared-L2 between "
+              "1-byte-per-dim code arrays (4x smaller than float32 and "
+              "magnitude-preserving where sign bits are not), stage-2 "
+              "exact cosine rerank of 25 candidates per query; stage 1 "
+              "ranks on integers, so the funnel is bit-exact-oracle-"
+              "checked with no model artifact to adjudicate",
+          tags=("embeddings", "knn", "ann", "quantization"))
+def e16_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import knn_sq8
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return knn_sq8(emb, queries, k=5, shortlist=25, dims=64)
+
+
+_E17_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+xq AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+xs AS (
+  SELECT xq.query_id, v.vec_id AS neighbor_id,
+         round({_dot('xq.qe', 'v.e')} / ({_norm('xq.qe')} * {_norm('v.e')}),
+               6) AS score
+  FROM v CROSS JOIN xq WHERE v.vec_id <> xq.query_id),
+xr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM xs),
+x5 AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 5),
+{_ham_ctes('h')},
+{_sq8_ctes('s')},
+mth AS (
+  SELECT 'hamming' AS method, query_id, neighbor_id FROM hrk WHERE rank <= 5
+  UNION ALL
+  SELECT 'sq8' AS method, query_id, neighbor_id FROM srk WHERE rank <= 5),
+mx AS (
+  SELECT d.method, x5.query_id, x5.neighbor_id
+  FROM x5 CROSS JOIN (SELECT unnest(['hamming', 'sq8']) AS method) d),
+hit AS (
+  SELECT mx.method, mx.query_id,
+         CAST(count(mth.neighbor_id) AS BIGINT) AS n_hit
+  FROM mx LEFT JOIN mth
+    ON mx.method = mth.method AND mx.query_id = mth.query_id
+   AND mx.neighbor_id = mth.neighbor_id
+  GROUP BY mx.method, mx.query_id)
+SELECT method, query_id, n_hit,
+       CAST((1000000 * n_hit) // 5 AS BIGINT) AS recall_micro,
+       CAST(CAST((1000000 * n_hit) // 5 AS BIGINT) AS DOUBLE) / 1000000
+         AS recall
+FROM hit
+"""
+
+
+@register("e17_ann_recall_audit", _E17_SQL,
+          doc="recall@5 audit of both quantized funnels (binary-Hamming "
+              "e13 and scalar-int8 e16) against the exact brute-force "
+              "top-5 — the ann-benchmarks quality metric computed "
+              "INSIDE the engine so an index choice ships with measured "
+              "recall; the audit join runs over bounded n_queries x k "
+              "pair sets (never corpus-sized) and the per-query recall "
+              "is exact integer micro-units with one closing divide",
+          tags=("embeddings", "knn", "ann", "evaluation"))
+def e17_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        knn_bruteforce,
+        knn_binary_hamming,
+        knn_recall,
+        knn_sq8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # the exact scan is the audit's dominant cost and feeds BOTH union
+    # branches — checkpoint it so lineage does not replay the corpus
+    # cross-join per method
+    exact = (knn_bruteforce(emb, queries, k=5)
+             .select("query_id", "neighbor_id")
+             .localCheckpoint(eager=True))
+    ham = knn_binary_hamming(emb, queries, k=5, shortlist=25, dims=64)
+    sq8 = knn_sq8(emb, queries, k=5, shortlist=25, dims=64)
+    return (knn_recall(exact, ham, "hamming", k=5)
+            .unionByName(knn_recall(exact, sq8, "sq8", k=5)))

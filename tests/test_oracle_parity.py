@@ -62,6 +62,7 @@ def test_harness_prefix_contract():
         "d14_duplicate_runs", "f13_training_batches",
         "d15_duplicate_run_removal", "t18_roc_auc",
         "e15_farthest_first_seeds", "p15_quality_weighted_sample",
+        "e16_knn_sq8", "e17_ann_recall_audit", "p16_doremi_reweight",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
