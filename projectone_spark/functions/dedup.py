@@ -60,25 +60,40 @@ def shingles_of_norm(norm: Column | str, k: int = 5) -> Column:
                        lambda i: F.substring(c, i, F.lit(k)))
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", num_hashes: int = 4,
-                       k: int = 5, parallelism: int | None = None) -> DataFrame:
-    """MinHash via seeded md5: ``mh_i = min over shingles of md5(i || shingle)``.
+def minhash_sig_cols(shingle_col: Column | str,
+                     num_hashes: int = 4) -> list[Column]:
+    """Seeded-md5 minhash columns over a DISTINCT-shingle array column:
+    ``mh_i = min over shingles of md5(i || shingle)`` — THE one
+    definition of the d03 recipe, shared by :func:`minhash_signatures`
+    and :func:`lsh_recall_audit` so the calibration audit always
+    measures the configuration the index actually ships.
 
-    md5-based so an external oracle (DuckDB) can reproduce values exactly;
-    lexicographic min over hex strings is a valid uniform min-hash.
-    """
-    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
-                  parallelism)
-    base = base.withColumn("__sh", F.array_distinct(shingles_of_norm("__norm", k)))
+    md5-based so an external oracle (DuckDB) can reproduce values
+    exactly; lexicographic min over hex strings is a valid uniform
+    min-hash."""
+    if num_hashes <= 0:
+        raise ValueError(f"num_hashes must be positive, got {num_hashes}")
+    col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
 
     # NB: factory instead of `lambda s, i=i`: pyspark passes the array index
     # to any two-parameter callable given to F.transform.
     def seeded_hash(seed: str):
         return lambda s: F.md5(F.concat(F.lit(seed), s).cast("binary"))
 
-    sig = [F.array_min(F.transform(F.col("__sh"), seeded_hash(str(i)))).alias(f"mh{i}")
-           for i in range(num_hashes)]
+    return [F.array_min(F.transform(col, seeded_hash(str(i))))
+            for i in range(num_hashes)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 4,
+                       k: int = 5, parallelism: int | None = None) -> DataFrame:
+    """MinHash via seeded md5 over char-k-gram shingles (the
+    :func:`minhash_sig_cols` recipe), one row per document."""
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism)
+    base = base.withColumn("__sh", F.array_distinct(shingles_of_norm("__norm", k)))
+    sig = [c.alias(f"mh{i}")
+           for i, c in enumerate(minhash_sig_cols("__sh", num_hashes))]
     return base.select(F.col(id_col), *sig)
 
 
@@ -909,3 +924,103 @@ def lsh_probe_pairs(base_sigs: DataFrame, delta_sigs: DataFrame,
         F.greatest(F.col(f"a.{id_col}"),
                    F.col(f"b.{id_col}")).alias("doc_id_b"),
         F.round(est, 4).alias("est_jaccard"))
+
+
+def lsh_recall_audit(df: DataFrame, sample_n: int = 256,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_hashes: int = 4, k: int = 5, band_chars: int = 2,
+                     tau: tuple[int, int] = (1, 2),
+                     scale: int = 1_000_000,
+                     salt: str = "d16") -> DataFrame:
+    """Precision/recall audit of MinHash-LSH candidate generation against
+    EXACT shingle Jaccard — the calibration every dedup deployment runs
+    before committing to a (hashes, bands) configuration (Leskovec et
+    al., MMDS ch.3 tune the S-curve this way), computed inside the
+    engine on a deterministic sample so an index configuration ships
+    with its measured candidate quality, the dedup twin of
+    :func:`~projectone_spark.functions.embeddings.knn_recall`.
+
+    Ground truth needs all-pairs exact Jaccard, which is quadratic — so
+    the audit is SAMPLE-BOUNDED by contract: the ``sample_n`` documents
+    with the smallest ``md5(salt:id)`` (an order-stable uniform draw, no
+    RNG state; one TakeOrdered over the corpus is the only full scan).
+    Everything after — shingle explode, intersection counts via the
+    shingle equi-join, minhash banding — runs on the bounded sample, so
+    the audit costs O(sample²) worst case REGARDLESS of corpus size.
+
+    Exactness: intersections are exact integer counts from the
+    equi-join of per-document DISTINCT shingles; union = |A| + |B| − ∩;
+    a pair is a true duplicate when ``∩ · tau_den ≥ ∪ · tau_num``
+    (integer compare, no division — default τ = 1/2); LSH candidates
+    use the d03 recipe (seeded-md5 minhashes, ``band_chars`` prefix of
+    mh0) with the equal-signature fraction as ``est_micro``. One row
+    per pair in (candidates ∪ true duplicates): false negatives appear
+    as (is_true, NOT is_candidate), false positives the reverse.
+
+    Returns (doc_id_a, doc_id_b, n_inter, n_union, jaccard_micro,
+    est_micro, is_true, is_candidate); ``est_micro`` is NULL for pairs
+    LSH never surfaced.
+    """
+    tn, td = tau
+    if sample_n <= 1:
+        raise ValueError(f"sample_n must be > 1, got {sample_n}")
+    if not (0 < tn <= td):
+        raise ValueError(f"tau must be a rational in (0, 1], got {tau}")
+    draw = F.md5(F.concat(F.lit(f"{salt}:"),
+                          F.col(id_col).cast("string")).cast("binary"))
+    # sample FIRST (TakeOrdered over (id, text) — the only corpus-wide
+    # work is the md5 draw), THEN shingle: the normalize/k-gram/distinct
+    # chain runs on sample_n rows, not the corpus
+    smp = (df.select(F.col(id_col), F.col(text_col))
+           .orderBy(draw, F.col(id_col))
+           .limit(sample_n)
+           .select(F.col(id_col),
+                   F.array_distinct(
+                       shingles_of_norm(normalize(text_col), k))
+                   .alias("__sh"))
+           .localCheckpoint(eager=True))  # bounded; three consumers below
+    sigs = smp.select(
+        id_col,
+        *[c.alias(f"__mh{i}")
+          for i, c in enumerate(minhash_sig_cols("__sh", num_hashes))])
+    eq = sum(F.when(F.col(f"a.__mh{i}") == F.col(f"b.__mh{i}"), 1)
+             .otherwise(0) for i in range(num_hashes)).cast("bigint")
+    cand = (sigs.alias("a").join(
+                sigs.alias("b"),
+                (F.substring(F.col("a.__mh0"), 1, band_chars)
+                 == F.substring(F.col("b.__mh0"), 1, band_chars))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_id_a"),
+                    F.col(f"b.{id_col}").alias("doc_id_b"),
+                    eq.alias("__eq")))
+    sh = smp.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    inter = (sh.alias("a").join(
+                 sh.alias("b"),
+                 (F.col("a.__s") == F.col("b.__s"))
+                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_id_a"),
+                      F.col(f"b.{id_col}").alias("doc_id_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("__it")))
+    sizes = smp.select(F.col(id_col), F.size("__sh").cast("bigint").alias("__n"))
+    return (cand.join(inter, ["doc_id_a", "doc_id_b"], "full")
+            .withColumn("n_inter", F.coalesce(F.col("__it"),
+                                              F.lit(0).cast("bigint")))
+            .join(sizes.withColumnRenamed(id_col, "doc_id_a")
+                  .withColumnRenamed("__n", "__na"), "doc_id_a")
+            .join(sizes.withColumnRenamed(id_col, "doc_id_b")
+                  .withColumnRenamed("__n", "__nb"), "doc_id_b")
+            .withColumn("n_union",
+                        F.col("__na") + F.col("__nb") - F.col("n_inter"))
+            .withColumn("is_true",
+                        F.col("n_inter") * td >= F.col("n_union") * tn)
+            .withColumn("is_candidate", F.col("__eq").isNotNull())
+            .filter(F.col("is_true") | F.col("is_candidate"))
+            .withColumn("jaccard_micro",
+                        F.expr(f"(CAST({int(scale)} AS BIGINT) * n_inter)"
+                               " div n_union"))
+            .withColumn("est_micro",
+                        F.expr(f"(CAST({int(scale)} AS BIGINT) * __eq)"
+                               f" div {int(num_hashes)}"))
+            .select("doc_id_a", "doc_id_b", "n_inter", "n_union",
+                    "jaccard_micro", "est_micro", "is_true",
+                    "is_candidate"))

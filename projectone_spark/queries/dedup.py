@@ -356,3 +356,69 @@ def d11_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return incremental_lsh_pairs(docs.filter(F.col("doc_id") % 10 != 0),
                                  docs.filter(F.col("doc_id") % 10 == 0))
+
+
+def _d16_sql(sample_n: int = 256, scale: int = 1_000_000,
+             band_chars: int = 2, salt: str = "d16") -> str:
+    """Mirror of functions/dedup.lsh_recall_audit: md5-draw sample,
+    exact shingle-set Jaccard via the shingle equi-join, d03's seeded
+    minhash banding, τ = 1/2 as an integer compare."""
+    mh = [f"list_aggregate(list_transform(sh, s -> md5('{i}' || s)), 'min')"
+          f" AS mh{i}" for i in range(4)]
+    eq = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+                    for i in range(4))
+    return f"""
+WITH smp AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM documents
+  ORDER BY md5('{salt}:' || CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {sample_n}),
+sig AS (SELECT doc_id, {', '.join(mh)} FROM smp),
+cand AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST({eq} AS BIGINT) AS eq
+  FROM sig a JOIN sig b
+    ON substr(a.mh0, 1, {band_chars}) = substr(b.mh0, 1, {band_chars})
+   AND a.doc_id < b.doc_id),
+shx AS (SELECT doc_id, unnest(sh) AS s FROM smp),
+pin AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS it
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM smp),
+allp AS (
+  SELECT doc_id_a, doc_id_b, COALESCE(pin.it, 0) AS n_inter, cand.eq AS eq
+  FROM cand FULL JOIN pin USING (doc_id_a, doc_id_b)),
+fin AS (
+  SELECT allp.doc_id_a, allp.doc_id_b, n_inter,
+         sa.n + sb.n - n_inter AS n_union, eq
+  FROM allp JOIN sz sa ON sa.doc_id = allp.doc_id_a
+            JOIN sz sb ON sb.doc_id = allp.doc_id_b)
+SELECT doc_id_a, doc_id_b, n_inter, n_union,
+       CAST(({scale} * n_inter) // n_union AS BIGINT) AS jaccard_micro,
+       CAST(({scale} * eq) // 4 AS BIGINT) AS est_micro,
+       n_inter * 2 >= n_union AS is_true,
+       eq IS NOT NULL AS is_candidate
+FROM fin
+WHERE n_inter * 2 >= n_union OR eq IS NOT NULL
+"""
+
+
+@register("d16_lsh_recall_audit", _d16_sql(),
+          doc="precision/recall audit of MinHash-LSH candidate pairs "
+              "against EXACT shingle Jaccard at τ=1/2 (the MMDS S-curve "
+              "calibration, run INSIDE the engine so a dedup index "
+              "config ships with measured candidate quality — the dedup "
+              "twin of e17): ground truth is all-pairs exact Jaccard "
+              "over a deterministic md5-draw sample, so the audit is "
+              "O(sample²)-bounded by contract regardless of corpus "
+              "size; intersections are exact integer counts from the "
+              "shingle equi-join, the duplicate verdict an integer "
+              "compare, and false negatives/positives appear as "
+              "explicit (is_true, is_candidate) rows",
+          tags=("dedup", "minhash", "lsh", "evaluation"))
+def d16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(load(spark, sf_dir, "documents"))

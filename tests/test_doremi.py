@@ -6,7 +6,7 @@ import pytest
 
 from projectone_spark.functions.sampling import doremi_reweight
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR as SF
 
 
 def _docs(spark):

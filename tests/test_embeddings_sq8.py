@@ -13,7 +13,7 @@ from projectone_spark.functions.embeddings import (
     sq8_codes,
 )
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR as SF
 
 
 def _emb(spark):
