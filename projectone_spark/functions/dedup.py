@@ -966,6 +966,8 @@ def lsh_recall_audit(df: DataFrame, sample_n: int = 256,
         raise ValueError(f"sample_n must be > 1, got {sample_n}")
     if not (0 < tn <= td):
         raise ValueError(f"tau must be a rational in (0, 1], got {tau}")
+    if num_hashes <= 0:  # before the eager sample job, not after
+        raise ValueError(f"num_hashes must be positive, got {num_hashes}")
     draw = F.md5(F.concat(F.lit(f"{salt}:"),
                           F.col(id_col).cast("string")).cast("binary"))
     # sample FIRST (TakeOrdered over (id, text) — the only corpus-wide

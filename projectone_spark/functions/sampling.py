@@ -30,6 +30,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 
 from projectone_spark.functions.dedup import shingles_of_norm
@@ -681,10 +682,15 @@ def dsir_importance(df: DataFrame, text_col: str = "text",
                           .alias("__tgt"),
                           F.explode(tokens(text_col)).alias("term"))
                 .filter(F.col("term").isNotNull()))
+    # checkpointed like surprisal_micro_fold's tf: exchange reuse does
+    # NOT collapse the tf/vocab/totals consumers' scan subtrees
+    # (per-branch column pruning de-canonicalizes them; a ×100 probe
+    # measured the un-checkpointed fold at 3× the single scan+explode)
     tf = (exploded.groupBy(id_col, "__tgt", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    # one vocabulary aggregate yields both models; totals fold it, so the
-    # corpus sits under a single scan+explode+shuffle (stage reuse)
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
+    # one vocabulary aggregate yields both models; totals fold it and
+    # every consumer reads the materialized (doc, term) RDD
     vocab = (tf.groupBy("term")
              .agg(F.sum("tf").alias("__craw"),
                   F.sum(F.when(F.col("__tgt"), F.col("tf"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 
 from projectone_spark.session import release_checkpoint
@@ -335,19 +336,27 @@ def surprisal_micro_fold(df: DataFrame, key_col: str,
     rounding cannot silently diverge between the score and the mixture
     step that consumes it as a loss proxy.
 
-    One corpus scan: the vocabulary counts and the corpus total both
-    FOLD the tf table, so all three consumers sit on a single
-    scan+explode+shuffle (ReuseExchange) instead of re-reading the
-    corpus per branch. Returns (key_col, term, tf, __c, __n, __micro).
+    One corpus scan, ENFORCED by checkpointing the tf frame: the
+    vocabulary counts and the corpus total both fold the tf table, but
+    exchange reuse does NOT deduplicate the three consumers' scan
+    subtrees (each branch prunes different columns, de-canonicalizing
+    the exchanges — measured at a ×100 probe, where the un-checkpointed
+    fold cost exactly 3× the single scan+explode; the same failure
+    class t14's encode hit). The checkpointed (key, term) counts are
+    the t14/t15 pattern: strictly smaller than the exploded tokens,
+    and every consumer reads the materialized RDD.
+    Returns (key_col, term, tf, __c, __n, __micro).
     """
-    # the explicit isNotNull matches the null filter the optimizer pushes
-    # into the join branches, keeping every branch's scan subtree
-    # canonically identical so AQE stage reuse can deduplicate them
     exploded = (df.select(F.col(key_col),
                           F.explode(tokens(text_col)).alias("term"))
                 .filter(F.col("term").isNotNull()))
     tf = (exploded.groupBy(key_col, "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))
+          # DISK_ONLY: a doc-keyed tf at x100 (100M rows) OOMs an 8g
+          # heap under the default deserialized in-memory blocks; the
+          # disk write is shuffle-class IO and strictly cheaper than
+          # the re-tokenize it replaces (measured)
+          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("__c"))
     total = vocab.agg(F.sum("__c").alias("__n"))
     return (tf.join(vocab, "term")
@@ -391,10 +400,10 @@ def unigram_surprise(df: DataFrame, text_col: str = "text",
     vocabulary size, not corpus size), one equi-join of the doc-term
     table against the vocabulary (AQE broadcasts it while it fits) and a
     single-row broadcast of the corpus token count. The vocabulary and
-    corpus-total FOLD the tf table rather than re-exploding, so the
-    corpus is scanned exactly once (ReuseExchange shares the tf shuffle
-    across all three consumers) and the join input stays at distinct
-    doc-term pairs.
+    corpus-total FOLD the tf table rather than re-exploding, and the tf
+    frame is CHECKPOINTED so the corpus is scanned exactly once — see
+    :func:`surprisal_micro_fold` for why exchange reuse alone does not
+    deliver that — and the join input stays at distinct doc-term pairs.
 
     Returns (id, n_tokens, surprise_micro, surprise) for documents with
     at least one token.
@@ -454,10 +463,11 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
     never a positional self-join of an exploded table, which would
     shuffle the corpus twice), then the ``(doc, p, w)`` aggregation
     map-side combines; the bigram vocabulary and the prefix table FOLD
-    the bf table (bounded by distinct-bigram count, not corpus size), so
-    ReuseExchange shares the one shuffle across all three consumers, and
-    the scoring joins run on distinct doc-bigram pairs with AQE free to
-    broadcast the vocabularies while they fit.
+    the CHECKPOINTED bf table (bounded by distinct-bigram count, not
+    corpus size — checkpointed because exchange reuse does not
+    deduplicate the fold branches, see :func:`surprisal_micro_fold`),
+    and the scoring joins run on distinct doc-bigram pairs with AQE
+    free to broadcast the vocabularies while they fit.
 
     Returns (id, n_bigrams, surprise_micro, surprise) for documents
     with at least two tokens.
@@ -477,15 +487,16 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
                 # the explicit two-column null filter matches the null
                 # filters the optimizer pushes into the join branches
                 # (the ["p","w"] join pushes both, the "p" join only one)
-                # so every branch's scan subtree stays canonically
-                # identical and ReuseExchange collapses them to ONE scan
-                # — the same trick as unigram_surprise above
                 .filter(F.col("p").isNotNull() & F.col("w").isNotNull()))
+    # checkpointed like surprisal_micro_fold's tf: exchange reuse does
+    # NOT collapse the three consumers' scan subtrees (per-branch column
+    # pruning de-canonicalizes them — a ×100 probe measured the
+    # un-checkpointed fold at exactly 3× the single scan+explode), so
+    # the (doc, bigram) counts materialize once and every fold reads
+    # the bounded RDD
     bf = (exploded.groupBy(id_col, "p", "w")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    # bigram vocabulary and per-prefix totals both fold bf — all three
-    # consumers sit on ONE scan+explode+shuffle, exactly like the
-    # unigram twin's tf/vocab/total chain
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
     bgv = bf.groupBy("p", "w").agg(F.sum("tf").alias("__cbg"))
     pre = bgv.groupBy("p").agg(F.sum("__cbg").alias("__cp"))
     return (bf.join(bgv, ["p", "w"]).join(pre, "p")

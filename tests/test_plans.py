@@ -211,3 +211,46 @@ def test_q45_decimal_average_and_anti_join_shape(spark):
     # the threshold compares in exact decimal: bal * cnt (attr refs carry
     # #ids, so match the multiply's shape in the join condition)
     assert "bal#" in plan and "* cast(cnt#" in plan
+
+
+def test_e16_two_level_shortlist_no_cartesian(spark):
+    """SQ8 funnel: the corpus-sized candidate frame must go through the
+    two-level shortlist (WindowGroupLimit pre-pass), and the only
+    nested-loop joins are broadcasts of bounded sides (the one-row
+    bounds frame, the query codes) — never a non-broadcast cartesian."""
+    df = queries()["e16_knn_sq8"](spark, SF_DIR)
+    formatted = _formatted(df)
+    assert "WindowGroupLimit" in formatted
+    assert "CartesianProduct" not in formatted
+
+
+def test_p16_one_corpus_scan_one_hint(spark):
+    """DoReMi reweighting folds vocabulary and corpus total from the
+    CHECKPOINTED tf table — exchange reuse does NOT deduplicate the
+    fold branches (per-branch column pruning de-canonicalizes them; a
+    ×100 probe measured the un-checkpointed fold at exactly 3× the
+    single scan+explode), so the plan must show ZERO parquet scans
+    below the fold, only the materialized RDD. The only broadcast hint
+    is the one-row corpus total. Asserted on the raw operator frame
+    (the p16 query adds its own localCheckpoint on top)."""
+    from projectone_spark.functions.sampling import doremi_reweight
+    from projectone_spark.queries import load
+
+    df = doremi_reweight(load(spark, SF_DIR, "documents"),
+                         group_col="source")
+    assert _analyzed(df).count("ResolvedHint") == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_d16_audit_plan_is_sample_bounded(spark):
+    """The LSH calibration audit's ONLY corpus-wide work is the md5-draw
+    TakeOrdered, which materializes into the eager checkpoint as the
+    frame is BUILT — the returned plan must therefore contain ZERO
+    parquet scans: signatures, shingle explode, and sizes all read the
+    bounded checkpoint RDD."""
+    df = queries()["d16_lsh_recall_audit"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
