@@ -173,9 +173,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # (d13 — 2 greens, winnowing also adjudicated INSIDE the in-prefix
     # f12/f13 flagships — gave its slot to the LSH calibration audit)
     "d16_lsh_recall_audit",
+    # (p11 — 2 greens, epoch scheduling also adjudicated INSIDE the
+    # in-prefix f12/f13 flagships — gave its slot to the filter
+    # ablation matrix)
+    "f14_filter_ablation",
     # late-r6 additions took the last three filler slots (s17/s19/s21
     # rotated out — 2+ green rounds each, still parity-checked locally):
-    "t11_bigram_surprise", "p11_epoch_schedule",
+    "t11_bigram_surprise",
     # second late-r6 batch (s02/s10/st09 rotated out — 3+/2+ green
     # rounds each, the registry's most-proven rows):
     "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",

@@ -27,11 +27,11 @@ from projectone_spark.session import scratch_dir
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
-_T09_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents),
-m AS (
-  SELECT doc_id,
+def _gopher_metric_sql(src: str) -> str:
+    """Per-document Gopher metrics of ``src`` (a relation exposing
+    doc_id, norm, toks) — ONE definition of the metric recipe shared by
+    the t09 and f14 oracles so the thresholds/metrics cannot drift."""
+    return f"""SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_words,
          CASE WHEN len(toks) > 0
               THEN CAST(length(norm) - (len(toks) - 1) AS DOUBLE) / len(toks)
@@ -44,17 +44,29 @@ m AS (
                      w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
                    / len(toks)
               ELSE 0.0 END AS top_word_frac
-  FROM t)
+  FROM {src}"""
+
+
+#: the ANDed Gopher keep verdict over _gopher_metric_sql's columns —
+#: the same single source of truth for the thresholds
+_GOPHER_KEEP_SQL = """((n_words >= 40 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (n_stopwords >= 2)
+        AND (top_word_frac <= 0.08))"""
+
+
+_T09_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents),
+m AS (
+  {_gopher_metric_sql("t")})
 SELECT doc_id, n_words, mean_word_len, n_stopwords, top_word_frac,
        (n_words >= 40 AND n_words <= 100000) AS rule_word_count,
        (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
          AS rule_mean_word_len,
        (n_stopwords >= 2) AS rule_stopwords,
        (top_word_frac <= 0.08) AS rule_top_word,
-       ((n_words >= 40 AND n_words <= 100000)
-        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-        AND (n_stopwords >= 2)
-        AND (top_word_frac <= 0.08)) AS keep
+       {_GOPHER_KEEP_SQL} AS keep
 FROM m
 """
 

@@ -492,17 +492,27 @@ def f12_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_P14_SQL = f"""
-WITH c AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents
+
+#: the word-13-gram md5 digest of a token-array column named ``toks``
+#: (12-ahead slice == 13 consecutive words) — ONE definition shared by
+#: the p14 / f13 / f14 oracles so the gram width cannot drift
+_GRAM13_H = "md5(array_to_string(toks[i:i+12], ' '))"
+
+
+def _gram13_digest_sql(cols: str, src: str) -> str:
+    """DISTINCT 13-gram digests of ``src`` (a relation exposing
+    ``toks``), optionally carrying ``cols`` alongside each digest."""
+    pre = f"{cols}, " if cols else ""
+    return (f"SELECT DISTINCT {pre}{_GRAM13_H} AS h\n"
+            f"  FROM {src}, unnest(range(1, greatest(len(toks) - 12, 0) + 1))"
+            f" AS u(i)")
+
+
+_P14_SQL = f"""WITH c AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents
            WHERE doc_id % 97 <> 0),
 b AS (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0),
-bg AS (
-  SELECT DISTINCT md5(array_to_string(toks[i:i+12], ' ')) AS h
-  FROM b, unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i)),
-cg AS (
-  SELECT DISTINCT doc_id, source,
-         md5(array_to_string(toks[i:i+12], ' ')) AS h
-  FROM c, unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i))
+bg AS ({_gram13_digest_sql("", "b")}),
+cg AS ({_gram13_digest_sql("doc_id, source", "c")})
 SELECT cg.doc_id, cg.source,
        CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

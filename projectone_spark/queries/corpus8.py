@@ -37,10 +37,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import check, load, register
-from projectone_spark.queries._sql_fragments import _TOKS
+from projectone_spark.queries._sql_fragments import _NORM, _TOKS
 from projectone_spark.queries.corpus5 import _d13_ctes, _t11_ctes, _t12_ctes
 from projectone_spark.queries.corpus7 import (
+    _GRAM13_H,
     _N_MERGES,
+    _gram13_digest_sql,
     _t14_apply_ctes,
     _t14_sql,
     _t15_ctes,
@@ -259,15 +261,13 @@ s2 AS MATERIALIZED (
   SELECT s1.*
   FROM s1 JOIN scored sc USING (doc_id) CROSS JOIN thr
   WHERE sc.surprise_micro <= thr.t),
-g13b AS (
-  SELECT DISTINCT md5(array_to_string(toks[i:i+12], ' ')) AS h
-  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0) b,
-       unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i)),
+g13b AS ({_gram13_digest_sql(
+    "", "(SELECT {0} AS toks FROM documents WHERE doc_id %% 97 = 0) b".replace("%%", "%").format(_TOKS))}),
 dirty13 AS (
   SELECT DISTINCT c.doc_id
   FROM (SELECT doc_id, {_TOKS} AS toks FROM s2) c,
        unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i)
-  WHERE md5(array_to_string(toks[i:i+12], ' ')) IN (SELECT h FROM g13b)),
+  WHERE {_GRAM13_H} IN (SELECT h FROM g13b)),
 s3 AS MATERIALIZED (
   SELECT s2.* FROM s2
   WHERE doc_id NOT IN (SELECT doc_id FROM dirty13)),
@@ -743,4 +743,100 @@ def p16_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     check(sums["w"] == 1_000_000 and sums["b"] == 1_000_000,
           f"apportionment grids broken: weights={sums['w']} "
           f"baseline={sums['b']}")
+    return out
+
+
+def _f14_sql() -> str:
+    """Mirror of f14: the three gate recipes composed verbatim from
+    their own oracles — t09's Gopher verdict body (corpus2), t10's
+    surprisal chain + f11's quantile_disc median gate (corpus4's
+    _surprisal_ctes), and p14's 13-gram digest screen (corpus7) — over
+    the shared doc_id % 97 benchmark split."""
+    from projectone_spark.queries.corpus2 import (
+        _GOPHER_KEEP_SQL,
+        _gopher_metric_sql,
+    )
+    from projectone_spark.queries.corpus4 import _surprisal_ctes
+
+    return f"""
+WITH {_surprisal_ctes(" WHERE doc_id % 97 <> 0")},
+thr AS (SELECT quantile_disc(surprise_micro, 0.5) AS t FROM scored),
+gt AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+       FROM documents WHERE doc_id % 97 <> 0),
+gm AS (
+  {_gopher_metric_sql("gt")}),
+gv AS (
+  SELECT doc_id, {_GOPHER_KEEP_SQL} AS g_keep
+  FROM gm),
+cb AS (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0),
+bg AS ({_gram13_digest_sql("", "cb")}),
+cg AS ({_gram13_digest_sql("doc_id", "gt")}),
+cd AS (
+  SELECT cg.doc_id,
+         sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS dirty
+  FROM cg LEFT JOIN bg ON cg.h = bg.h
+  GROUP BY cg.doc_id),
+j AS (
+  SELECT gv.g_keep, s.surprise_micro <= thr.t AS q_keep,
+         COALESCE(NOT cd.dirty, TRUE) AS c_clean, s.n_tokens
+  FROM scored s JOIN gv USING (doc_id)
+       LEFT JOIN cd USING (doc_id) CROSS JOIN thr)
+SELECT g_keep, q_keep, c_clean,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM j GROUP BY 1, 2, 3
+"""
+
+
+@register("f14_filter_ablation", _f14_sql(),
+          doc="curation-filter ablation matrix (the RefinedWeb/Gopher "
+              "dataset-paper attribution table): every corpus document "
+              "gets three independent gate verdicts — Gopher rule "
+              "battery (t09), unigram-surprisal ≤ the exact corpus "
+              "median (t10 + percentile_disc, the CCNet keep), and "
+              "13-gram benchmark decontamination (p14) — and the 2^3 "
+              "verdict combinations report doc/token mass, so marginal "
+              "and overlapping filter effects are read off directly "
+              "(docs dropped ONLY by quality vs by quality AND "
+              "contamination); each verdict is scan-side or reuses its "
+              "operator's probed plan, the combine is two equi-joins "
+              "on doc_id, and the matrix identity Σ n_docs = corpus "
+              "count is asserted in-query",
+          tags=("sampling", "text", "quality", "llm", "pipeline"))
+def f14_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.sampling import token_ngram_contamination
+    from projectone_spark.functions.text import gopher_rules, unigram_surprise
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    sur = unigram_surprise(corpus)
+    # exact discrete median, cast back to the BIGINT lane (f11's recipe)
+    thr = sur.agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                         "(ORDER BY surprise_micro)")
+                  .cast("long").alias("__thr"))
+    g = (gopher_rules(corpus.select("doc_id", "text"))
+         .select("doc_id", F.col("keep").alias("g_keep")))
+    # docs shorter than 13 tokens emit no grams and are clean by
+    # definition — the left join + coalesce mirrors the oracle
+    c = (token_ngram_contamination(corpus, bench)
+         .select("doc_id", F.col("dirty").alias("__dirty")))
+    j = (sur.join(g, "doc_id")
+         .join(c, "doc_id", "left")
+         .crossJoin(F.broadcast(thr))
+         .select((F.col("surprise_micro") <= F.col("__thr")).alias("q_keep"),
+                 F.col("g_keep"),
+                 F.coalesce(~F.col("__dirty"), F.lit(True)).alias("c_clean"),
+                 F.col("n_tokens")))
+    out = (j.groupBy("g_keep", "q_keep", "c_clean")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+           .localCheckpoint(eager=True))  # the identity check below and
+    # the returned frame must not each replay the three gate pipelines
+    total = out.agg(F.sum("n_docs")).first()[0]
+    want = sur.count()
+    check(total == want,
+          f"ablation matrix does not partition the corpus: {total} != {want}")
     return out

@@ -69,10 +69,7 @@ def test_bigram_surprise_types_and_plan(spark):
     assert dt["surprise"] == "double"
     docs = spark.read.parquet(SF_DIR + "/documents.parquet")
     out = bigram_surprise(docs)
-    out.collect()  # AQE stage reuse happens at runtime, not in the
-    # static plan: the bf/bgv exchanges canonicalize identically across
-    # branches (thanks to the explicit two-column null filter), so the
-    # FINAL adaptive plan must show one scan + reused exchanges
+    out.collect()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
@@ -80,9 +77,14 @@ def test_bigram_surprise_types_and_plan(spark):
     assert "EvalPython" not in plan
     assert "ResolvedHint" not in plan  # joins are AQE's call
     final = plan.split("== Initial Plan ==")[0]
-    # ONE corpus scan: the bf exchange is reused by bgv, bgv's by pre
-    assert final.count("Scan parquet") == 1, final
-    assert final.count("ReusedExchange") >= 2, final
+    # ONE corpus scan, now a deterministic plan property: bf is
+    # checkpointed (AQE runtime stage reuse fired for THIS shape at
+    # test scale, but not for the source-keyed unigram fold at any
+    # scale — a ×100 probe measured that fold at 3× the single scan,
+    # so the folds no longer rely on the fragile runtime property);
+    # the returned plan reads the materialized RDD, zero parquet scans
+    assert final.count("Scan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
 
 
 # ---------------------------------------------------------------- d13

@@ -108,9 +108,12 @@ def test_dsir_types_and_single_scan_plan(spark):
     plan = buf.getvalue()
     assert "EvalPython" not in plan
     final = plan.split("== Initial Plan ==")[0]
-    # one corpus scan: the vocabulary aggregate and the totals fold the
-    # doc-term table (both models come from the SAME vocab pass)
-    assert final.count("Scan parquet") == 1, final
+    # one corpus scan as a deterministic plan property: the doc-term
+    # table is checkpointed (see test_corpus5's bigram twin for why the
+    # folds stopped relying on AQE runtime stage reuse), so the
+    # vocabulary aggregate and the totals read the materialized RDD
+    assert final.count("Scan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
 
 
 # ---------------------------------------------------------------- e12

@@ -493,3 +493,30 @@ def test_quality_weighted_sample_exact_verdicts(spark):
     assert got[5] and got[6]           # clamp high
     with pytest.raises(ValueError, match="scale"):
         quality_weighted_sample(scored, scale=0)
+
+
+# ------------------------------------------------------- f14 ablation
+
+
+def test_f14_matrix_partitions_the_corpus(spark):
+    """The 2^3 verdict matrix must PARTITION the tokenized corpus: every
+    combination row is distinct, doc and token masses are positive, and
+    the totals equal the corpus (docs with >= 1 token outside the
+    benchmark split)."""
+    from projectone_spark.queries import REGISTRY, queries
+    from tests.conftest import SF_DIR
+
+    queries()
+    rows = REGISTRY["f14_filter_ablation"].fn(spark, SF_DIR).collect()
+    combos = [(r["g_keep"], r["q_keep"], r["c_clean"]) for r in rows]
+    assert len(combos) == len(set(combos)) <= 8
+    assert all(r["n_docs"] > 0 and r["n_tokens"] > 0 for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from projectone_spark.functions.text import tokens
+    want = (docs.filter(F.col("doc_id") % 97 != 0)
+            .filter(F.size(tokens("text")) > 0).count())
+    assert sum(r["n_docs"] for r in rows) == want
+    # the quality gate is a median split: the q_keep=True half holds at
+    # least as many docs as half the corpus (percentile_disc keeps ties)
+    q_true = sum(r["n_docs"] for r in rows if r["q_keep"])
+    assert 2 * q_true >= want

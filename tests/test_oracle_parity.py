@@ -63,7 +63,7 @@ def test_harness_prefix_contract():
         "d15_duplicate_run_removal", "t18_roc_auc",
         "e15_farthest_first_seeds", "p15_quality_weighted_sample",
         "e16_knn_sq8", "e17_ann_recall_audit", "p16_doremi_reweight",
-        "d16_lsh_recall_audit",
+        "d16_lsh_recall_audit", "f14_filter_ablation",
     }
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
