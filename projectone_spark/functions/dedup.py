@@ -135,7 +135,7 @@ def triangle_self_join(df: DataFrame, key_cols: Sequence[str],
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 4,
-                        k: int = 5, band_chars: int = 2,
+                        k: int = 5, band_chars: int | None = None,
                         blocks: int = 1,
                         parallelism: int | None = None) -> DataFrame:
     """LSH banding: bucket docs by a prefix of the first minhash and emit
@@ -151,7 +151,18 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     reducer keys with even per-key load. The pair set is identical for
     any ``blocks`` — at corpus scale, where one popular shingle can put a
     large fraction of documents into one bucket, this is what keeps the
-    quadratic bucket work off a single reducer."""
+    quadratic bucket work off a single reducer.
+
+    ``band_chars=None`` (default) sizes the bucket count to the corpus
+    via :func:`auto_band_chars` — the same sizing
+    :func:`lsh_recall_audit` defaults to, so the default audit measures
+    the banding the default index actually ships at that corpus size.
+    Pass an explicit width only for parity with a fixed external
+    partitioning (the incremental index path,
+    :func:`incremental_lsh_pairs`, needs the FIXED width its standing
+    band table was built with)."""
+    if band_chars is None:
+        band_chars = auto_band_chars(df.count())
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, parallelism)
     sigs = sigs.localCheckpoint(eager=False)
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
@@ -880,6 +891,14 @@ def incremental_lsh_pairs(base: DataFrame, delta: DataFrame,
     width), independent of |base|². Pair identity matches the batch
     ``lsh_candidate_pairs`` exactly: a delta-delta pair is ordered by id
     (found once), a delta-base pair carries least/greatest ids.
+
+    ``band_chars`` stays a FIXED explicit width here (no auto-sizing):
+    the standing index was banded once at creation, and probing it with
+    a width re-derived from the grown corpus count would route deltas to
+    buckets the base rows were never assigned to. Choose the width at
+    index creation with :func:`auto_band_chars` of the EXPECTED corpus
+    size and pass the same value every increment (and to
+    :func:`lsh_recall_audit` when auditing this index).
     """
     def banded(frame: DataFrame) -> DataFrame:
         return (minhash_signatures(frame, text_col, id_col, num_hashes, k,
@@ -928,7 +947,8 @@ def lsh_probe_pairs(base_sigs: DataFrame, delta_sigs: DataFrame,
 
 def lsh_recall_audit(df: DataFrame, sample_n: int = 256,
                      text_col: str = "text", id_col: str = "doc_id",
-                     num_hashes: int = 4, k: int = 5, band_chars: int = 2,
+                     num_hashes: int = 4, k: int = 5,
+                     band_chars: int | None = None,
                      tau: tuple[int, int] = (1, 2),
                      scale: int = 1_000_000,
                      salt: str = "d16") -> DataFrame:
@@ -957,6 +977,14 @@ def lsh_recall_audit(df: DataFrame, sample_n: int = 256,
     per pair in (candidates ∪ true duplicates): false negatives appear
     as (is_true, NOT is_candidate), false positives the reverse.
 
+    ``band_chars=None`` (default) auto-sizes via :func:`auto_band_chars`
+    from the FULL corpus count (not the sample's), so the default audit
+    measures exactly the banding :func:`lsh_candidate_pairs` would ship
+    for this corpus at this size. Auditing a fixed external
+    configuration (e.g. the standing band table behind
+    :func:`incremental_lsh_pairs`) requires passing that index's
+    ``band_chars`` explicitly.
+
     Returns (doc_id_a, doc_id_b, n_inter, n_union, jaccard_micro,
     est_micro, is_true, is_candidate); ``est_micro`` is NULL for pairs
     LSH never surfaced.
@@ -968,6 +996,11 @@ def lsh_recall_audit(df: DataFrame, sample_n: int = 256,
         raise ValueError(f"tau must be a rational in (0, 1], got {tau}")
     if num_hashes <= 0:  # before the eager sample job, not after
         raise ValueError(f"num_hashes must be positive, got {num_hashes}")
+    if band_chars is None:
+        # full-corpus sizing BY DESIGN: the audit must measure the
+        # banding the deployed index would use, and the index is built
+        # over the corpus, not over this audit's sample
+        band_chars = auto_band_chars(df.count())
     draw = F.md5(F.concat(F.lit(f"{salt}:"),
                           F.col(id_col).cast("string")).cast("binary"))
     # sample FIRST (TakeOrdered over (id, text) — the only corpus-wide

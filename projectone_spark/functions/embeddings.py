@@ -520,9 +520,23 @@ def kmeans_farthest_first(df: DataFrame, k: int = 8,
     Returns k rows: (seed_rank, ``id_col``, dist_sq) where dist_sq is
     the squared distance to the nearest earlier seed at selection time
     (NULL for the rank-0 start).
+
+    ``id_col`` must be NUMERIC (unlike the string-tolerant ``knn_*``
+    family): the per-round argmax breaks ties toward the LOWEST id via
+    ``max(struct(d, -id))``, and the negation that flips the tie
+    direction inside a single max has no string analogue — validated up
+    front so a string id fails loudly here, not deep in analysis.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.types import NumericType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"kmeans_farthest_first requires a numeric {id_col!r} for its "
+            f"lowest-id argmax tie-break (got {id_type.simpleString()}); "
+            f"map string ids to a numeric surrogate first")
     v = (df.select(F.col(id_col),
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("e"))

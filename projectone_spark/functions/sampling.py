@@ -688,7 +688,10 @@ def dsir_importance(df: DataFrame, text_col: str = "text",
     # measured the un-checkpointed fold at 3× the single scan+explode)
     tf = (exploded.groupBy(id_col, "__tgt", "term")
           .agg(F.count(F.lit(1)).alias("tf"))
-          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
+          # eager=False: no scan at build time; first action
+          # materializes once (lifecycle note at text.py's
+          # surprisal_micro_fold)
+          .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY))
     # one vocabulary aggregate yields both models; totals fold it and
     # every consumer reads the materialized (doc, term) RDD
     vocab = (tf.groupBy("term")

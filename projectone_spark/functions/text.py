@@ -355,8 +355,15 @@ def surprisal_micro_fold(df: DataFrame, key_col: str,
           # DISK_ONLY: a doc-keyed tf at x100 (100M rows) OOMs an 8g
           # heap under the default deserialized in-memory blocks; the
           # disk write is shuffle-class IO and strictly cheaper than
-          # the re-tokenize it replaces (measured)
-          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
+          # the re-tokenize it replaces (measured). eager=False so
+          # merely BUILDING the frame costs nothing — the corpus scan
+          # runs on the first action, once, and every later consumer
+          # reads the materialized RDD (the bpe_doc_word_counts
+          # pattern). Lifecycle: the checkpoint blocks live until the
+          # session ends; a long-lived session invoking this in a loop
+          # should release_checkpoint() the returned frame's ancestors
+          # when done with ALL consumers (as bpe_train_merges does)
+          .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("__c"))
     total = vocab.agg(F.sum("__c").alias("__n"))
     return (tf.join(vocab, "term")
@@ -496,7 +503,9 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
     # the bounded RDD
     bf = (exploded.groupBy(id_col, "p", "w")
           .agg(F.count(F.lit(1)).alias("tf"))
-          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
+          # eager=False: no scan at build time; first action
+          # materializes once (lifecycle note at surprisal_micro_fold)
+          .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY))
     bgv = bf.groupBy("p", "w").agg(F.sum("tf").alias("__cbg"))
     pre = bgv.groupBy("p").agg(F.sum("__cbg").alias("__cp"))
     return (bf.join(bgv, ["p", "w"]).join(pre, "p")
@@ -955,7 +964,10 @@ def classifier_calibration(scored: DataFrame, score_col: str = "score_micro",
     division (Spark's ``div`` truncates toward zero, so negatives get
     an explicit floor branch): a negative score lands in a negative
     bucket and is predicted positive at NO cutoff, matching the
-    ``score >= c`` contract at ``c = 0`` and DuckDB's flooring ``//``.
+    ``score >= c`` contract at ``c = 0``. DuckDB's ``//`` ALSO
+    truncates toward zero (``-7 // 2 = -3``, not ``-4``), so a SQL
+    oracle must mirror the same explicit negative-bucket branch —
+    ``_t17_sql`` does.
     No window over a single data-scaled partition anywhere.
 
     All ratios are exact integer micro-units (truncating div, both

@@ -99,7 +99,13 @@ def _t17_sql(step: int = _STEP) -> str:
     return f"""
 WITH {_t15_ctes()},
 bk AS (
-  SELECT score_micro // {step} AS b, label, CAST(count(*) AS BIGINT) AS n
+  -- explicit negative-bucket floor mirroring the Spark side: DuckDB's
+  -- // TRUNCATES toward zero (-7 // 2 = -3), it does not floor, so a
+  -- negative score must be floored by hand or the oracle would count
+  -- it as predicted positive at cutoff 0, violating score >= c
+  SELECT CASE WHEN score_micro >= 0 THEN score_micro // {step}
+              ELSE -((-score_micro + {step - 1}) // {step}) END AS b,
+         label, CAST(count(*) AS BIGINT) AS n
   FROM cls GROUP BY 1, 2),
 ct AS (
   SELECT CAST(coalesce(sum(CASE WHEN label THEN n END), 0) AS BIGINT) AS pos,
@@ -836,7 +842,13 @@ def f14_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))  # the identity check below and
     # the returned frame must not each replay the three gate pipelines
     total = out.agg(F.sum("n_docs")).first()[0]
-    want = sur.count()
+    # the partition identity's right-hand side is a parquet count-star,
+    # NOT sur.count(): sur is one row per corpus doc (every testdata
+    # document tokenizes non-empty), and counting the scan avoids
+    # replaying the whole surprisal fold for a number the scan already
+    # knows — and makes the check STRONGER (partition of the corpus,
+    # not of the fold's output)
+    want = corpus.count()
     check(total == want,
           f"ablation matrix does not partition the corpus: {total} != {want}")
     return out
