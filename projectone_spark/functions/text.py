@@ -911,20 +911,12 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
                   .cast("bigint").alias("__cpos"),
                   F.sum(F.when(F.col("__y"), 0).otherwise(F.col("tf")))
                   .cast("bigint").alias("__cneg")))
-    totals = vocab.agg(F.sum("__cpos").alias("__npos"),
-                       F.sum("__cneg").alias("__nneg"),
-                       F.count(F.lit(1)).alias("__v"))
     # the weight fold happens HERE, on the vocabulary-bounded frame —
     # the scoring join below ships the finished BIGINT, and this frame
-    # is the reusable saved-model table
-    weights = (vocab.crossJoin(F.broadcast(totals))
-               .select("term", F.expr(
-                   f"CAST(least(CAST({1_000_000 * int(scale)} AS"
-                   " DECIMAL(38,0)) * (__cneg + 1) * (__npos + __v),"
-                   f" CAST({int(scale)} AS DECIMAL(38,0))"
-                   " * (__cpos + 1) * (__nneg + __v))"
-                   " div (CAST(__cneg + 1 AS DECIMAL(38,0))"
-                   " * (__npos + __v)) AS BIGINT)").alias("__w")))
+    # is the reusable saved-model table (token_weight_table persists
+    # exactly this fold through store.models.save_model)
+    weights = (_weights_from_vocab(vocab, scale)
+               .withColumnRenamed("weight_micro", "__w"))
     return (tf.filter(~F.col("__tr"))
             .join(weights, "term")
             .groupBy(id_col)
@@ -939,6 +931,103 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
                     F.col("logit_micro"), F.col("score_micro"),
                     (F.col("score_micro") > int(scale) // 2).alias("pred"),
                     F.col("__label").alias("label")))
+
+
+def _weights_from_vocab(vocab: DataFrame, scale: int) -> DataFrame:
+    """(term, weight_micro) from a (term, __cpos, __cneg) vocabulary
+    frame — the ONE definition of the add-one-smoothed count-ratio
+    weight (the DECIMAL(38,0) lane :func:`linear_token_classifier`
+    documents), shared by the in-query trainer and the standalone
+    :func:`token_weight_table` so a persisted model can never drift
+    from the inline one. Totals broadcast as a single row; everything
+    is vocabulary-bounded."""
+    totals = vocab.agg(F.sum("__cpos").alias("__npos"),
+                       F.sum("__cneg").alias("__nneg"),
+                       F.count(F.lit(1)).alias("__v"))
+    return (vocab.crossJoin(F.broadcast(totals))
+            .select("term", F.expr(
+                f"CAST(least(CAST({1_000_000 * int(scale)} AS"
+                " DECIMAL(38,0)) * (__cneg + 1) * (__npos + __v),"
+                f" CAST({int(scale)} AS DECIMAL(38,0))"
+                " * (__cpos + 1) * (__nneg + __v))"
+                " div (CAST(__cneg + 1 AS DECIMAL(38,0))"
+                " * (__npos + __v)) AS BIGINT)").alias("weight_micro")))
+
+
+def token_weight_table(df: DataFrame, label: Column,
+                       train: Column | None = None,
+                       text_col: str = "text",
+                       scale: int = 1_000_000) -> DataFrame:
+    """Standalone trainer for the fastText-style (term, weight_micro)
+    model table — :func:`linear_token_classifier`'s weight fold without
+    the inline scoring, shaped for persistence: the returned frame is
+    exactly what ``store.models.save_model(kind="token_weights")``
+    writes and :func:`apply_token_classifier` reuses on NEW data, the
+    train-once / apply-forever split the in-query classifier cannot
+    give.
+
+    ``train`` (optional) restricts training rows; it is applied as a
+    scan-side filter BEFORE the explode, so at 100 TB the shuffle only
+    ever carries the labeled split's tokens. Weights are identical to
+    the inline trainer's by construction (shared
+    :func:`_weights_from_vocab` fold; the per-term totals are the same
+    whether counted directly or summed over per-doc counts).
+
+    Plan shape: one scan → explode → map-side-combining (term, label)
+    count (vocabulary-keyed, the smallest aggregate this data admits)
+    → the broadcast-totals weight fold. No checkpoint needed — there
+    is exactly one consumer per stage."""
+    base = df.filter(train) if train is not None else df
+    tok = (base.select(label.alias("__y"),
+                       F.explode(tokens(text_col)).alias("term"))
+           .filter(F.col("term").isNotNull()))
+    vocab = (tok.groupBy("term")
+             .agg(F.sum(F.when(F.col("__y"), 1).otherwise(0))
+                  .cast("bigint").alias("__cpos"),
+                  F.sum(F.when(F.col("__y"), 0).otherwise(1))
+                  .cast("bigint").alias("__cneg")))
+    return _weights_from_vocab(vocab, scale)
+
+
+def apply_token_classifier(df: DataFrame, weights: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           scale: int = 1_000_000) -> DataFrame:
+    """Score documents with a PERSISTED (term, weight_micro) model table
+    — the apply half of the :func:`token_weight_table` lifecycle, and
+    the production shape of classifier curation (CCNet/DataComp train
+    their quality classifier once and run it over every crawl): no
+    training aggregate anywhere in this plan, just one scan of ``df``,
+    a (doc, term) count, and one equi-join against the
+    vocabulary-bounded model (AQE broadcasts it while it fits).
+
+    Scoring semantics match :func:`linear_token_classifier` exactly
+    (same mean-token-weight logit, same hard sigmoid, same truncating
+    integer ops), so a model trained inline and one loaded from the
+    store produce bit-identical scores. Documents with ZERO
+    in-vocabulary tokens are absent from the output (no evidence, no
+    score — callers needing them visible left-join and treat NULL as
+    unscored; the f15 accounting does).
+
+    Returns (id, n_tokens, logit_micro, score_micro, pred) for every
+    document with at least one in-vocabulary token."""
+    tf = (df.select(F.col(id_col),
+                    F.explode(tokens(text_col)).alias("term"))
+          .filter(F.col("term").isNotNull())
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    return (tf.join(weights.select("term",
+                                   F.col("weight_micro").alias("__w")),
+                    "term")
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.sum(F.col("tf") * F.col("__w")).alias("__dot"))
+            .withColumn("logit_micro", F.expr("__dot div n_tokens"))
+            .withColumn("score_micro", F.least(
+                F.lit(int(scale)).cast("long"),
+                F.expr(f"(logit_micro + {int(scale)}) div 4")))
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.col("logit_micro"), F.col("score_micro"),
+                    (F.col("score_micro") > int(scale) // 2).alias("pred")))
 
 
 def classifier_calibration(scored: DataFrame, score_col: str = "score_micro",
@@ -1021,6 +1110,24 @@ def classifier_calibration(scored: DataFrame, score_col: str = "score_micro",
                            F.expr(f"(2 * {scale} * tp)"
                                   " div (tp + fp + __pos)")).cast("bigint")
                     .alias("f1_micro")))
+
+
+def select_f1_cutoff(calib: DataFrame) -> DataFrame:
+    """One-row (cutoff_micro, f1_micro) frame: the F1-argmax of a
+    :func:`classifier_calibration` sweep, ties broken toward the LOWEST
+    cutoff (the more permissive gate — at equal F1, keep more data).
+    This is the third piece of the persisted-classifier lifecycle: the
+    chosen threshold is model state exactly like the weight table, so
+    it saves as a one-row ``score_cutoff`` model and APPLY tasks gate
+    on ``score_micro >= cutoff_micro`` as a pure integer compare with
+    no calibration sweep in their plan.
+
+    The sort is over the calibration frame — ``scale/step + 1`` rows
+    by construction, never data-scaled."""
+    return (calib.orderBy(F.col("f1_micro").desc_nulls_last(),
+                          F.col("cutoff_micro").asc())
+            .limit(1)
+            .select("cutoff_micro", "f1_micro"))
 
 
 def roc_auc_exact(scored: DataFrame, score_col: str = "score_micro",

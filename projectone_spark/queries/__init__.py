@@ -236,6 +236,7 @@ def _ensure_loaded() -> None:
         corpus6,  # late-r6: BM25 retrieval
         corpus7,  # new-in-r7: BPE encode, fastText-style classifier
         corpus8,  # new-in-r8: arrow BPE, calibration, dup runs, batches
+        corpus9,  # new-in-r9: model persistence lifecycle, unigram LM
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}

@@ -1,0 +1,149 @@
+"""Model persistence over the :class:`~projectone_spark.store.TableStore`
+— a trained model is a SMALL versioned table plus manifest metadata.
+
+Every train-capable operator in the engine produces bounded model state
+(reference parity: the reference persists every derived artifact as a
+table too — its store abstraction, ``core/storage/table_store.py``, is
+the only durability primitive; there is no separate model format):
+
+- BPE merge rules (``functions.text.bpe_train_merges`` — n_merges rows),
+- fastText-style token weights (``functions.text.token_weight_table`` —
+  vocabulary rows, the frame ``linear_token_classifier``'s docstring
+  calls "the saved-model artifact a production scorer reuses"),
+- a calibrated score cutoff (``functions.text.select_f1_cutoff`` — one
+  row),
+- SQ8 quantizer bounds (``functions.embeddings.sq8_bounds`` — one row),
+- IVF coarse centroids (``functions.embeddings.ivf_train`` — k rows),
+- unigram-LM piece scores (``functions.text.unigram_lm_train`` —
+  bounded candidate-piece rows).
+
+``save_model`` writes the frame as a normal store table (versioned,
+transactional, time-travelable — model rollback is
+``read_version``) and stamps ``manifest["model"] = {kind, params}``;
+``load_model`` validates the kind before handing the frame back, so a
+pipeline task that expects a tokenizer cannot silently score with a
+classifier. Training happens ONCE, in the task that calls
+``save_model``; apply-side tasks read a bounded parquet table — their
+plans carry no training aggregates at all (pinned by
+``tests/test_plans.py::test_f15_apply_plan_is_training_free``).
+
+Scale note: a model table is kilobytes-to-megabytes (vocabulary-bounded
+at worst), so apply-side joins against it broadcast; persisting through
+the store costs one footer-read commit. Nothing here ever scans a
+corpus — the TRAINERS own their corpus scans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projectone_spark.store import TableStore
+
+#: kind -> columns every saved frame of that kind must carry. Extra
+#: columns are allowed (pair_count on merges, f1_micro on cutoffs —
+#: provenance travels with the model); missing ones fail the save.
+MODEL_KINDS: dict[str, frozenset[str]] = {
+    "bpe_merges": frozenset({"step", "left_sym", "right_sym", "merged"}),
+    "token_weights": frozenset({"term", "weight_micro"}),
+    "score_cutoff": frozenset({"cutoff_micro"}),
+    "sq8_bounds": frozenset({"__mn", "__mx"}),
+    "ivf_centroids": frozenset({"cell", "centroid"}),
+    "unigram_lm": frozenset({"piece", "score_micro"}),
+}
+
+
+def save_model(store: TableStore, spark: SparkSession, name: str, kind: str,
+               df: DataFrame, params: dict | None = None) -> int:
+    """Persist a trained-model frame as store table ``name`` and stamp
+    the manifest with ``{"model": {"kind": ..., "params": ...}}``.
+    Returns the committed version. Overwrite semantics: saving again
+    replaces the model and bumps the version (old versions stay
+    time-travelable via ``store.read_version``)."""
+    required = MODEL_KINDS.get(kind)
+    if required is None:
+        raise ValueError(
+            f"unknown model kind {kind!r}; known: {sorted(MODEL_KINDS)}")
+    missing = required - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"model frame for kind {kind!r} is missing required columns "
+            f"{sorted(missing)} (has {df.columns})")
+    version = store.overwrite(spark, df, name)
+
+    def _stamp(m: dict) -> None:
+        m["model"] = {"kind": kind, "params": dict(params or {})}
+
+    store.amend_manifest(name, _stamp)
+    return version
+
+
+def load_model(store: TableStore, spark: SparkSession, name: str,
+               kind: str | None = None) -> tuple[DataFrame, dict]:
+    """Read a saved model back as ``(frame, metadata)`` where metadata
+    is the manifest's ``{"kind": ..., "params": ...}`` stamp. Passing
+    ``kind`` asserts the table holds THAT model family — a mismatched
+    or model-less table fails loudly instead of feeding a downstream
+    apply step garbage."""
+    m = store.manifest(name)
+    if m is None:
+        raise FileNotFoundError(
+            f"model table '{name}' does not exist in {store.root}")
+    meta = m.get("model")
+    if meta is None:
+        raise ValueError(
+            f"store table '{name}' carries no model metadata — it was "
+            f"written by a plain writer, not save_model")
+    if kind is not None and meta.get("kind") != kind:
+        raise ValueError(
+            f"model table '{name}' holds kind {meta.get('kind')!r}, "
+            f"caller expected {kind!r}")
+    return store.read(spark, name), dict(meta)
+
+
+# -- bounded frame <-> driver-value adapters -------------------------------
+# (models whose APPLY step is a literal expression — BPE replace chains,
+# centroid folds — cross the driver as bounded rows by design; these
+# adapters keep the ordering/validation in ONE place)
+
+
+def bpe_merges_from_model(df: DataFrame) -> list[tuple[str, str]]:
+    """Rule list in training order for ``functions.text.bpe_encode`` /
+    ``bpe_vocab_encode``. Bounded collect: n_merges rows (model state,
+    the same driver-cost class as the trainer's own per-step argmax)."""
+    rows = df.select("step", "left_sym", "right_sym").orderBy("step").collect()
+    return [(r["left_sym"], r["right_sym"]) for r in rows]
+
+
+def centroids_to_frame(spark: SparkSession,
+                       centroids: Sequence[Sequence[float]]) -> DataFrame:
+    """(cell, centroid) frame from ``ivf_train``'s driver-side list —
+    cell ids are list positions, the ids ``assign_cell``/``ivf_probes``
+    rank over."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("centroid", T.ArrayType(T.DoubleType()), False)])
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema)
+
+
+def centroids_from_model(df: DataFrame) -> list[list[float]]:
+    """Cell-ordered centroid list for ``ivf_probes``/``assign_cell``.
+    Bounded collect: k rows. Validates the cell ids are exactly
+    0..k-1 — a gap would silently shift every assignment."""
+    rows = df.select("cell", "centroid").orderBy("cell").collect()
+    cells = [int(r["cell"]) for r in rows]
+    if cells != list(range(len(rows))):
+        raise ValueError(
+            f"centroid model cells must be exactly 0..k-1, got {cells}")
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+__all__ = [
+    "MODEL_KINDS", "save_model", "load_model", "bpe_merges_from_model",
+    "centroids_to_frame", "centroids_from_model",
+]

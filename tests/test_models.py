@@ -1,0 +1,132 @@
+"""Model persistence over the TableStore (store/models.py): save/load
+round-trips, kind validation, the bounded driver-value adapters, and
+the train-once/apply-identical contract behind f15."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from projectone_spark.queries import load
+from projectone_spark.store import TableStore
+from projectone_spark.store.models import (
+    MODEL_KINDS,
+    bpe_merges_from_model,
+    centroids_from_model,
+    centroids_to_frame,
+    load_model,
+    save_model,
+)
+from tests.conftest import SF_DIR
+
+
+def _store(tmp_path) -> TableStore:
+    return TableStore(str(tmp_path / "store"))
+
+
+def test_save_load_round_trip_with_metadata(spark, tmp_path):
+    store = _store(tmp_path)
+    w = spark.createDataFrame([("cat", 7), ("dog", 9)],
+                              "term string, weight_micro bigint")
+    v = save_model(store, spark, "m", "token_weights", w,
+                   params={"scale": 1_000_000})
+    assert v == store.version("m")
+    back, meta = load_model(store, spark, "m", kind="token_weights")
+    assert meta == {"kind": "token_weights", "params": {"scale": 1_000_000}}
+    assert sorted(map(tuple, back.collect())) == [("cat", 7), ("dog", 9)]
+
+
+def test_kind_and_schema_validation(spark, tmp_path):
+    store = _store(tmp_path)
+    w = spark.createDataFrame([("cat", 7)], "term string, weight_micro bigint")
+    with pytest.raises(ValueError, match="unknown model kind"):
+        save_model(store, spark, "m", "nonsense", w)
+    with pytest.raises(ValueError, match="missing required columns"):
+        save_model(store, spark, "m", "bpe_merges", w)
+    save_model(store, spark, "m", "token_weights", w)
+    with pytest.raises(ValueError, match="expected 'bpe_merges'"):
+        load_model(store, spark, "m", kind="bpe_merges")
+    # a plain (non-model) store table refuses to load as a model
+    store.overwrite(spark, w, "plain")
+    with pytest.raises(ValueError, match="no model metadata"):
+        load_model(store, spark, "plain")
+    with pytest.raises(FileNotFoundError):
+        load_model(store, spark, "absent")
+
+
+def test_resave_bumps_version_and_time_travel_restores(spark, tmp_path):
+    store = _store(tmp_path)
+    w1 = spark.createDataFrame([("cat", 7)], "term string, weight_micro bigint")
+    w2 = spark.createDataFrame([("cat", 8)], "term string, weight_micro bigint")
+    v1 = save_model(store, spark, "m", "token_weights", w1)
+    v2 = save_model(store, spark, "m", "token_weights", w2)
+    assert v2 == v1 + 1
+    back, _ = load_model(store, spark, "m")
+    assert [tuple(r) for r in back.collect()] == [("cat", 8)]
+    # model rollback is plain store time travel
+    old = store.read_version(spark, "m", v1)
+    assert [tuple(r) for r in old.collect()] == [("cat", 7)]
+
+
+def test_bpe_merges_adapter_orders_by_step(spark, tmp_path):
+    store = _store(tmp_path)
+    rules = spark.createDataFrame(
+        [(2, "ab", "c", "abc"), (1, "a", "b", "ab")],
+        "step bigint, left_sym string, right_sym string, merged string")
+    save_model(store, spark, "r", "bpe_merges", rules)
+    back, _ = load_model(store, spark, "r", kind="bpe_merges")
+    assert bpe_merges_from_model(back) == [("a", "b"), ("ab", "c")]
+
+
+def test_centroid_adapters_round_trip_and_validate(spark, tmp_path):
+    store = _store(tmp_path)
+    cents = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]
+    save_model(store, spark, "c", "ivf_centroids",
+               centroids_to_frame(spark, cents), params={"k": 3})
+    back, meta = load_model(store, spark, "c", kind="ivf_centroids")
+    assert centroids_from_model(back) == cents
+    assert meta["params"] == {"k": 3}
+    gap = centroids_to_frame(spark, cents).filter(F.col("cell") != 1)
+    with pytest.raises(ValueError, match="exactly 0..k-1"):
+        centroids_from_model(gap)
+
+
+def test_every_kind_has_a_nonempty_contract():
+    for kind, cols in MODEL_KINDS.items():
+        assert cols, kind
+
+
+def test_persisted_weights_score_identically_to_inline(spark, tmp_path):
+    """The f15 contract at function level: weights trained standalone,
+    saved, and loaded back score the held-out split bit-identically to
+    the inline linear_token_classifier (shared _weights_from_vocab
+    fold + shared scoring expressions)."""
+    from projectone_spark.functions.text import (
+        apply_token_classifier,
+        linear_token_classifier,
+        token_weight_table,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    label, train = F.col("lang") == "en", F.col("doc_id") % 7 == 0
+    store = _store(tmp_path)
+    save_model(store, spark, "w", "token_weights",
+               token_weight_table(docs, label=label, train=train))
+    loaded, _ = load_model(store, spark, "w", kind="token_weights")
+    applied = apply_token_classifier(docs.filter(~train), loaded)
+    inline = linear_token_classifier(docs, label=label, train=train)
+    a = {r["doc_id"]: (r["n_tokens"], r["logit_micro"], r["score_micro"],
+                       r["pred"]) for r in applied.collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["logit_micro"], r["score_micro"],
+                       r["pred"]) for r in inline.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_select_f1_cutoff_breaks_ties_low(spark):
+    from projectone_spark.functions.text import select_f1_cutoff
+
+    calib = spark.createDataFrame(
+        [(0, 500), (50_000, 900), (100_000, 900), (150_000, None)],
+        "cutoff_micro bigint, f1_micro bigint")
+    assert [tuple(r) for r in select_f1_cutoff(calib).collect()] \
+        == [(50_000, 900)]

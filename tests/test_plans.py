@@ -254,3 +254,79 @@ def test_d16_audit_plan_is_sample_bounded(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan
+
+
+def test_f15_apply_plan_is_training_free(spark, tmp_path):
+    """The model-lifecycle contract: once weights/cutoff/rules are
+    persisted, the APPLY side's plan reads ONLY the delta input and the
+    bounded model tables — no corpus scan (training would have to scan
+    it) and no checkpointed training fold (Scan ExistingRDD). This is
+    the r8-verdict ask pinned structurally, the
+    test_p16_one_corpus_scan_one_hint discipline applied to f15."""
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import (
+        apply_token_classifier,
+        bpe_encode,
+        bpe_train_merges,
+        classifier_calibration,
+        select_f1_cutoff,
+        token_weight_table,
+    )
+    from projectone_spark.queries import load
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.models import (
+        bpe_merges_from_model,
+        load_model,
+        save_model,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    label, train = F.col("lang") == "en", F.col("doc_id") % 7 == 0
+    store = TableStore(str(tmp_path / "store"))
+    save_model(store, spark, "w", "token_weights",
+               token_weight_table(docs, label=label, train=train))
+    scored = (apply_token_classifier(docs.filter(~train),
+                                     store.read(spark, "w"))
+              .join(docs.select("doc_id", label.alias("label")), "doc_id"))
+    save_model(store, spark, "cut", "score_cutoff",
+               select_f1_cutoff(classifier_calibration(scored)))
+    save_model(store, spark, "bpe", "bpe_merges",
+               bpe_train_merges(docs, n_merges=4))
+
+    # the delta lives at a DIFFERENT path than the corpus, so a corpus
+    # path in the apply plan can only mean a training stage leaked in
+    delta_path = str(tmp_path / "delta_docs")
+    docs.filter(F.col("doc_id") % 97 == 0).write.parquet(delta_path)
+    delta = spark.read.parquet(delta_path)
+
+    w, _ = load_model(store, spark, "w", kind="token_weights")
+    cut, _ = load_model(store, spark, "cut", kind="score_cutoff")
+    rules, _ = load_model(store, spark, "bpe", kind="bpe_merges")
+    merges = bpe_merges_from_model(rules)
+    keep = F.col("score_micro") >= F.col("cutoff_micro")
+    out = (delta.select("doc_id", "source")
+           .join(apply_token_classifier(delta, w)
+                 .select("doc_id", "score_micro"), "doc_id", "left")
+           .join(bpe_encode(delta, merges)
+                 .select("doc_id", "n_bpe_tokens"), "doc_id", "left")
+           .crossJoin(F.broadcast(cut.select("cutoff_micro")))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(keep, F.col("n_bpe_tokens")))
+                 .alias("kept_bpe_tokens")))
+    # the scorer alone is checkpoint-free: zero ExistingRDD proves no
+    # training fold hides behind a materialized RDD
+    splan = (apply_token_classifier(delta, w)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "documents.parquet" not in splan
+    assert splan.count("Scan ExistingRDD") == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    # the only ExistingRDDs are bpe_encode's DELTA-sized (doc, word)
+    # fold checkpoints (its one-scan discipline), never a corpus fold
+    assert plan.count("Scan ExistingRDD") <= 2
+    # apply-side scans: the delta subtrees (accounting/score) plus the
+    # two joined model tables — bounded, never the corpus
+    assert 1 <= plan.count("Scan parquet") <= 5
+    assert out.count() > 0
