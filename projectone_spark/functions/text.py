@@ -836,6 +836,190 @@ def bpe_encode(df: DataFrame, merges: Sequence[tuple[str, str]],
     return bpe_fold(wf, enc, id_col)
 
 
+def unigram_word_freqs(df: DataFrame, text_col: str = "text",
+                       max_word_len: int = 12,
+                       parallelism: int | None = None) -> DataFrame:
+    """(word, freq) corpus word frequencies for the unigram-LM
+    tokenizer — its ONE corpus-sized computation, map-side-combining
+    and ``localCheckpoint``-ed (eager=False) because every downstream
+    stage (piece seeding, both Viterbi passes) folds it: the d10/t14
+    discipline, one scan no matter how many consumers.
+
+    Words longer than ``max_word_len`` are DROPPED, loudly bounding the
+    DP depth: SentencePiece's own trainer caps candidate length and
+    expects pre-tokenization to have split pathological blobs upstream
+    (``--max_sentencepiece_length``, Kudo & Richardson 2018 §3); an
+    oracle mirroring the DP must unroll exactly ``max_word_len``
+    levels, so the cap is part of the operator's contract, not an
+    implementation detail."""
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    return (spread(df.select(tokens(text_col).alias("__toks")), parallelism)
+            .select(F.explode("__toks").alias("word"))
+            .filter((F.col("word") != "")
+                    & (F.length("word") <= int(max_word_len)))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+            .localCheckpoint(eager=False))
+
+
+def _unigram_cost(counts: DataFrame, scale: int) -> DataFrame:
+    """(piece, count, score_micro) with the engine's exact-integer
+    inverse-frequency cost ``(scale · N) div count`` — the
+    :func:`unigram_surprise` surrogate for ``-log p(piece)``: additive
+    over a segmentation, exactly representable in both engines, and
+    monotone in the piece's improbability. Int64 envelope (t10's):
+    ``scale · N < 2^63`` → N ≤ ~9.2e12 piece occurrences at the default
+    scale; past that drop ``scale`` (ordering survives, granularity
+    coarsens)."""
+    total = counts.agg(F.sum("count").alias("__n"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("piece", "count",
+                    F.expr(f"(CAST({int(scale)} AS BIGINT) * __n)"
+                           " div count").alias("score_micro")))
+
+
+def unigram_seed_pieces(words: DataFrame, max_piece_len: int = 4,
+                        scale: int = 1_000_000) -> DataFrame:
+    """Seed piece inventory for unigram-LM training (Kudo 2018 §3.2
+    seeds from frequent substrings): EVERY substring of length
+    1..``max_piece_len`` of every corpus word, counted with multiplicity
+    and weighted by word frequency — one row-local nested transform
+    (no join, no shuffle beyond the piece aggregate), vocabulary-bounded
+    since it folds the (word, freq) table, never the corpus. Single
+    characters are always present by construction, so every word is
+    segmentable under the seed model.
+
+    Returns (piece, count, score_micro); cost semantics in
+    :func:`_unigram_cost`."""
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    L = int(max_piece_len)
+    sub = words.select(F.col("freq"), F.explode(F.expr(
+        f"flatten(transform(sequence(1, length(word)), i ->"
+        f" transform(sequence(1, least({L}, length(word) - i + 1)),"
+        f" l -> substring(word, i, l))))")).alias("piece"))
+    counts = (sub.groupBy("piece")
+              .agg(F.sum("freq").cast("bigint").alias("count")))
+    return _unigram_cost(counts, scale)
+
+
+def unigram_viterbi(words: DataFrame, pieces: DataFrame,
+                    max_piece_len: int = 4) -> DataFrame:
+    """Exact Viterbi segmentation of each word under a piece-cost model
+    — the apply step of the unigram-LM tokenizer (Kudo 2018 §2 decodes
+    with Viterbi; here the additive cost is the exact-integer
+    inverse-frequency surrogate, see :func:`_unigram_cost`), entirely
+    as Catalyst expressions: per word, candidate edges (start, length,
+    piece) come from one row-local nested transform, the piece-cost
+    lookup is ONE equi-join against the bounded model, and the DP runs
+    inside a single ``aggregate`` over positions — O(len² ·
+    max_piece_len) per word, row-local, no UDF, no per-word shuffle.
+
+    Tie-breaking is total and engine-portable: at each position the
+    chosen edge minimizes (total cost, piece count, longer-piece-first)
+    — ``array_min`` over (c, k, -ln) structs — so the backpointer walk
+    reconstructs exactly one canonical segmentation, the same one an
+    oracle's level-unrolled argmin produces.
+
+    Scale shape: everything folds the vocabulary-bounded (word, freq)
+    frame; at 100 TB the corpus contributes only through
+    :func:`unigram_word_freqs`'s single checkpointed scan. Words are
+    assumed segmentable (every single char in the model — guaranteed
+    by :func:`unigram_seed_pieces` and preserved by
+    :func:`unigram_lm_em_step`).
+
+    Returns (word, freq, wlen, n_pieces, cost_micro, seg) with ``seg``
+    the space-joined piece sequence."""
+    L = int(max_piece_len)
+    cand = (words.select(
+                "word", "freq",
+                F.explode(F.expr(
+                    f"flatten(transform(sequence(1, length(word)), i ->"
+                    f" transform(sequence(1, least({L},"
+                    f" length(word) - i + 1)),"
+                    f" l -> struct(i - 1 AS st, l AS ln,"
+                    f" substring(word, i, l) AS piece))))")).alias("e"))
+            .select("word", "freq", F.col("e.st").alias("st"),
+                    F.col("e.ln").alias("ln"), F.col("e.piece").alias("piece")))
+    edges = cand.join(pieces.select(F.col("piece"),
+                                    F.col("score_micro").alias("cost")),
+                      "piece")
+    earr = (edges.groupBy("word", "freq")
+            .agg(F.collect_list(F.struct("st", "ln", "cost")).alias("__es")))
+    # forward DP with backpointers: acc[j+1] = best (cost, k, bp) at
+    # position j; the array_min feeds a one-element transform so the
+    # min is computed ONCE per position (module rule #1)
+    dp = earr.withColumn("__dp", F.expr(
+        "aggregate(sequence(1, length(word)),"
+        " array(struct(CAST(0 AS BIGINT) AS c, 0 AS k, 0 AS bp)),"
+        " (acc, i) -> concat(acc, transform(array(array_min("
+        "   transform(filter(__es, e -> e.st + e.ln = i),"
+        "     e -> struct(element_at(acc, e.st + 1).c + e.cost AS c,"
+        "                 element_at(acc, e.st + 1).k + 1 AS k,"
+        "                 -e.ln AS nl)))),"
+        "   m -> struct(m.c AS c, m.k AS k, -m.nl AS bp))))"))
+    walk = dp.withColumn("__seg", F.expr(
+        "aggregate(sequence(1, length(word)),"
+        " struct(length(word) AS pos, CAST(array() AS ARRAY<STRING>) AS s),"
+        " (a, x) -> IF(a.pos > 0,"
+        "   struct(a.pos - element_at(__dp, a.pos + 1).bp AS pos,"
+        "          concat(array(substring(word,"
+        "            a.pos - element_at(__dp, a.pos + 1).bp + 1,"
+        "            element_at(__dp, a.pos + 1).bp)), a.s) AS s),"
+        "   a),"
+        " a -> array_join(a.s, ' '))"))
+    return walk.select(
+        "word", "freq", F.length("word").cast("int").alias("wlen"),
+        F.expr("element_at(__dp, length(word) + 1).k").alias("n_pieces"),
+        F.expr("element_at(__dp, length(word) + 1).c").alias("cost_micro"),
+        F.col("__seg").alias("seg"))
+
+
+def unigram_lm_em_step(words: DataFrame, pieces: DataFrame,
+                       max_piece_len: int = 4,
+                       scale: int = 1_000_000) -> DataFrame:
+    """One hard-EM iteration of unigram-LM training (SentencePiece's
+    Viterbi-mode E-step, Kudo 2018 §3.2 step 3): segment every word
+    under the current model, count piece usage weighted by word
+    frequency, and re-score. Pieces that went UNUSED are pruned —
+    except single characters, which survive unconditionally so the
+    model always segments anything its alphabet covers (SentencePiece
+    never prunes the character inventory). Counts are add-one smoothed
+    over the kept set, keeping every cost finite and both engines in
+    exact integers.
+
+    Returns the updated (piece, count, score_micro) model — the
+    ``unigram_lm`` kind in ``store.models.MODEL_KINDS``."""
+    seg = unigram_viterbi(words, pieces, max_piece_len)
+    used = (seg.select(F.col("freq"),
+                       F.explode(F.split("seg", " ")).alias("piece"))
+            .groupBy("piece").agg(F.sum("freq").cast("bigint").alias("__used")))
+    kept = (pieces.select("piece").join(used, "piece", "left")
+            .filter(F.col("__used").isNotNull() | (F.length("piece") == 1))
+            .select("piece",
+                    (F.coalesce(F.col("__used"), F.lit(0)).cast("bigint")
+                     + F.lit(1)).alias("count")))
+    return _unigram_cost(kept, scale)
+
+
+def unigram_lm_train(df: DataFrame, text_col: str = "text",
+                     max_piece_len: int = 4, max_word_len: int = 12,
+                     iters: int = 1,
+                     scale: int = 1_000_000) -> DataFrame:
+    """Seed + ``iters`` hard-EM iterations — the train entry point
+    whose output persists as the ``unigram_lm`` model kind. One corpus
+    scan total (the word-frequency fold); every iteration is
+    vocabulary-bounded."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    words = unigram_word_freqs(df, text_col, max_word_len)
+    model = unigram_seed_pieces(words, max_piece_len, scale)
+    for _ in range(iters):
+        model = unigram_lm_em_step(words, model, max_piece_len, scale)
+    return model
+
+
 def linear_token_classifier(df: DataFrame, label: Column, train: Column,
                             text_col: str = "text", id_col: str = "doc_id",
                             scale: int = 1_000_000) -> DataFrame:

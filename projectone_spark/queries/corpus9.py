@@ -20,6 +20,18 @@ tables); persisting model state as versioned tables is the same
 contract extended to the trainer/scorer split its task DAG
 (``task/spark/task.py``) implies but never ships.
 
+- t19: the unigram-LM (SentencePiece-family) tokenizer step — the
+  OTHER production tokenizer family next to the BPE suite
+  (t12/t14/t16): substring piece seeding, one hard-EM iteration
+  (Viterbi E-step counts, prune-unused-keep-chars, add-one rescore),
+  and the final Viterbi segmentation of the whole word vocabulary
+  under the trained model, all in exact integer micro-unit costs (the
+  t10 inverse-frequency surrogate for -log p). The oracle unrolls the
+  DP level-by-level (the t12 pattern, one argmin window per position)
+  through BOTH passes; the Spark side runs the same DP as one
+  higher-order expression per word. In-query, every segmentation is
+  proven to reconstruct its word exactly.
+
 Same exactness discipline as corpus4-8: integer arithmetic end-to-end,
 no transcendental float anywhere near an adjudicated column.
 """
@@ -269,4 +281,131 @@ def f15_model_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
               f"gate accounting violates containment for {r['source']}: {r}")
         check(r["n_scored"] > 0 or r["sum_score_micro"] == 0,
               f"scores without scored docs for {r['source']}: {r}")
+    return out
+
+
+_UNI_L = 4        # max piece length
+_UNI_W = 12       # max word length == DP unroll depth
+
+
+def _uni_dp_pass(prefix: str, edges: str, w: int = _UNI_W) -> str:
+    """The t12-pattern level unroll of the Viterbi DP: ``{prefix}{i}``
+    holds the per-word argmin at position i (ORDER BY total cost,
+    piece count, longer-piece-first — exactly the Spark side's
+    array_min over (c, k, -ln)), ``{prefix}a{i}`` the cumulative
+    union the next level's predecessors join against."""
+    parts = [f"""{prefix}0 AS (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS c, 0 AS k, '' AS seg
+  FROM uw),
+{prefix}a0 AS (SELECT * FROM {prefix}0)"""]
+    for i in range(1, w + 1):
+        parts.append(f""",
+{prefix}{i} AS MATERIALIZED (
+  SELECT word, pos, c, k, seg FROM (
+    SELECT e.word, {i} AS pos, p.c + e.cost AS c, p.k + 1 AS k,
+           CASE WHEN p.seg = '' THEN e.piece
+                ELSE p.seg || ' ' || e.piece END AS seg,
+           row_number() OVER (PARTITION BY e.word
+             ORDER BY p.c + e.cost, p.k + 1, e.ln DESC) AS rn
+    FROM {edges} e JOIN {prefix}a{i - 1} p
+      ON p.word = e.word AND p.pos = e.st
+    WHERE e.st + e.ln = {i}) t WHERE rn = 1),
+{prefix}a{i} AS MATERIALIZED (SELECT * FROM {prefix}a{i - 1}
+                 UNION ALL SELECT * FROM {prefix}{i})""")
+    return "".join(parts)
+
+
+def _t19_sql() -> str:
+    """Two full DP passes: pass ``ya`` under the seed model (the EM
+    E-step), piece-usage recount + prune + add-one rescore, pass
+    ``yb`` under the updated model — mirroring unigram_lm_train(
+    iters=1) then unigram_viterbi."""
+    return f"""
+WITH uw AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents) s
+  WHERE w <> '' AND len(w) <= {_UNI_W} GROUP BY w),
+uec AS MATERIALIZED (
+  SELECT word, freq, e.st AS st, e.ln AS ln, e.piece AS piece
+  FROM (SELECT word, freq,
+          unnest(flatten(list_transform(range(1, len(word) + 1),
+            i -> list_transform(range(1, least({_UNI_L},
+                                               len(word) - i + 1) + 1),
+              l -> {{'st': i - 1, 'ln': l,
+                    'piece': substring(word, i, l)}})))) AS e
+        FROM uw) s),
+up0 AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM uec GROUP BY piece),
+us0 AS MATERIALIZED (
+  SELECT piece, CAST((1000000 * (SELECT sum(cnt) FROM up0)) // cnt
+                     AS BIGINT) AS cost
+  FROM up0),
+uea AS MATERIALIZED (
+  SELECT c.word, c.st, c.ln, c.piece, p.cost
+  FROM uec c JOIN us0 p USING (piece)),
+{_uni_dp_pass("y", "uea")},
+sega AS (
+  SELECT a.word, uw.freq, a.seg
+  FROM ya{_UNI_W} a JOIN uw USING (word)
+  WHERE a.pos = len(a.word)),
+uused AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+  FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM sega) s
+  GROUP BY piece),
+ukept AS (
+  SELECT us0.piece, CAST(coalesce(uused.used, 0) + 1 AS BIGINT) AS cnt
+  FROM us0 LEFT JOIN uused USING (piece)
+  WHERE uused.used IS NOT NULL OR len(us0.piece) = 1),
+us1 AS MATERIALIZED (
+  SELECT piece, CAST((1000000 * (SELECT sum(cnt) FROM ukept)) // cnt
+                     AS BIGINT) AS cost
+  FROM ukept),
+ueb AS MATERIALIZED (
+  SELECT c.word, c.st, c.ln, c.piece, p.cost
+  FROM uec c JOIN us1 p USING (piece)),
+{_uni_dp_pass("z", "ueb")}
+SELECT b.word, uw.freq, CAST(len(b.word) AS INT) AS wlen,
+       b.k AS n_pieces, b.c AS cost_micro, b.seg AS seg
+FROM za{_UNI_W} b JOIN uw USING (word)
+WHERE b.pos = len(b.word)
+"""
+
+
+@register("t19_unigram_lm", _t19_sql(),
+          doc="unigram-LM tokenizer step (Kudo 2018, the SentencePiece "
+              "family): substring piece seeding, one hard-EM iteration "
+              "(Viterbi E-step with frequency-weighted usage counts, "
+              "prune-unused-keep-characters, add-one rescore), then "
+              "Viterbi segmentation of the word vocabulary under the "
+              "trained model — the DP is ONE Catalyst higher-order "
+              "aggregate per word with a total (cost, pieces, "
+              "longest-piece) tie-break, costs are exact-integer "
+              "inverse-frequency micro-units (t10's -log p surrogate), "
+              "and the oracle unrolls both DP passes level-by-level; "
+              "every segmentation is proven in-query to reconstruct "
+              "its word",
+          tags=("text", "tokenizer", "llm"))
+def t19_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import (
+        unigram_lm_em_step,
+        unigram_seed_pieces,
+        unigram_viterbi,
+        unigram_word_freqs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    words = unigram_word_freqs(docs, max_word_len=_UNI_W)
+    model = unigram_lm_em_step(words, unigram_seed_pieces(words, _UNI_L),
+                               _UNI_L)
+    out = (unigram_viterbi(words, model, _UNI_L)
+           .localCheckpoint(eager=True))  # the identity gate below and
+    # the returned frame share one computed pipeline
+    bad = (out.filter(
+        (F.replace(F.col("seg"), F.lit(" "), F.lit("")) != F.col("word"))
+        | (F.size(F.split("seg", " ")) != F.col("n_pieces"))
+        | (F.col("cost_micro") <= 0)).count())
+    check(bad == 0, f"{bad} segmentations fail to reconstruct their word")
     return out
