@@ -364,3 +364,96 @@ def st14_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "(impossible for a correct bloom filter)")
     return out.select("doc_id", "source", "n_shingles", "n_exact",
                       "n_bloom", "dropped")
+
+
+# Full-corpus SQ8 code table under the corpus-trained bounds — what the
+# streamed, model-driven accumulation must equal regardless of batch
+# split (the e16 quantizer fragments reused through its `cd` CTE).
+from projectone_spark.queries._embed_sql import _E_DBL  # noqa: E402
+from projectone_spark.queries.embeddings2 import _sq8_ctes  # noqa: E402
+
+_ST15_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+{_sq8_ctes()}
+SELECT vec_id, c AS code FROM cd
+"""
+
+
+@register("st15_stream_sq8_index", _ST15_SQL,
+          doc="streaming ANN index maintenance over a PERSISTED "
+              "quantizer model: the SQ8 bounds row (the quantizer's "
+              "entire trained state) is trained once on the corpus and "
+              "saved via save_model; each micro-batch then encodes its "
+              "vectors scan-side against the broadcast loaded bounds "
+              "and appends (vec_id, code) rows under per-batch txn "
+              "watermarks — replay-idempotent, >= 4 real micro-batches "
+              "asserted in-query, and the accumulated code table is "
+              "proven EQUAL to the from-scratch batch rebuild under the "
+              "same model (the st13 batch-split-invariance proof "
+              "applied to e16's quantizer); the oracle recomputes "
+              "bounds and codes exactly (IEEE-exact min/max and "
+              "floor-clamp steps, the e16 discipline)",
+          tags=("streaming", "embeddings", "ann", "quantization",
+                "incremental", "model"))
+def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.embeddings import sq8_bounds, sq8_codes
+    from projectone_spark.queries import check
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.models import load_model, save_model
+    from projectone_spark.streaming import (
+        StreamTrigger,
+        read_stream_parquet,
+        write_stream,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src_dir = scratch_dir(prefix="po_st15_src_")
+    emb.repartition(4).write.mode("overwrite").parquet(src_dir)
+    store = TableStore(scratch_dir(prefix="po_st15_store_"))
+
+    # TRAIN ONCE, before any batch flows: the quantizer's whole state
+    # is one bounds row — persisted as a kind-stamped model, loaded
+    # back for the stream (the f15 lifecycle applied to streaming).
+    # At 100 TB this is the quantizer's single corpus scan; every
+    # micro-batch after is O(batch) scan-side work.
+    save_model(store, spark, "st15_model", "sq8_bounds",
+               sq8_bounds(emb, dims=64), params={"dims": 64})
+    bounds, _ = load_model(store, spark, "st15_model", kind="sq8_bounds")
+    bounds = bounds.localCheckpoint(eager=True)  # one bounded row; the
+    # per-batch broadcast must not re-read the store table every batch
+
+    def code_frame(vectors: DataFrame) -> DataFrame:
+        return (vectors.crossJoin(F.broadcast(bounds))
+                .select("vec_id",
+                        sq8_codes(F.col("embedding"), 64).alias("code")))
+
+    stream = read_stream_parquet(
+        spark, src_dir, "vec_id bigint, embedding array<float>",
+        max_files_per_trigger=1)
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.txn_version("codes", "st15_codes"):
+            return  # at-least-once replay: already committed
+        store.append(spark, code_frame(batch_df).coalesce(1), "codes",
+                     txn=("st15_codes", batch_id))
+
+    q = write_stream(stream, foreach_batch=index_batch,
+                     trigger=StreamTrigger(available_now=True),
+                     checkpoint=scratch_dir(prefix="po_st15_ckpt_"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st15 stream did not finish in 300s — refusing "
+                           "to read a partially-built code index")
+    check(store.txn_version("codes", "st15_codes") >= 3,
+          "expected >= 4 micro-batches through the standing SQ8 index")
+    acc = (store.read(spark, "codes").select("vec_id", "code")
+           .localCheckpoint(eager=True))  # the equality gate and the
+    # returned frame share one read of the accumulated index
+    # batch-split invariance, the st13 proof: the accumulation must
+    # equal a from-scratch rebuild under the SAME persisted model
+    rebuild = code_frame(emb)
+    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
+            .count())
+    check(diff == 0,
+          f"streamed SQ8 index diverges from batch rebuild by {diff} rows")
+    return acc
