@@ -154,15 +154,23 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # (e08 — 2 greens, its IVF family still driver-covered by
     # e04/e05/e10/e12/e13 — gave its slot to the soft quality filter)
     "p15_quality_weighted_sample",
+    # round-9 rotation: the three new queries take the slots of three
+    # 3-green anchors whose operator families stay driver-covered by
+    # in-prefix siblings — f07 (task lifecycle: f12/f13 and the new f15
+    # run the full SparkTask machinery), e11 (embedding
+    # cluster-then-prune: e14/e15 adjudicate the kmeans family), st13
+    # (streaming standing-index fold: st14 and the new st15 are the
+    # same proof pattern over bloom/SQ8 state). All three rotated-out
+    # queries stay locally parity-checked every pytest run.
+    "f15_model_lifecycle", "t19_unigram_lm", "st15_stream_sq8_index",
     # never driver-adjudicated (new in r5 tail / new in r6):
     "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
-    "f06_avro_roundtrip", "f07_post_task_cleanup", "f08_event_handlers",
+    "f06_avro_roundtrip", "f08_event_handlers",
     "f09_file_path_cdc", "v01_row_expectations",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
     "v02_stage_metrics_accounting", "e04_knn_ivf", "e05_knn_pq",
     "t10_unigram_surprise", "e10_incremental_ivf_maintenance",
-    "p09_bloom_contamination", "st13_stream_neardup_index",
-    "e11_semdedup_prune", "f11_curation_pipeline",
+    "p09_bloom_contamination", "f11_curation_pipeline",
     "p10_curriculum_order",
     # second round-8 batch: scalar-int8 ANN funnel, the recall@k audit
     # over both quantized funnels, and the DoReMi mixture-reweighting

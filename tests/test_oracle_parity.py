@@ -53,11 +53,16 @@ def test_harness_prefix_contract():
     assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
-    # round-8 rotation intent: every query that has never had a driver
-    # correctness row occupies a prefix slot. The whole r7 cohort went
-    # green in CORRECTNESS_r07.json (50/50 — zero rotation debt), so
-    # the set reset to the queries added this round.
+    # round-9 rotation intent: every query that has never had a driver
+    # correctness row occupies a prefix slot. The whole r8 cohort went
+    # green in CORRECTNESS_r08.json (50/50 — zero rotation debt), so
+    # the set reset to the queries added this round; the 13 r8
+    # first-greens additionally STAY in the prefix for their second
+    # adjudication (the r8 verdict's item 3), enforced just below.
     never_adjudicated = {
+        "f15_model_lifecycle", "t19_unigram_lm", "st15_stream_sq8_index",
+    }
+    r8_cohort_kept_for_second_green = {
         "t16_bpe_encode_arrow", "t17_classifier_calibration",
         "d14_duplicate_runs", "f13_training_batches",
         "d15_duplicate_run_removal", "t18_roc_auc",
@@ -65,6 +70,8 @@ def test_harness_prefix_contract():
         "e16_knn_sq8", "e17_ann_recall_audit", "p16_doremi_reweight",
         "d16_lsh_recall_audit", "f14_filter_ablation",
     }
+    kept = r8_cohort_kept_for_second_green - set(names[:50])
+    assert kept == set(), f"r8 cohort rotated out before 2nd green: {kept}"
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
 
