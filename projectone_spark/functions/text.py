@@ -657,7 +657,11 @@ def bpe_doc_word_counts(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), F.explode("__toks").alias("__w"))
             .filter(F.col("__w") != "")
             .groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
-            .localCheckpoint(eager=False))
+            # DISK_ONLY: this is the same doc-keyed ~100M-row shape whose
+            # default-storage checkpoint OOM'd an 8g heap at the r8 ×100
+            # probe (surprisal_micro_fold's tf); disk blocks are
+            # shuffle-class IO and strictly cheaper than re-tokenizing
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY))
 
 
 def bpe_vocab_encode(vocab: DataFrame, merges: Sequence[tuple[str, str]],
@@ -924,10 +928,16 @@ def unigram_viterbi(words: DataFrame, pieces: DataFrame,
 
     Scale shape: everything folds the vocabulary-bounded (word, freq)
     frame; at 100 TB the corpus contributes only through
-    :func:`unigram_word_freqs`'s single checkpointed scan. Words are
-    assumed segmentable (every single char in the model — guaranteed
-    by :func:`unigram_seed_pieces` and preserved by
-    :func:`unigram_lm_em_step`).
+    :func:`unigram_word_freqs`'s single checkpointed scan.
+
+    A word the model cannot segment (a character absent from the piece
+    inventory — impossible on the training corpus, whose single chars
+    :func:`unigram_seed_pieces` always includes and
+    :func:`unigram_lm_em_step` never prunes, but possible when a
+    PERSISTED model is applied to unseen data) yields NULL
+    ``n_pieces``/``cost_micro``/``seg`` — an explicit unscorable
+    marker, never a partial segmentation; callers gate on
+    ``seg IS NULL`` (t19's in-query check does).
 
     Returns (word, freq, wlen, n_pieces, cost_micro, seg) with ``seg``
     the space-joined piece sequence."""
@@ -949,18 +959,33 @@ def unigram_viterbi(words: DataFrame, pieces: DataFrame,
             .agg(F.collect_list(F.struct("st", "ln", "cost")).alias("__es")))
     # forward DP with backpointers: acc[j+1] = best (cost, k, bp) at
     # position j; the array_min feeds a one-element transform so the
-    # min is computed ONCE per position (module rule #1)
+    # min is computed ONCE per position (module rule #1). An
+    # UNREACHABLE position (no in-model piece ends there) carries an
+    # explicit 2^62 cost sentinel, NOT a null: inside aggregate's
+    # accumulator the array element type is non-nullable (the init
+    # literal's type), and Spark silently coerces null struct fields
+    # to 0 there (measured) — which would read as a FREE reach. The
+    # sentinel is assigned, never accumulated, so reachable hops after
+    # it add at most wlen·cap ≪ 2^62 of headroom — no overflow.
+    big = 1 << 62
     dp = earr.withColumn("__dp", F.expr(
         "aggregate(sequence(1, length(word)),"
         " array(struct(CAST(0 AS BIGINT) AS c, 0 AS k, 0 AS bp)),"
-        " (acc, i) -> concat(acc, transform(array(array_min("
+        " (acc, i) -> concat(acc, transform(array(coalesce(array_min("
         "   transform(filter(__es, e -> e.st + e.ln = i),"
         "     e -> struct(element_at(acc, e.st + 1).c + e.cost AS c,"
         "                 element_at(acc, e.st + 1).k + 1 AS k,"
-        "                 -e.ln AS nl)))),"
+        "                 -e.ln AS nl))),"
+        f"   struct(CAST({big} AS BIGINT) AS c, 0 AS k, 0 AS nl))),"
         "   m -> struct(m.c AS c, m.k AS k, -m.nl AS bp))))"))
+    # unreachable words (a character absent from the model — possible
+    # when a PERSISTED model is applied to unseen data) get NULL
+    # cost/k/seg, never a partial segmentation: the final-position
+    # guard below keeps the backpointer walk from emitting garbage
     walk = dp.withColumn("__seg", F.expr(
-        "aggregate(sequence(1, length(word)),"
+        f"IF(element_at(__dp, length(word) + 1).c >= {big},"
+        " CAST(NULL AS STRING),"
+        " aggregate(sequence(1, length(word)),"
         " struct(length(word) AS pos, CAST(array() AS ARRAY<STRING>) AS s),"
         " (a, x) -> IF(a.pos > 0,"
         "   struct(a.pos - element_at(__dp, a.pos + 1).bp AS pos,"
@@ -968,11 +993,13 @@ def unigram_viterbi(words: DataFrame, pieces: DataFrame,
         "            a.pos - element_at(__dp, a.pos + 1).bp + 1,"
         "            element_at(__dp, a.pos + 1).bp)), a.s) AS s),"
         "   a),"
-        " a -> array_join(a.s, ' '))"))
+        " a -> array_join(a.s, ' ')))"))
     return walk.select(
         "word", "freq", F.length("word").cast("int").alias("wlen"),
-        F.expr("element_at(__dp, length(word) + 1).k").alias("n_pieces"),
-        F.expr("element_at(__dp, length(word) + 1).c").alias("cost_micro"),
+        F.expr(f"IF(element_at(__dp, length(word) + 1).c >= {big}, NULL,"
+               " element_at(__dp, length(word) + 1).k)").alias("n_pieces"),
+        F.expr(f"IF(element_at(__dp, length(word) + 1).c >= {big}, NULL,"
+               " element_at(__dp, length(word) + 1).c)").alias("cost_micro"),
         F.col("__seg").alias("seg"))
 
 
@@ -1018,6 +1045,20 @@ def unigram_lm_train(df: DataFrame, text_col: str = "text",
     for _ in range(iters):
         model = unigram_lm_em_step(words, model, max_piece_len, scale)
     return model
+
+
+def _close_scores(df: DataFrame, scale: int) -> DataFrame:
+    """logit/score/pred columns from an aggregated (…, n_tokens, __dot)
+    frame — the ONE definition of the mean-token-weight logit and
+    hard-sigmoid close, shared by the inline classifier and the
+    persisted-model apply path (the _weights_from_vocab discipline
+    applied to the scoring half), so a saved model's scores can never
+    drift from the inline trainer's."""
+    return (df.withColumn("logit_micro", F.expr("__dot div n_tokens"))
+            .withColumn("score_micro", F.least(
+                F.lit(int(scale)).cast("long"),
+                F.expr(f"(logit_micro + {int(scale)}) div 4")))
+            .withColumn("pred", F.col("score_micro") > int(scale) // 2))
 
 
 def linear_token_classifier(df: DataFrame, label: Column, train: Column,
@@ -1088,7 +1129,10 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
             .filter(F.col("term").isNotNull()))
     tf = (base.groupBy(id_col, "__y", "__tr", "term")
           .agg(F.count(F.lit(1)).alias("tf"))
-          .localCheckpoint(eager=False))
+          # DISK_ONLY: doc-keyed corpus-scaled counts, the same shape
+          # whose default-storage checkpoint OOM'd at the r8 ×100 probe
+          .localCheckpoint(eager=False,
+                           storageLevel=StorageLevel.DISK_ONLY))
     vocab = (tf.filter(F.col("__tr"))
              .groupBy("term")
              .agg(F.sum(F.when(F.col("__y"), F.col("tf")).otherwise(0))
@@ -1107,13 +1151,10 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
             .agg(F.first("__y").alias("__label"),
                  F.sum("tf").alias("n_tokens"),
                  F.sum(F.col("tf") * F.col("__w")).alias("__dot"))
-            .withColumn("logit_micro", F.expr("__dot div n_tokens"))
-            .withColumn("score_micro", F.least(
-                F.lit(int(scale)).cast("long"),
-                F.expr(f"(logit_micro + {int(scale)}) div 4")))
+            .transform(lambda d: _close_scores(d, scale))
             .select(F.col(id_col), F.col("n_tokens"),
                     F.col("logit_micro"), F.col("score_micro"),
-                    (F.col("score_micro") > int(scale) // 2).alias("pred"),
+                    F.col("pred"),
                     F.col("__label").alias("label")))
 
 
@@ -1205,13 +1246,10 @@ def apply_token_classifier(df: DataFrame, weights: DataFrame,
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  F.sum(F.col("tf") * F.col("__w")).alias("__dot"))
-            .withColumn("logit_micro", F.expr("__dot div n_tokens"))
-            .withColumn("score_micro", F.least(
-                F.lit(int(scale)).cast("long"),
-                F.expr(f"(logit_micro + {int(scale)}) div 4")))
+            .transform(lambda d: _close_scores(d, scale))
             .select(F.col(id_col), F.col("n_tokens"),
                     F.col("logit_micro"), F.col("score_micro"),
-                    (F.col("score_micro") > int(scale) // 2).alias("pred")))
+                    F.col("pred")))
 
 
 def classifier_calibration(scored: DataFrame, score_col: str = "score_micro",

@@ -842,13 +842,16 @@ def f14_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))  # the identity check below and
     # the returned frame must not each replay the three gate pipelines
     total = out.agg(F.sum("n_docs")).first()[0]
-    # the partition identity's right-hand side is a parquet count-star,
-    # NOT sur.count(): sur is one row per corpus doc (every testdata
-    # document tokenizes non-empty), and counting the scan avoids
-    # replaying the whole surprisal fold for a number the scan already
-    # knows — and makes the check STRONGER (partition of the corpus,
-    # not of the fold's output)
-    want = corpus.count()
+    # the partition identity's right-hand side is ONE scan-side count of
+    # tokenizable docs, NOT sur.count(): counting the scan avoids
+    # replaying the whole surprisal fold for a number one cheap pass
+    # gives — while the size() predicate keeps the identity exact even
+    # for a document that tokenizes to nothing (such a doc has no sur
+    # row, so a bare count-star would hard-fail the partition check on
+    # data the matrix correctly never saw)
+    from projectone_spark.functions.text import tokens
+
+    want = corpus.filter(F.size(tokens("text")) > 0).count()
     check(total == want,
           f"ablation matrix does not partition the corpus: {total} != {want}")
     return out

@@ -404,7 +404,9 @@ def t19_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))  # the identity gate below and
     # the returned frame share one computed pipeline
     bad = (out.filter(
-        (F.replace(F.col("seg"), F.lit(" "), F.lit("")) != F.col("word"))
+        F.col("seg").isNull()  # first: a NULL seg would null every
+        # comparison below out of the filter instead of counting
+        | (F.replace(F.col("seg"), F.lit(" "), F.lit("")) != F.col("word"))
         | (F.size(F.split("seg", " ")) != F.col("n_pieces"))
         | (F.col("cost_micro") <= 0)).count())
     check(bad == 0, f"{bad} segmentations fail to reconstruct their word")

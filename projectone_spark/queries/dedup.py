@@ -60,13 +60,29 @@ def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load(spark, sf_dir, "documents"))
 
 
+def _d05_band_case() -> str:
+    """CASE expression computing auto_band_chars(count(*)) — generated from
+    the SAME integer thresholds the Spark side uses, so the oracle picks the
+    identical prefix width at every scale factor."""
+    from projectone_spark.functions.dedup import _BAND_THRESHOLDS
+
+    whens = " ".join(f"WHEN cnt <= {limit} THEN {c}"
+                     for limit, c in _BAND_THRESHOLDS)
+    return f"CASE {whens} ELSE 8 END"
+
+
 _D03_SQL = f"""
 WITH sigs AS (
   SELECT doc_id,
          {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
          {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
   FROM documents),
-banded AS (SELECT *, substr(mh0, 1, 2) AS band FROM sigs)
+-- band width auto-sized from the corpus count with the SAME integer
+-- thresholds as the Spark default (auto_band_chars) — the d05 pattern,
+-- so the oracle picks the identical prefix width at every scale factor
+n3 AS (SELECT count(*) AS cnt FROM documents),
+p3 AS (SELECT {_d05_band_case()} AS bc FROM n3),
+banded AS (SELECT *, substr(mh0, 1, (SELECT bc FROM p3)) AS band FROM sigs)
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        round((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
             + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
@@ -103,17 +119,6 @@ def _simhash_sql() -> str:
           tags=("dedup", "simhash"))
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_frame(load(spark, sf_dir, "documents"))
-
-
-def _d05_band_case() -> str:
-    """CASE expression computing auto_band_chars(count(*)) — generated from
-    the SAME integer thresholds the Spark side uses, so the oracle picks the
-    identical prefix width at every scale factor."""
-    from projectone_spark.functions.dedup import _BAND_THRESHOLDS
-
-    whens = " ".join(f"WHEN cnt <= {limit} THEN {c}"
-                     for limit, c in _BAND_THRESHOLDS)
-    return f"CASE {whens} ELSE 8 END"
 
 
 _D05_SQL = f"""
@@ -359,16 +364,21 @@ def d11_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d16_sql(sample_n: int = 256, scale: int = 1_000_000,
-             band_chars: int = 2, salt: str = "d16") -> str:
+             salt: str = "d16") -> str:
     """Mirror of functions/dedup.lsh_recall_audit: md5-draw sample,
     exact shingle-set Jaccard via the shingle equi-join, d03's seeded
-    minhash banding, τ = 1/2 as an integer compare."""
+    minhash banding, τ = 1/2 as an integer compare. The band width is
+    auto-sized from the FULL corpus count with the d05 CASE (matching
+    lsh_recall_audit's default), so the audit's oracle agrees with the
+    Spark side at every scale factor, not just ≤16384 docs."""
     mh = [f"list_aggregate(list_transform(sh, s -> md5('{i}' || s)), 'min')"
           f" AS mh{i}" for i in range(4)]
     eq = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
                     for i in range(4))
     return f"""
-WITH smp AS (
+WITH n16 AS (SELECT count(*) AS cnt FROM documents),
+p16 AS (SELECT {_d05_band_case()} AS bc FROM n16),
+smp AS (
   SELECT doc_id, {_SHINGLES} AS sh
   FROM documents
   ORDER BY md5('{salt}:' || CAST(doc_id AS VARCHAR)), doc_id
@@ -378,7 +388,8 @@ cand AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          CAST({eq} AS BIGINT) AS eq
   FROM sig a JOIN sig b
-    ON substr(a.mh0, 1, {band_chars}) = substr(b.mh0, 1, {band_chars})
+    ON substr(a.mh0, 1, (SELECT bc FROM p16))
+       = substr(b.mh0, 1, (SELECT bc FROM p16))
    AND a.doc_id < b.doc_id),
 shx AS (SELECT doc_id, unnest(sh) AS s FROM smp),
 pin AS (

@@ -117,7 +117,8 @@ class TableStore:
                 files: list[dict] | None = None,
                 txn: tuple[str, int] | None = None,
                 expected_base: int | None = None,
-                set_columns: list[str] | None = None) -> int:
+                set_columns: list[str] | None = None,
+                manifest_extra: dict | None = None) -> int:
         with self._commit_lock(name):
             prev = self.manifest(name)
             prev_version = -1 if prev is None else prev["version"]
@@ -143,6 +144,14 @@ class TableStore:
                 "files": files or [],
                 "txns": txns,
             }
+            # model metadata (store.models.save_model) rides the SAME
+            # atomic manifest publish — never a second write — and
+            # carries forward across commits like txns, so an append to
+            # a model table cannot silently strip its kind stamp
+            if prev is not None and "model" in prev:
+                manifest["model"] = prev["model"]
+            if manifest_extra:
+                manifest.update(manifest_extra)
             tdir = self._table_dir(name)
             tmp = os.path.join(tdir, f"_manifest.tmp.{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
@@ -250,7 +259,8 @@ class TableStore:
                   stats_columns: Sequence[str] | None = None,
                   set_columns: Sequence[str] | None = None,
                   _operation: str = "overwrite",
-                  _expected_base: int | None = None) -> int:
+                  _expected_base: int | None = None,
+                  manifest_extra: dict | None = None) -> int:
         """Full snapshot replace. A plain overwrite is blind (last writer
         wins, like Delta overwrite); snapshot-derived rewrites (compact,
         optimize) pass ``_expected_base`` so a concurrent append makes
@@ -268,7 +278,8 @@ class TableStore:
         return self._commit(name, [d], list(partition_by or []), _operation,
                             stats_columns=cols, set_columns=sets,
                             files=self._stats_for([d], cols, sets),
-                            expected_base=_expected_base)
+                            expected_base=_expected_base,
+                            manifest_extra=manifest_extra)
 
     def append(self, spark: SparkSession, df: DataFrame, name: str,
                partition_by: Sequence[str] | None = None,

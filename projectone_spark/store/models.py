@@ -70,13 +70,13 @@ def save_model(store: TableStore, spark: SparkSession, name: str, kind: str,
         raise ValueError(
             f"model frame for kind {kind!r} is missing required columns "
             f"{sorted(missing)} (has {df.columns})")
-    version = store.overwrite(spark, df, name)
-
-    def _stamp(m: dict) -> None:
-        m["model"] = {"kind": kind, "params": dict(params or {})}
-
-    store.amend_manifest(name, _stamp)
-    return version
+    # ONE atomic commit: the model stamp rides the manifest publish
+    # itself (an overwrite-then-amend pair would leave a window — and a
+    # crash point — where the table exists but load_model rejects it)
+    return store.overwrite(
+        spark, df, name,
+        manifest_extra={"model": {"kind": kind,
+                                  "params": dict(params or {})}})
 
 
 def load_model(store: TableStore, spark: SparkSession, name: str,

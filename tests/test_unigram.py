@@ -109,3 +109,19 @@ def test_t19_plan_folds_one_corpus_scan(spark):
     assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan
     assert out.count() > 0
+
+
+def test_viterbi_unseen_char_yields_null_not_garbage(spark):
+    """A persisted model applied to unseen data can meet a character
+    outside its inventory: the word must come back as an explicit NULL
+    (cost/k/seg), never a partial segmentation."""
+    words = spark.createDataFrame([("az", 1), ("aa", 2)],
+                                  "word string, freq bigint")
+    pieces = spark.createDataFrame([("a", 3, 1_000_000)],
+                                   "piece string, count bigint,"
+                                   " score_micro bigint")
+    out = {r["word"]: r for r in unigram_viterbi(words, pieces).collect()}
+    assert out["aa"]["seg"] == "a a" and out["aa"]["n_pieces"] == 2
+    bad = out["az"]
+    assert bad["seg"] is None and bad["n_pieces"] is None \
+        and bad["cost_micro"] is None
