@@ -320,7 +320,8 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id", sample_size: int = 2000,
             cell_col: str | None = None,
-            parallelism: int | None = None) -> DataFrame:
+            parallelism: int | None = None,
+            centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest-centroid
     cell; each query probes its ``nprobe`` nearest cells and scores exactly
     inside them.
@@ -330,9 +331,17 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     broadcast join on an int key touching ~nprobe/n_clusters of the data —
     no per-query corpus scan. Without it the assignment (n_clusters dot
     products per row) runs inline, still codegen-only.
+
+    ``centroids`` swaps in a PERSISTED coarse quantizer (the
+    ``ivf_centroids`` model kind, via ``store.models.load_model`` +
+    ``centroids_from_model``) instead of training in-query — the
+    production lifecycle: the quantizer trains once, the search task's
+    plan carries zero training work (``ivf_train``'s sample collect
+    never runs). ``n_clusters``/``sample_size`` are ignored when given.
     """
-    centroids = ivf_train(corpus, n_clusters, sample_size,
-                          vec_col=vec_col, id_col=id_col)
+    if centroids is None:
+        centroids = ivf_train(corpus, n_clusters, sample_size,
+                              vec_col=vec_col, id_col=id_col)
     c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"),
                              *( [F.col(cell_col).alias("__cell")] if cell_col else [])),
                parallelism)

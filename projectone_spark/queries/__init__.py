@@ -163,13 +163,22 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # same proof pattern over bloom/SQ8 state). All three rotated-out
     # queries stay locally parity-checked every pytest run.
     "f15_model_lifecycle", "t19_unigram_lm", "st15_stream_sq8_index",
+    # second round-9 batch — the persisted-model APPLY closures: t20
+    # (unigram corpus encode under the saved t19 model) takes t10's
+    # slot (unigram surprisal, 3 driver greens; the unigram family
+    # stays driver-covered by t11/t19/t20 in-prefix), e18 (IVF search
+    # under the saved quantizer, exact-KNN oracle) takes e04's slot
+    # (IVF production shape, 3 driver greens; the IVF/ANN family stays
+    # driver-covered by e05/e10/e12/e13/e16/e17/e18 in-prefix). Both
+    # rotated-out anchors stay locally parity-checked every pytest run.
+    "t20_unigram_encode", "e18_persisted_ivf_search",
     # never driver-adjudicated (new in r5 tail / new in r6):
     "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
     "f06_avro_roundtrip", "f08_event_handlers",
     "f09_file_path_cdc", "v01_row_expectations",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
-    "v02_stage_metrics_accounting", "e04_knn_ivf", "e05_knn_pq",
-    "t10_unigram_surprise", "e10_incremental_ivf_maintenance",
+    "v02_stage_metrics_accounting", "e05_knn_pq",
+    "e10_incremental_ivf_maintenance",
     "p09_bloom_contamination", "f11_curation_pipeline",
     "p10_curriculum_order",
     # second round-8 batch: scalar-int8 ANN funnel, the recall@k audit

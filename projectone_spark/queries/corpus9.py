@@ -315,13 +315,14 @@ def _uni_dp_pass(prefix: str, edges: str, w: int = _UNI_W) -> str:
     return "".join(parts)
 
 
-def _t19_sql() -> str:
+def _t19_ctes() -> str:
     """Two full DP passes: pass ``ya`` under the seed model (the EM
     E-step), piece-usage recount + prune + add-one rescore, pass
-    ``yb`` under the updated model — mirroring unigram_lm_train(
-    iters=1) then unigram_viterbi."""
-    return f"""
-WITH uw AS MATERIALIZED (
+    ``zb`` under the updated model — mirroring unigram_lm_train(
+    iters=1) then unigram_viterbi. Shared by the t19 oracle (per-word
+    segmentations) and the t20 oracle (the same trained model applied
+    per-document through the persisted-model path)."""
+    return f"""uw AS MATERIALIZED (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest({_TOKS}) AS w FROM documents) s
   WHERE w <> '' AND len(w) <= {_UNI_W} GROUP BY w),
@@ -364,7 +365,12 @@ us1 AS MATERIALIZED (
 ueb AS MATERIALIZED (
   SELECT c.word, c.st, c.ln, c.piece, p.cost
   FROM uec c JOIN us1 p USING (piece)),
-{_uni_dp_pass("z", "ueb")}
+{_uni_dp_pass("z", "ueb")}"""
+
+
+def _t19_sql() -> str:
+    return f"""
+WITH {_t19_ctes()}
 SELECT b.word, uw.freq, CAST(len(b.word) AS INT) AS wlen,
        b.k AS n_pieces, b.c AS cost_micro, b.seg AS seg
 FROM za{_UNI_W} b JOIN uw USING (word)
@@ -410,4 +416,109 @@ def t19_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.size(F.split("seg", " ")) != F.col("n_pieces"))
         | (F.col("cost_micro") <= 0)).count())
     check(bad == 0, f"{bad} segmentations fail to reconstruct their word")
+    return out
+
+
+def _t20_sql() -> str:
+    """The t19-trained model applied PER DOCUMENT: the same two-pass
+    CTE chain yields each word's segmentation (``za{W}`` finals), and
+    one (doc, word, count) left join carries piece/cost totals back to
+    documents — words over the model's max_word_len (absent from ``uw``
+    by the t19 length contract) surface as ``n_oov``."""
+    return f"""
+WITH {_t19_ctes()},
+segb AS (
+  SELECT b.word, b.k AS np, b.c AS pc
+  FROM za{_UNI_W} b WHERE b.pos = len(b.word)),
+qdw AS (
+  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents) s
+  WHERE w <> '' GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(coalesce(sum(CASE WHEN segb.word IS NULL THEN c END), 0)
+            AS BIGINT) AS n_oov,
+       CAST(coalesce(sum(c * segb.np), 0) AS BIGINT) AS n_pieces,
+       CAST(coalesce(sum(c * segb.pc), 0) AS BIGINT) AS cost_micro
+FROM qdw LEFT JOIN segb USING (word)
+GROUP BY doc_id
+"""
+
+
+@register("t20_unigram_encode", _t20_sql(),
+          doc="unigram-LM corpus ENCODE under a PERSISTED tokenizer — "
+              "the production apply step completing the t19 training "
+              "step, through the f15 model lifecycle: the t19-trained "
+              "(piece, score_micro) model persists via save_model as "
+              "the kind-stamped unigram_lm store table; the encode "
+              "loads it back (kind-validated, max_piece_len read from "
+              "the persisted params, so the DP depth is MODEL state, "
+              "not caller folklore) and segments the corpus — ONE "
+              "checkpointed (doc, word) count is the only corpus-sized "
+              "work, training AND Viterbi fold its vocabulary "
+              "projection (the t14/t16 discipline), and one "
+              "vocabulary-sized left join carries piece counts and "
+              "exact-integer costs per document, with words past the "
+              "model's max_word_len accounted as n_oov rather than "
+              "silently dropped; the oracle recomputes the entire "
+              "train-persist-apply chain from raw parquet so one "
+              "drifted piece cost in the store round-trip "
+              "hash-mismatches",
+          tags=("text", "tokenizer", "llm", "model"))
+def t20_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import (
+        bpe_doc_word_counts,
+        unigram_lm_em_step,
+        unigram_seed_pieces,
+        unigram_viterbi,
+    )
+    from projectone_spark.session import scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.models import load_model, save_model
+
+    docs = load(spark, sf_dir, "documents")
+    wf = bpe_doc_word_counts(docs)  # the ONE corpus scan, checkpointed
+    # (word, freq) is a vocabulary-bounded fold of the checkpointed
+    # counts — identical to unigram_word_freqs' frame without a second
+    # corpus scan (freq = total occurrences = sum of per-doc counts)
+    words = (wf.filter(F.length("__w") <= _UNI_W)
+             .groupBy("__w")
+             .agg(F.sum("__c").cast("bigint").alias("freq"))
+             .select(F.col("__w").alias("word"), "freq")
+             .localCheckpoint(eager=False))
+    model = unigram_lm_em_step(words, unigram_seed_pieces(words, _UNI_L),
+                               _UNI_L)
+    store = TableStore(scratch_dir(prefix="po_t20_store_"))
+    save_model(store, spark, "t20_tokenizer", "unigram_lm", model,
+               params={"max_piece_len": _UNI_L, "max_word_len": _UNI_W,
+                       "scale": _SCALE})
+    loaded, meta = load_model(store, spark, "t20_tokenizer",
+                              kind="unigram_lm")
+    # DP depth comes from the persisted model's own params — applying a
+    # tokenizer at the wrong piece length is a silent quality bug, so
+    # the apply step must not take it on faith from its caller
+    max_piece = int(meta["params"]["max_piece_len"])
+    seg = (unigram_viterbi(words, loaded, max_piece)
+           .select("word", "n_pieces", "cost_micro"))
+    oov = F.when(F.col("n_pieces").isNull(), F.col("__c"))
+    out = (wf.select("doc_id", F.col("__w").alias("word"), "__c")
+           .join(seg, "word", "left")
+           .groupBy("doc_id")
+           .agg(F.sum("__c").cast("bigint").alias("n_words"),
+                F.coalesce(F.sum(oov), F.lit(0)).cast("bigint")
+                 .alias("n_oov"),
+                F.coalesce(F.sum(F.col("__c") * F.col("n_pieces")),
+                           F.lit(0)).cast("bigint").alias("n_pieces"),
+                F.coalesce(F.sum(F.col("__c") * F.col("cost_micro")),
+                           F.lit(0)).cast("bigint").alias("cost_micro"))
+           .localCheckpoint(eager=True))  # the gates below and the
+    # returned frame must share one computed pipeline
+    bad = (out.filter(
+        (F.col("n_oov") > F.col("n_words"))
+        | (F.col("n_pieces") < F.col("n_words") - F.col("n_oov"))
+        | ((F.col("n_pieces") > 0) & (F.col("cost_micro") <= 0))).count())
+    check(bad == 0, f"{bad} documents violate encode accounting "
+                    "(oov containment / >=1 piece per word / cost sign)")
     return out

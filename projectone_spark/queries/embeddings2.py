@@ -576,3 +576,73 @@ def e17_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq8 = knn_sq8(emb, queries, k=5, shortlist=25, dims=64)
     return (knn_recall(exact, ham, "hamming", k=5)
             .unionByName(knn_recall(exact, sq8, "sq8", k=5)))
+
+
+_E18_SQL = f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({_dot('q.qe', 'v.e')} / ({_norm('q.qe')} * {_norm('v.e')}),
+               6) AS score
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("e18_persisted_ivf_search", _E18_SQL,
+          doc="IVF search under a PERSISTED coarse quantizer — the "
+              "f15 model lifecycle applied to the ANN index: ivf_train "
+              "runs once and its centroids persist through save_model "
+              "as the kind-stamped ivf_centroids store table; the "
+              "search task loads them back (kind-validated, cell ids "
+              "validated 0..k-1 by centroids_from_model) and probes "
+              "with the LOADED model — its plan carries no training "
+              "sample collect at all; the store round-trip is proven "
+              "lossless in-query (loaded == trained bit-for-bit — "
+              "parquet doubles are exact) and the full-probe search "
+              "under the loaded quantizer carries the exact-KNN "
+              "oracle (the e08 adjudication, now over persisted "
+              "model state)",
+          tags=("embeddings", "knn", "ann", "model"))
+def e18_persisted_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import ivf_train, knn_ivf
+    from projectone_spark.queries import check
+    from projectone_spark.session import scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        centroids_to_frame,
+        load_model,
+        save_model,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    store = TableStore(scratch_dir(prefix="po_e18_store_"))
+    trained = ivf_train(emb, n_clusters=8)
+    save_model(store, spark, "e18_quantizer", "ivf_centroids",
+               centroids_to_frame(spark, trained),
+               params={"n_clusters": 8, "metric": "cosine",
+                       "trainer": "ivf_train"})
+    frame, meta = load_model(store, spark, "e18_quantizer",
+                             kind="ivf_centroids")
+    loaded = centroids_from_model(frame)
+    # the round-trip is the artifact under adjudication: one drifted
+    # component would re-route cell assignments at nprobe < k, so the
+    # gate demands bit-identity (parquet stores doubles exactly; a
+    # bounded k x dims comparison, driver-side)
+    check(loaded == trained,
+          "persisted quantizer differs from the trained centroids")
+    check(meta.get("params", {}).get("n_clusters") == 8,
+          f"model params lost in the round-trip: {meta}")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (knn_ivf(emb, queries, k=5, nprobe=8, centroids=loaded)
+            .select("query_id", "neighbor_id", "score", "rank"))

@@ -130,3 +130,32 @@ def test_select_f1_cutoff_breaks_ties_low(spark):
         "cutoff_micro bigint, f1_micro bigint")
     assert [tuple(r) for r in select_f1_cutoff(calib).collect()] \
         == [(50_000, 900)]
+
+
+def test_knn_ivf_with_persisted_centroids_skips_training(spark, tmp_path,
+                                                         monkeypatch):
+    """The persisted-quantizer search path (e18): knn_ivf under loaded
+    centroids must (1) match the inline-trained search bit-for-bit and
+    (2) never call the trainer — the apply task's plan carries zero
+    training work, the f15 contract applied to the ANN index."""
+    import projectone_spark.functions.embeddings as E
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    trained = E.ivf_train(emb, n_clusters=4)
+    inline = E.knn_ivf(emb, queries, k=3, n_clusters=4, nprobe=4)
+
+    store = _store(tmp_path)
+    save_model(store, spark, "q", "ivf_centroids",
+               centroids_to_frame(spark, trained),
+               params={"n_clusters": 4})
+    frame, _ = load_model(store, spark, "q", kind="ivf_centroids")
+    loaded = centroids_from_model(frame)
+    assert loaded == trained  # parquet round-trips doubles exactly
+
+    def boom(*a, **k):  # the apply path must never train
+        raise AssertionError("ivf_train called on the persisted path")
+    monkeypatch.setattr(E, "ivf_train", boom)
+    persisted = E.knn_ivf(emb, queries, k=3, nprobe=4, centroids=loaded)
+    assert sorted(map(tuple, persisted.collect())) \
+        == sorted(map(tuple, inline.collect()))

@@ -125,3 +125,45 @@ def test_viterbi_unseen_char_yields_null_not_garbage(spark):
     bad = out["az"]
     assert bad["seg"] is None and bad["n_pieces"] is None \
         and bad["cost_micro"] is None
+
+
+def test_t20_oov_accounting_and_persisted_depth(spark, tmp_path):
+    """The corpus-encode fold: words past the persisted model's
+    max_word_len surface as n_oov (never silently dropped), segmented
+    words carry count-weighted piece/cost totals, and the apply step
+    reads the DP depth from the persisted params — a model saved at
+    max_piece_len=2 must segment with 2-char pieces even if the
+    caller's session default says otherwise."""
+    from projectone_spark.functions.text import bpe_doc_word_counts
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.models import load_model, save_model
+
+    docs = _docs(spark, ["aa aa superlongword", "aa"])
+    W = 4  # words longer than this are out-of-model
+    wf = bpe_doc_word_counts(docs)
+    words = (wf.filter(F.length("__w") <= W)
+             .groupBy("__w").agg(F.sum("__c").cast("bigint").alias("freq"))
+             .select(F.col("__w").alias("word"), "freq"))
+    model = unigram_lm_em_step(words, unigram_seed_pieces(words, 2), 2)
+    store = TableStore(str(tmp_path / "store"))
+    save_model(store, spark, "tok", "unigram_lm", model,
+               params={"max_piece_len": 2, "max_word_len": W})
+    loaded, meta = load_model(store, spark, "tok", kind="unigram_lm")
+    L = int(meta["params"]["max_piece_len"])
+    assert L == 2
+    seg = unigram_viterbi(words, loaded, L).select(
+        "word", "n_pieces", "cost_micro")
+    oov = F.when(F.col("n_pieces").isNull(), F.col("__c"))
+    out = {r["doc_id"]: r for r in (
+        wf.select("doc_id", F.col("__w").alias("word"), "__c")
+        .join(seg, "word", "left").groupBy("doc_id")
+        .agg(F.sum("__c").alias("n_words"),
+             F.coalesce(F.sum(oov), F.lit(0)).alias("n_oov"),
+             F.coalesce(F.sum(F.col("__c") * F.col("n_pieces")),
+                        F.lit(0)).alias("n_pieces")).collect())}
+    # doc 0: 2x"aa" (1 piece each under the trained 2-char model) +
+    # 1 oov word; doc 1: 1x"aa"
+    assert out[0]["n_words"] == 3 and out[0]["n_oov"] == 1
+    assert out[0]["n_pieces"] == 2
+    assert out[1]["n_words"] == 1 and out[1]["n_oov"] == 0
+    assert out[1]["n_pieces"] == 1
