@@ -991,3 +991,41 @@ def doremi_reweight(df: DataFrame, text_col: str = "text",
             .select(group_col, "n_tokens", "mean_surprise_micro",
                     "ref_micro", "excess_micro", "baseline_micro",
                     "weight_micro", "boost"))
+
+
+def perplexity_buckets(scored: DataFrame, group_col: str = "source",
+                       score_col: str = "surprise_micro",
+                       id_col: str = "doc_id",
+                       n_buckets: int = 3,
+                       labels: Sequence[str] = ("head", "middle", "tail"),
+                       ) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: each
+    language's documents split into head/middle/tail thirds by LM
+    perplexity; training recipes then keep the head, or sample buckets
+    at different rates). ``scored`` is any frame carrying a per-document
+    integer quality score — the natural feed is
+    :func:`~projectone_spark.functions.text.unigram_surprise`'s exact
+    micro-unit surprisal, so lower = more fluent = ``head``.
+
+    Buckets come from ``ntile(n)`` over a TOTAL order (score, then id):
+    the SQL-standard ntile is engine-portable bit-for-bit (first
+    ``n_rows mod n`` buckets take the extra row), and the id tie-break
+    makes the assignment deterministic under re-runs and repartitioning
+    even when a score value straddles a boundary.
+
+    Scale shape: ONE window over the per-document score frame —
+    per-group sort parallelism is the group count, the same shape (and
+    the same skew caveat) as curriculum_order's global sort, but over
+    one bounded-width row per document, never corpus text. Returns the
+    input columns plus ``bucket``.
+    """
+    if not 1 <= n_buckets == len(labels):
+        raise ValueError(
+            f"need one label per bucket: n_buckets={n_buckets}, "
+            f"labels={list(labels)}")
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col),
+                                              F.col(id_col))
+    lab = F.array(*[F.lit(s) for s in labels])
+    return (scored.withColumn("__nt", F.ntile(n_buckets).over(w))
+            .withColumn("bucket", F.element_at(lab, F.col("__nt")))
+            .drop("__nt"))

@@ -767,12 +767,26 @@ def bpe_vocab_encode(vocab: DataFrame, merges: Sequence[tuple[str, str]],
 
 
 def bpe_fold(wf: DataFrame, enc: DataFrame,
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id",
+             broadcast_vocab: bool = True) -> DataFrame:
     """Carry per-word encoded lengths back over the (doc, word) counts
     and close the per-document statistics — the shared tail of both
-    :func:`bpe_encode` engines. One vocabulary-sized equi-join (AQE
-    broadcasts ``enc`` while it fits) plus a map-side-combining
-    per-document aggregate."""
+    :func:`bpe_encode` engines. One vocabulary-sized equi-join plus a
+    map-side-combining per-document aggregate.
+
+    The vocabulary side BROADCASTS by default — by contract, not by
+    optimizer estimate: the r9 ×100 probe (1M docs, ~1M-word
+    vocabulary, 30k rules) caught AQE sizing the mapInPandas-produced
+    ``enc`` over the broadcast threshold and degrading this join to a
+    SortMergeJoin, which sorted the CORPUS-scaled (doc, word) frame —
+    28 GB of sort spill for a join whose small side is bounded model
+    state (an encoded tokenizer vocabulary: ~30 MB per million words).
+    At 100 TB that sort is the difference between a map-side join and
+    shuffling the corpus twice. ``broadcast_vocab=False`` restores the
+    estimate-driven plan for the degenerate no-pre-tokenization case
+    where the "vocabulary" is not actually bounded."""
+    if broadcast_vocab:
+        enc = F.broadcast(enc)
     return (wf.join(enc, "__w")
             .groupBy(id_col)
             .agg(F.sum("__c").alias("n_words"),

@@ -180,7 +180,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "v02_stage_metrics_accounting", "e05_knn_pq",
     "e10_incremental_ivf_maintenance",
     "p09_bloom_contamination", "f11_curation_pipeline",
-    "p10_curriculum_order",
+    # (p10 — 3 driver greens, ordering/sampling family still driver-
+    # covered by p12/p13/p15/p16 in-prefix — gave its slot to the CCNet
+    # perplexity-tercile bucketing)
+    "p17_ccnet_buckets",
     # second round-8 batch: scalar-int8 ANN funnel, the recall@k audit
     # over both quantized funnels, and the DoReMi mixture-reweighting
     # step — taking the third-look filler slots (a01/a02/m05, r4 cohort,
@@ -199,7 +202,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "t11_bigram_surprise",
     # second late-r6 batch (s02/s10/st09 rotated out — 3+/2+ green
     # rounds each, the registry's most-proven rows):
-    "t12_bpe_merges", "p12_dsir_importance", "e12_knn_matryoshka",
+    # (t12 — 3 driver greens, and its training chain is adjudicated
+    # INSIDE five in-prefix composition oracles (t14/t16/f13/f15/t21)
+    # — gave its slot to the tokenizer fertility audit)
+    "t21_tokenizer_fertility", "p12_dsir_importance", "e12_knn_matryoshka",
     # third late-r6 batch (p04 rotated out — 2+ greens):
     "st14_stream_bloom_screen",
     # fourth late-r6 batch (q38/q39/q40 rotated out — 1 green each plus

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from projectone_spark.queries import check, load, register
 from projectone_spark.queries._sql_fragments import _TOKS
+from projectone_spark.queries.corpus4 import _surprisal_ctes
 from projectone_spark.queries.corpus5 import _t12_ctes
 from projectone_spark.queries.corpus7 import _N_MERGES, _t14_apply_ctes
 
@@ -521,4 +522,184 @@ def t20_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("n_pieces") > 0) & (F.col("cost_micro") <= 0))).count())
     check(bad == 0, f"{bad} documents violate encode accounting "
                     "(oov containment / >=1 piece per word / cost sign)")
+    return out
+
+
+def _p17_sql() -> str:
+    return f"""
+WITH {_surprisal_ctes()},
+srcj AS (
+  SELECT d.source, scored.doc_id, scored.n_tokens, scored.surprise_micro,
+         ntile(3) OVER (PARTITION BY d.source
+                        ORDER BY scored.surprise_micro, scored.doc_id) AS b
+  FROM scored JOIN documents d USING (doc_id))
+SELECT source,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(surprise_micro) AS BIGINT) AS min_surprise_micro,
+       CAST(max(surprise_micro) AS BIGINT) AS max_surprise_micro
+FROM srcj GROUP BY source, b
+"""
+
+
+@register("p17_ccnet_buckets", _p17_sql(),
+          doc="CCNet head/middle/tail perplexity bucketing (Wenzek et "
+              "al. 2020 §4.3 — each source's documents split into "
+              "fluency terciles by LM score; pretraining recipes keep "
+              "the head or sample buckets at different rates): exact "
+              "integer surprisal scores (t10's micro-units) bucketed "
+              "with ntile over the TOTAL (score, doc_id) order — the "
+              "SQL-standard ntile is engine-portable bit-for-bit and "
+              "the tie-break makes assignment deterministic under "
+              "repartitioning; per-(source, bucket) doc/token counts "
+              "and score ranges, with the tercile balance (sizes "
+              "differ by at most one) asserted in-query",
+          tags=("sampling", "quality", "llm"))
+def p17_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.sampling import perplexity_buckets
+    from projectone_spark.functions.text import unigram_surprise
+
+    docs = load(spark, sf_dir, "documents")
+    sur = unigram_surprise(docs)
+    bk = perplexity_buckets(
+        sur.join(docs.select("doc_id", "source"), "doc_id"))
+    out = (bk.groupBy("source", "bucket")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.min("surprise_micro").cast("bigint")
+                 .alias("min_surprise_micro"),
+                F.max("surprise_micro").cast("bigint")
+                 .alias("max_surprise_micro"))
+           .localCheckpoint(eager=True))  # the balance gate below and
+    # the returned frame share one computed pipeline
+    rows = out.collect()  # bounded: sources x 3
+    sizes: dict[str, list[int]] = {}
+    for r in rows:
+        sizes.setdefault(r["source"], []).append(r["n_docs"])
+    bad = {s: v for s, v in sizes.items()
+           if len(v) != 3 or max(v) - min(v) > 1}
+    check(not bad, f"tercile balance violated: {bad}")
+    return out
+
+
+def _t21_sql() -> str:
+    """BPE side: t12 training + t14 apply CTEs verbatim (w/v*/p*/b*,
+    wf/u*/enc/agg). Unigram side: the t19 chain verbatim (uw/uec/u*/
+    y*/z*). The name sets are disjoint by construction — checked the
+    day this composed query was written, and any future collision is a
+    loud duplicate-CTE error, not silent shadowing."""
+    return f"""
+WITH {_t12_ctes(_N_MERGES)},
+{_t14_apply_ctes(_N_MERGES)},
+{_t19_ctes()},
+segb AS (
+  SELECT b.word, b.k AS np FROM za{_UNI_W} b WHERE b.pos = len(b.word)),
+uniag AS (
+  SELECT wf.doc_id,
+         CAST(coalesce(sum(CASE WHEN segb.word IS NULL THEN c END), 0)
+              AS BIGINT) AS oov,
+         CAST(coalesce(sum(c * segb.np), 0) AS BIGINT) AS np
+  FROM wf LEFT JOIN segb ON wf.w = segb.word
+  GROUP BY wf.doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(agg.n_words) AS BIGINT) AS n_words,
+       CAST(sum(agg.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(agg.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST((1000000 * sum(agg.n_bpe_tokens)) // sum(agg.n_words)
+            AS BIGINT) AS bpe_fert_micro,
+       CAST(sum(uniag.np) AS BIGINT) AS uni_pieces,
+       CAST(sum(uniag.oov) AS BIGINT) AS uni_oov,
+       CAST(CASE WHEN sum(agg.n_words) > sum(uniag.oov)
+                 THEN (1000000 * sum(uniag.np))
+                      // (sum(agg.n_words) - sum(uniag.oov)) END
+            AS BIGINT) AS uni_fert_micro
+FROM agg
+JOIN uniag USING (doc_id)
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@register("t21_tokenizer_fertility", _t21_sql(),
+          doc="tokenizer fertility audit — BOTH trained tokenizer "
+              "families applied to the same corpus and compared on the "
+              "standard evaluation table (fertility = tokens per word, "
+              "the SentencePiece/multilingual-tokenizer comparison "
+              "metric), per source: BPE (t12-trained, t14-applied) vs "
+              "unigram-LM (t19-trained) token counts, oov accounting, "
+              "and exact integer micro-unit fertilities; both apply "
+              "folds share ONE checkpointed (doc, word) count so the "
+              "corpus is scanned once for application, and the audit "
+              "is the d16/e17 discipline applied to tokenizers — the "
+              "quality claim computed INSIDE the engine (int64 "
+              "envelope: 1e6 x per-source token sums < 2^63, i.e. "
+              "~9.2e12 tokens per source; past that drop the scale)",
+          tags=("text", "tokenizer", "llm", "evaluation"))
+def t21_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import (
+        bpe_doc_word_counts,
+        bpe_fold,
+        bpe_train_merges,
+        bpe_vocab_encode,
+        unigram_lm_em_step,
+        unigram_seed_pieces,
+        unigram_viterbi,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # trained merge table = bounded model state (n_merges rows), the
+    # t14 collect class; the trainer owns its own corpus scan
+    rules = bpe_train_merges(docs, n_merges=_N_MERGES).collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in rules]
+    wf = bpe_doc_word_counts(docs)  # the ONE shared application scan
+    enc = bpe_vocab_encode(wf.select("__w").distinct(), merges)
+    bpe = bpe_fold(wf, enc)
+    words = (wf.filter(F.length("__w") <= _UNI_W)
+             .groupBy("__w")
+             .agg(F.sum("__c").cast("bigint").alias("freq"))
+             .select(F.col("__w").alias("word"), "freq")
+             .localCheckpoint(eager=False))
+    model = unigram_lm_em_step(words, unigram_seed_pieces(words, _UNI_L),
+                               _UNI_L)
+    seg = unigram_viterbi(words, model, _UNI_L).select("word", "n_pieces")
+    oov = F.when(F.col("n_pieces").isNull(), F.col("__c"))
+    uni = (wf.select("doc_id", F.col("__w").alias("word"), "__c")
+           .join(seg, "word", "left")
+           .groupBy("doc_id")
+           .agg(F.coalesce(F.sum(oov), F.lit(0)).cast("bigint")
+                 .alias("__oov"),
+                F.coalesce(F.sum(F.col("__c") * F.col("n_pieces")),
+                           F.lit(0)).cast("bigint").alias("__np")))
+    out = (bpe.join(uni, "doc_id")
+           .join(docs.select("doc_id", "source"), "doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").cast("bigint").alias("n_words"),
+                F.sum("n_chars").cast("bigint").alias("n_chars"),
+                F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
+                F.sum("__np").cast("bigint").alias("uni_pieces"),
+                F.sum("__oov").cast("bigint").alias("uni_oov"))
+           .select("source", "n_docs", "n_words", "n_chars", "bpe_tokens",
+                   F.expr("(1000000 * bpe_tokens) div n_words")
+                    .cast("bigint").alias("bpe_fert_micro"),
+                   "uni_pieces", "uni_oov",
+                   F.expr("CASE WHEN n_words > uni_oov THEN"
+                          " (1000000 * uni_pieces) div (n_words - uni_oov)"
+                          " END").cast("bigint").alias("uni_fert_micro"))
+           .localCheckpoint(eager=True))  # gates + return share one read
+    bad = (out.filter(
+        (F.col("uni_oov") > F.col("n_words"))
+        | (F.col("bpe_tokens") > F.col("n_chars"))
+        | (F.col("uni_pieces") < F.col("n_words") - F.col("uni_oov"))
+        | (F.col("bpe_fert_micro") < 1_000_000)).count())
+    check(bad == 0, f"{bad} sources violate fertility accounting "
+                    "(oov containment / tokens<=chars / >=1 token per "
+                    "word under either tokenizer)")
     return out

@@ -330,3 +330,23 @@ def test_f15_apply_plan_is_training_free(spark, tmp_path):
     # two joined model tables — bounded, never the corpus
     assert 1 <= plan.count("Scan parquet") <= 5
     assert out.count() > 0
+
+
+def test_bpe_fold_vocabulary_join_broadcasts_by_contract(spark):
+    """The encoded-vocabulary join must be a BroadcastHashJoin under
+    BOTH encode engines — the r9 ×100 probe caught AQE sizing the
+    mapInPandas-produced vocabulary over the broadcast threshold and
+    degrading to a SortMergeJoin that SORTED the corpus-scaled
+    (doc, word) frame (28 GB of spill at 1M docs). The vocabulary is
+    bounded model state; the hint makes the map-side join a plan
+    property instead of an estimate outcome."""
+    from projectone_spark.functions.text import bpe_encode
+    from projectone_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")
+    for engine in ("expr", "arrow"):
+        df = bpe_encode(docs, [("t", "h"), ("th", "e")], engine=engine)
+        assert df.count() > 0  # AQE: final plan exists after execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, engine
+        assert plan.count("BroadcastHashJoin") == 1, engine

@@ -114,3 +114,32 @@ def test_contamination_extremes(spark):
            for r in contamination_report(corpus, bench).collect()}
     assert got[1] == 1.0
     assert got[2] == 0.0
+
+
+def test_perplexity_buckets_balance_order_and_determinism(spark):
+    """CCNet terciles: bucket sizes differ by <= 1 inside each group,
+    lower scores land in earlier buckets, assignment survives
+    repartitioning (the total-order tie-break), and the label/bucket
+    validation is loud."""
+    from projectone_spark.functions.sampling import perplexity_buckets
+
+    rows = [(i, "a" if i < 10 else "b", (i * 7) % 10) for i in range(17)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, surprise_micro bigint")
+    out = perplexity_buckets(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["source"], r["bucket"]), []).append(
+            r["surprise_micro"])
+    # group a: 10 rows -> 4/3/3; group b: 7 rows -> 3/2/2
+    assert [len(by[("a", s)]) for s in ("head", "middle", "tail")] \
+        == [4, 3, 3]
+    assert [len(by[("b", s)]) for s in ("head", "middle", "tail")] \
+        == [3, 2, 2]
+    for src in ("a", "b"):
+        assert max(by[(src, "head")]) <= min(by[(src, "middle")]) + 1
+        assert max(by[(src, "middle")]) <= min(by[(src, "tail")]) + 1
+    again = perplexity_buckets(df.repartition(7)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match="one label per bucket"):
+        perplexity_buckets(df, n_buckets=4)
