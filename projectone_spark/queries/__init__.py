@@ -207,7 +207,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # — gave its slot to the tokenizer fertility audit)
     "t21_tokenizer_fertility", "p12_dsir_importance", "e12_knn_matryoshka",
     # third late-r6 batch (p04 rotated out — 2+ greens):
-    "st14_stream_bloom_screen",
+    # (st14 — 3 driver greens; the streaming-gate proof family stays
+    # driver-covered by st15/st16 and the bloom screen's batch twin by
+    # p09 — gave its slot to the streaming quality gate under
+    # persisted classifier models)
+    "st16_stream_quality_gate",
     # fourth late-r6 batch (q38/q39/q40 rotated out — 1 green each plus
     # the registry's most-proven family as siblings):
     "t13_bm25_retrieval", "e13_knn_binary_hamming", "p13_unimax_allocation",

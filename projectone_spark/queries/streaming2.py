@@ -457,3 +457,165 @@ def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     check(diff == 0,
           f"streamed SQ8 index diverges from batch rebuild by {diff} rows")
     return acc
+
+
+# Batch recompute of the gate verdicts — what the streamed, persisted-
+# model-driven accumulation must equal regardless of batch split. The
+# weight/score chain is t15's CTEs verbatim; the cutoff selection is
+# t17's sweep closed with f15's F1-argmax; the all-document scoring
+# reuses t15's tf/v/tot tables without the held-out restriction.
+from projectone_spark.queries.corpus7 import _t15_ctes  # noqa: E402
+
+_ST16_SQL = f"""
+WITH {_t15_ctes()},
+gbk AS (
+  SELECT CASE WHEN score_micro >= 0 THEN score_micro // 50000
+              ELSE -((-score_micro + 49999) // 50000) END AS b,
+         label, CAST(count(*) AS BIGINT) AS n
+  FROM cls GROUP BY 1, 2),
+gct AS (SELECT CAST(coalesce(sum(CASE WHEN label THEN n END), 0) AS BIGINT)
+          AS pos FROM gbk),
+gks AS (SELECT CAST(unnest(range(0, 21)) AS BIGINT) AS k),
+gagg AS (
+  SELECT gks.k,
+         CAST(coalesce(sum(CASE WHEN gbk.label THEN gbk.n END), 0)
+              AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN NOT gbk.label THEN gbk.n END), 0)
+              AS BIGINT) AS fp
+  FROM gks LEFT JOIN gbk ON gbk.b >= gks.k
+  GROUP BY gks.k),
+gf1 AS (
+  SELECT CAST(k * 50000 AS BIGINT) AS cutoff_micro,
+         CASE WHEN tp + fp + pos > 0
+              THEN CAST((2000000 * tp) // (tp + fp + pos) AS BIGINT)
+              END AS f1_micro
+  FROM gagg CROSS JOIN gct),
+gcut AS (SELECT cutoff_micro FROM gf1
+         ORDER BY f1_micro DESC NULLS LAST, cutoff_micro LIMIT 1),
+gall AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf.tf * (least(CAST(1000000000000 AS HUGEINT)
+                                   * (v.cneg + 1) * (tot.npos + tot.vv),
+                                 CAST(1000000 AS HUGEINT)
+                                   * (v.cpos + 1) * (tot.nneg + tot.vv))
+                           // (CAST(v.cneg + 1 AS HUGEINT)
+                               * (tot.npos + tot.vv))))
+              AS BIGINT) AS dot
+  FROM tf JOIN v USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id),
+gsc AS (
+  SELECT doc_id,
+         CAST(least(1000000, (dot // n_tokens + 1000000) // 4) AS BIGINT)
+           AS score_micro
+  FROM gall)
+SELECT d.doc_id, d.source, gsc.score_micro,
+       coalesce(gsc.score_micro >= gcut.cutoff_micro, FALSE) AS keep
+FROM documents d
+LEFT JOIN gsc USING (doc_id)
+CROSS JOIN gcut
+"""
+
+
+@register("st16_stream_quality_gate", _ST16_SQL,
+          doc="streaming quality gate under PERSISTED classifier models "
+              "— the f15 calibration-to-gate lifecycle running on a "
+              "stream: the fastText-style token weights train once on "
+              "the labeled split and the F1-argmax cutoff calibrates "
+              "once on the held-out split (both through save_model / "
+              "load_model, kind-validated); each micro-batch then "
+              "scores its documents against the broadcast loaded "
+              "weights and gates at the loaded cutoff — an exact "
+              "integer compare, zero training or calibration aggregates "
+              "in the per-batch plan — appending verdicts exactly-once "
+              "under txn watermarks; >= 4 real micro-batches asserted "
+              "in-query, unscored docs gate to keep=FALSE explicitly, "
+              "and the accumulated verdict table is proven EQUAL to the "
+              "from-scratch batch recompute under the same persisted "
+              "models (the st13/st14/st15 batch-split-invariance proof "
+              "applied to the quality gate)",
+          tags=("streaming", "quality", "model", "llm"))
+def st16_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.text import (
+        apply_token_classifier,
+        classifier_calibration,
+        select_f1_cutoff,
+        token_weight_table,
+    )
+    from projectone_spark.queries import check
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.models import load_model, save_model
+    from projectone_spark.streaming import (
+        StreamTrigger,
+        read_stream_parquet,
+        write_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    store = TableStore(scratch_dir(prefix="po_st16_store_"))
+
+    # TRAIN + CALIBRATE ONCE, before any batch flows (the f15 trainer
+    # task, persisted as kind-stamped model tables; at 100 TB these are
+    # the classifier's only corpus-scale scans)
+    label = F.col("lang") == "en"
+    save_model(store, spark, "st16_weights", "token_weights",
+               token_weight_table(docs, label=label,
+                                  train=F.col("doc_id") % 7 == 0),
+               params={"label": "lang = 'en'", "train": "doc_id % 7 = 0"})
+    held = docs.filter(F.col("doc_id") % 7 != 0)
+    scored = (apply_token_classifier(
+                  held, store.read(spark, "st16_weights"))
+              .join(held.select("doc_id", label.alias("label")), "doc_id"))
+    save_model(store, spark, "st16_cutoff", "score_cutoff",
+               select_f1_cutoff(classifier_calibration(scored)),
+               params={"criterion": "f1_argmax", "step": 50_000})
+
+    weights, _ = load_model(store, spark, "st16_weights",
+                            kind="token_weights")
+    cut, _ = load_model(store, spark, "st16_cutoff", kind="score_cutoff")
+    # bounded model state, pinned once: the per-batch plans must not
+    # re-read the store tables every micro-batch
+    weights = weights.localCheckpoint(eager=True)
+    cut = cut.localCheckpoint(eager=True)
+
+    def gate_frame(batch: DataFrame) -> DataFrame:
+        keep = F.col("score_micro") >= F.col("cutoff_micro")
+        return (batch.select("doc_id", "source")
+                .join(apply_token_classifier(batch, weights)
+                      .select("doc_id", "score_micro"), "doc_id", "left")
+                .crossJoin(F.broadcast(cut.select("cutoff_micro")))
+                .select("doc_id", "source", "score_micro",
+                        F.coalesce(keep, F.lit(False)).alias("keep")))
+
+    src_dir = scratch_dir(prefix="po_st16_src_")
+    docs.select("doc_id", "text", "source").repartition(4) \
+        .write.mode("overwrite").parquet(src_dir)
+    stream = read_stream_parquet(
+        spark, src_dir, "doc_id bigint, text string, source string",
+        max_files_per_trigger=1)
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.txn_version("gate", "st16_gate"):
+            return  # at-least-once replay: already committed
+        store.append(spark, gate_frame(batch_df).coalesce(1), "gate",
+                     txn=("st16_gate", batch_id))
+
+    q = write_stream(stream, foreach_batch=gate_batch,
+                     trigger=StreamTrigger(available_now=True),
+                     checkpoint=scratch_dir(prefix="po_st16_ckpt_"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st16 stream did not finish in 300s — refusing "
+                           "to read a partially-gated table")
+    check(store.txn_version("gate", "st16_gate") >= 3,
+          "expected >= 4 micro-batches through the standing quality gate")
+    acc = (store.read(spark, "gate")
+           .select("doc_id", "source", "score_micro", "keep")
+           .localCheckpoint(eager=True))  # the equality gate and the
+    # returned frame share one read of the accumulated verdicts
+    rebuild = gate_frame(docs.select("doc_id", "text", "source"))
+    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
+            .count())
+    check(diff == 0,
+          f"streamed gate verdicts diverge from batch recompute by {diff}")
+    return acc
