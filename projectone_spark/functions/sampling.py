@@ -1029,3 +1029,98 @@ def perplexity_buckets(scored: DataFrame, group_col: str = "source",
     return (scored.withColumn("__nt", F.ntile(n_buckets).over(w))
             .withColumn("bucket", F.element_at(lab, F.col("__nt")))
             .drop("__nt"))
+
+
+def int_sqrt(col: Column | str) -> Column:
+    """Exact integer square root ``floor(sqrt(m))`` for a non-negative
+    BIGINT — engine-portable without trusting float precision: the
+    IEEE double ``sqrt`` guess is correctly rounded (within one of the
+    true floor over the whole int64 range, since even a 2^63-scale
+    input's double representation error perturbs the root by ≪ 1), and
+    a ±1 fixup makes it exact. The probes compare via integer DIVISION
+    (``g+1 <= m div (g+1)`` ⇔ ``(g+1)² <= m``), never by squaring, so
+    they cannot overflow near int64 max where ``(isqrt(max)+1)²``
+    would. This is how α=1/2 temperature scaling stays inside the
+    engine's exact-integer discipline — sqrt is the one fractional
+    power whose result is integer-checkable."""
+    m = F.col(col) if isinstance(col, str) else col
+    g = F.floor(F.sqrt(m.cast("double"))).cast("bigint")
+    too_big = (g > 0) & (F.call_function("div", m, g) < g)  # g² > m
+    too_small = F.call_function("div", m, g + 1) >= g + 1  # (g+1)² <= m
+    return (F.when(m <= 0, F.lit(0).cast("bigint"))
+            .when(too_big, g - 1)
+            .when(too_small, g + 1)
+            .otherwise(g))
+
+
+def largest_remainder(frame: DataFrame, group_col: str, num_col: str,
+                      out_col: str, units: int) -> DataFrame:
+    """Largest-remainder apportionment of exactly ``units`` integer
+    units across the frame's rows, proportional to ``num_col``: floors
+    first, then one extra unit to the largest remainders (ties broken
+    by ``group_col`` ascending) — the doremi/unimax grid discipline as
+    a standalone helper. Column sums to exactly ``units`` by
+    construction; DECIMAL(38,0) lane because ``num × units`` wraps
+    int64 within the advertised corpus scale."""
+    every = Window.partitionBy()
+    by_rem = Window.partitionBy().orderBy(F.desc("__lr_rem"),
+                                          F.asc(group_col))
+    return (frame
+            .withColumn("__lr_tot", F.sum(num_col).over(every))
+            .withColumn("__lr_flo", F.expr(
+                f"(CAST({num_col} AS DECIMAL(38,0)) * {int(units)})"
+                " div __lr_tot"))
+            .withColumn("__lr_rem", F.expr(
+                f"(CAST({num_col} AS DECIMAL(38,0)) * {int(units)})"
+                " % __lr_tot"))
+            .withColumn("__lr_dfc", F.lit(int(units)).cast("bigint")
+                        - F.sum("__lr_flo").over(every))
+            .withColumn("__lr_rnk", F.row_number().over(by_rem))
+            .withColumn(out_col,
+                        (F.col("__lr_flo")
+                         + F.when(F.col("__lr_rnk") <= F.col("__lr_dfc"), 1)
+                         .otherwise(0)).cast("bigint"))
+            .drop("__lr_tot", "__lr_flo", "__lr_rem", "__lr_rnk",
+                  "__lr_dfc"))
+
+
+def temperature_mixture_allocation(df: DataFrame, budget_tokens: int,
+                                   group_col: str = "source",
+                                   text_col: str = "text",
+                                   scale: int = 1_000_000) -> DataFrame:
+    """Temperature-scaled mixture NORMALIZED to a token budget — the
+    multilingual-pretraining sampling rule (mBERT / XLM-R style:
+    ``q_s ∝ p_s^α`` flattens dominant sources) at α = 1/2, the one
+    fractional temperature the exact-integer discipline can carry
+    end-to-end: group masses are exact token counts, ``p^(1/2)`` is
+    :func:`int_sqrt` (exact), and both the mixture weights (summing to
+    exactly ``scale``) and the per-group token quotas (summing to
+    exactly ``budget_tokens``) close with largest-remainder
+    apportionment — no float normalization anywhere, so an external
+    oracle reproduces every row bit-for-bit.
+
+    This is the budget-normalized production variant
+    :func:`temperature_quota_sample`'s docstring points at but
+    deliberately does not compute (its quota is a pure per-group
+    function; cross-group float normalization would not be
+    engine-portable — fixed-point apportionment is).
+
+    Scale shape: one scan-side token count, one bounded per-group
+    aggregate, two window passes over the GROUP frame (rows = number
+    of sources, never corpus-sized). Returns one row per group:
+    (group, n_docs, n_tokens, sqrt_tokens, weight_micro,
+    quota_tokens).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    from projectone_spark.functions.text import token_count
+
+    mass = (df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count(text_col)).cast("bigint")
+                  .alias("n_tokens"))
+            .withColumn("sqrt_tokens", int_sqrt("n_tokens")))
+    out = largest_remainder(mass, group_col, "sqrt_tokens",
+                            "weight_micro", int(scale))
+    return largest_remainder(out, group_col, "sqrt_tokens",
+                             "quota_tokens", int(budget_tokens))

@@ -214,7 +214,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "st16_stream_quality_gate",
     # fourth late-r6 batch (q38/q39/q40 rotated out — 1 green each plus
     # the registry's most-proven family as siblings):
-    "t13_bm25_retrieval", "e13_knn_binary_hamming", "p13_unimax_allocation",
+    "t13_bm25_retrieval", "e13_knn_binary_hamming",
+    # (p13 — 3 driver greens, the budget-allocation family stays
+    # driver-covered by p12/p15/p16/p17/p18 in-prefix — gave its slot
+    # to the exact-isqrt temperature budget allocation)
+    "p18_temperature_budget",
     # fifth late-r6 batch (f04/t09 rotated out — 1 green each, their
     # operator families stay driver-covered by in-prefix siblings:
     # f01-f03/f05/f06 exercise the schema-registry/task surface, and the

@@ -703,3 +703,83 @@ def t21_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "(oov containment / tokens<=chars / >=1 token per "
                     "word under either tokenizer)")
     return out
+
+
+_P18_BUDGET = 10_000_000
+
+
+def _p18_sql(budget: int = _P18_BUDGET) -> str:
+    """int_sqrt mirror (float guess + division-probe fixup, no squaring
+    so no overflow near int64 max), then largest-remainder
+    apportionment twice — weights to the 1e6 grid, quotas to the token
+    budget — with the identical (remainder DESC, source) tie order."""
+    lr = lambda units, flo, rem, out: f"""
+  SELECT source, n_docs, n_tokens, sqrt_tokens{', weight_micro' if out == 'quota_tokens' else ''},
+         CAST({flo} + CASE WHEN row_number()
+                OVER (ORDER BY {rem} DESC, source)
+              <= {units} - (SELECT sum({flo}) FROM __SRC__) THEN 1 ELSE 0
+              END AS BIGINT) AS {out}
+  FROM __SRC__"""
+    w_flo = "(CAST(sqrt_tokens AS HUGEINT) * 1000000) // (SELECT sum(sqrt_tokens) FROM s)"
+    w_rem = "(CAST(sqrt_tokens AS HUGEINT) * 1000000) % (SELECT sum(sqrt_tokens) FROM s)"
+    q_flo = f"(CAST(sqrt_tokens AS HUGEINT) * {budget}) // (SELECT sum(sqrt_tokens) FROM s)"
+    q_rem = f"(CAST(sqrt_tokens AS HUGEINT) * {budget}) % (SELECT sum(sqrt_tokens) FROM s)"
+    return f"""
+WITH m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+g AS (
+  SELECT m.*, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS gg
+  FROM m),
+s AS (
+  SELECT source, n_docs, n_tokens,
+         CASE WHEN n_tokens <= 0 THEN 0
+              WHEN gg > 0 AND n_tokens // gg < gg THEN gg - 1
+              WHEN n_tokens // (gg + 1) >= gg + 1 THEN gg + 1
+              ELSE gg END AS sqrt_tokens
+  FROM g),
+w AS ({lr(1_000_000, w_flo, w_rem, 'weight_micro').replace('__SRC__', 's')})
+{lr(budget, q_flo, q_rem, 'quota_tokens').replace('__SRC__', 'w')}
+"""
+
+
+@register("p18_temperature_budget", _p18_sql(),
+          doc="temperature-scaled mixture allocation NORMALIZED to a "
+              "token budget (the mBERT/XLM-R q ∝ p^α sampling rule at "
+              "α = 1/2 — the one fractional temperature exact-integer "
+              "arithmetic carries end-to-end): per-source token masses "
+              "are exact counts, p^(1/2) is an exact integer square "
+              "root (IEEE guess + division-probe ±1 fixup, no float "
+              "trusted, no overflow by construction), and both the "
+              "mixture weights (sum = exactly 1e6) and per-source "
+              "token quotas (sum = exactly the budget) close with "
+              "largest-remainder apportionment — the budget-normalized "
+              "production variant temperature_quota_sample's docstring "
+              "deliberately leaves out (cross-group FLOAT normalization "
+              "is not engine-portable; fixed-point apportionment is); "
+              "grid identities asserted in-query",
+          tags=("sampling", "mixture", "llm"))
+def p18_temperature_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.sampling import (
+        temperature_mixture_allocation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = (temperature_mixture_allocation(docs, _P18_BUDGET)
+           .select("source", "n_docs", "n_tokens", "sqrt_tokens",
+                   "weight_micro", "quota_tokens")
+           .localCheckpoint(eager=True))  # the grid gates below and the
+    # returned frame share one computed pipeline
+    rows = out.collect()  # bounded: one row per source
+    check(sum(r["weight_micro"] for r in rows) == 1_000_000,
+          "mixture weights must sum to exactly the 1e6 grid")
+    check(sum(r["quota_tokens"] for r in rows) == _P18_BUDGET,
+          "token quotas must sum to exactly the budget")
+    for r in rows:
+        s, n = r["sqrt_tokens"], r["n_tokens"]
+        check(s * s <= n < (s + 1) * (s + 1),
+              f"int_sqrt inexact for {r['source']}: {s}^2 vs {n}")
+    return out

@@ -63,7 +63,7 @@ def test_harness_prefix_contract():
         "f15_model_lifecycle", "t19_unigram_lm", "st15_stream_sq8_index",
         "t20_unigram_encode", "e18_persisted_ivf_search",
         "p17_ccnet_buckets", "t21_tokenizer_fertility",
-        "st16_stream_quality_gate",
+        "st16_stream_quality_gate", "p18_temperature_budget",
     }
     r8_cohort_kept_for_second_green = {
         "t16_bpe_encode_arrow", "t17_classifier_calibration",

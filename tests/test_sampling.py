@@ -143,3 +143,40 @@ def test_perplexity_buckets_balance_order_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with pytest.raises(ValueError, match="one label per bucket"):
         perplexity_buckets(df, n_buckets=4)
+
+
+def test_int_sqrt_exact_across_range(spark):
+    """The ±1 fixup must deliver the exact floor sqrt everywhere the
+    float guess can err: perfect squares, square±1, and the top of the
+    int64 range where squaring the guess would overflow (the probes
+    divide instead)."""
+    import math
+
+    from projectone_spark.functions.sampling import int_sqrt
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17, 10**6, 10**6 + 1,
+            (1 << 26) ** 2, (1 << 26) ** 2 - 1, (1 << 26) ** 2 + 1,
+            4503599627370496, 9007199254740993,  # 2^52, 2^53+1
+            9223372036854775807]  # int64 max
+    df = spark.createDataFrame([(v,) for v in vals], "m bigint")
+    got = {r["m"]: r["s"] for r in
+           df.select("m", int_sqrt("m").alias("s")).collect()}
+    for v in vals:
+        assert got[v] == math.isqrt(v), (v, got[v], math.isqrt(v))
+
+
+def test_largest_remainder_sums_exactly_and_is_proportional(spark):
+    from projectone_spark.functions.sampling import largest_remainder
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "g string, n bigint")
+    out = {r["g"]: r["q"] for r in largest_remainder(
+        df, "g", "n", "q", 100).collect()}
+    # 100/3 -> floors 33 each, 1 leftover to the lowest name
+    assert sum(out.values()) == 100 and out == {"a": 34, "b": 33, "c": 33}
+    df2 = spark.createDataFrame(
+        [("a", 0), ("b", 3), ("c", 1)], "g string, n bigint")
+    out2 = {r["g"]: r["q"] for r in largest_remainder(
+        df2, "g", "n", "q", 1_000_000).collect()}
+    assert sum(out2.values()) == 1_000_000 and out2["a"] == 0
+    assert out2["b"] == 750_000 and out2["c"] == 250_000
