@@ -1230,14 +1230,25 @@ def token_weight_table(df: DataFrame, label: Column,
 
 def apply_token_classifier(df: DataFrame, weights: DataFrame,
                            text_col: str = "text", id_col: str = "doc_id",
-                           scale: int = 1_000_000) -> DataFrame:
+                           scale: int = 1_000_000,
+                           broadcast_model: bool = True) -> DataFrame:
     """Score documents with a PERSISTED (term, weight_micro) model table
     — the apply half of the :func:`token_weight_table` lifecycle, and
     the production shape of classifier curation (CCNet/DataComp train
     their quality classifier once and run it over every crawl): no
     training aggregate anywhere in this plan, just one scan of ``df``,
     a (doc, term) count, and one equi-join against the
-    vocabulary-bounded model (AQE broadcasts it while it fits).
+    vocabulary-bounded model.
+
+    The model side BROADCASTS by contract, not by optimizer estimate
+    (``broadcast_model=False`` opts out): a loaded model frame is
+    store-read- or checkpoint-backed, so AQE has NO size statistics
+    for it and falls back to a SortMergeJoin — the r9 ×100 probe
+    measured exactly that (1M docs, ~1M-term weight table: 1 SMJ,
+    28 GB of sort spill of the corpus-scaled doc-term frame, the same
+    cliff bpe_fold hit with its mapInPandas-produced vocabulary). A
+    (term, weight) table is bounded model state — tens of MB per
+    million terms — and the apply join must stay map-side at 100 TB.
 
     Scoring semantics match :func:`linear_token_classifier` exactly
     (same mean-token-weight logit, same hard sigmoid, same truncating
@@ -1254,9 +1265,10 @@ def apply_token_classifier(df: DataFrame, weights: DataFrame,
           .filter(F.col("term").isNotNull())
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
-    return (tf.join(weights.select("term",
-                                   F.col("weight_micro").alias("__w")),
-                    "term")
+    w = weights.select("term", F.col("weight_micro").alias("__w"))
+    if broadcast_model:
+        w = F.broadcast(w)
+    return (tf.join(w, "term")
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  F.sum(F.col("tf") * F.col("__w")).alias("__dot"))

@@ -350,3 +350,25 @@ def test_bpe_fold_vocabulary_join_broadcasts_by_contract(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, engine
         assert plan.count("BroadcastHashJoin") == 1, engine
+
+
+def test_apply_token_classifier_model_join_broadcasts_by_contract(spark):
+    """The persisted-model scoring join must be a BroadcastHashJoin: a
+    loaded weight table is store-read/checkpoint-backed, so AQE has no
+    size statistics and falls back to SortMergeJoin — the r9 ×100 probe
+    measured 28 GB of corpus-frame sort spill from exactly that. Bounded
+    model state broadcasts by contract (the bpe_fold rule)."""
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.text import (
+        apply_token_classifier, token_weight_table)
+    from projectone_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")
+    w = token_weight_table(docs, label=F.col("lang") == "en",
+                           train=F.col("doc_id") % 7 == 0)
+    scored = apply_token_classifier(docs, w.localCheckpoint(eager=True))
+    assert scored.count() > 0
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
