@@ -32,6 +32,20 @@ contract extended to the trainer/scorer split its task DAG
   higher-order expression per word. In-query, every segmentation is
   proven to reconstruct its word exactly.
 
+Added later in round 9 (all same-discipline):
+
+- t20: unigram-LM corpus ENCODE under the PERSISTED t19 model — the
+  t14/t16 production-apply pattern for the SentencePiece family, one
+  checkpointed (doc, word) count feeding both training and apply,
+  oov accounting for past-max_word_len words.
+- p17: CCNet head/middle/tail perplexity terciles per source (ntile
+  over a total order of the exact surprisal score).
+- t21: tokenizer fertility audit — both trained tokenizer families
+  (BPE and unigram-LM) applied to the same corpus from one shared
+  word-count fold, per-source fertility in exact micro-units.
+- p18: temperature-scaled mixture allocation normalized to a token
+  budget (α = 1/2 via exact integer sqrt, largest-remainder grids).
+
 Same exactness discipline as corpus4-8: integer arithmetic end-to-end,
 no transcendental float anywhere near an adjudicated column.
 """
