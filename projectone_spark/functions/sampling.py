@@ -1067,6 +1067,15 @@ def largest_remainder(frame: DataFrame, group_col: str, num_col: str,
                                           F.asc(group_col))
     return (frame
             .withColumn("__lr_tot", F.sum(num_col).over(every))
+            # zero total mass has no proportional answer — fail loudly
+            # at execution (the frame is lazy, so a driver-side count
+            # here would cost an extra action) instead of surfacing an
+            # opaque ANSI DIVIDE_BY_ZERO from inside the plan
+            .withColumn("__lr_tot", F.when(
+                F.col("__lr_tot") > 0, F.col("__lr_tot")).otherwise(
+                F.raise_error(F.lit(
+                    "largest_remainder: total mass is zero — nothing"
+                    " to apportion"))))
             .withColumn("__lr_flo", F.expr(
                 f"(CAST({num_col} AS DECIMAL(38,0)) * {int(units)})"
                 " div __lr_tot"))

@@ -881,6 +881,25 @@ def unigram_word_freqs(df: DataFrame, text_col: str = "text",
             .localCheckpoint(eager=False))
 
 
+def unigram_word_freqs_from_counts(wf: DataFrame,
+                                   max_word_len: int = 12) -> DataFrame:
+    """(word, freq) vocabulary fold of a :func:`bpe_doc_word_counts`
+    frame — :func:`unigram_word_freqs`'s output WITHOUT a second corpus
+    scan (freq = total occurrences = the sum of per-doc counts), for
+    pipelines that already hold the checkpointed (doc, word) counts and
+    feed both a tokenizer and a per-document fold. This is the ONE
+    definition of the apply-side word-length contract (the t20/t21
+    persisted-model folds share it), so the trainer's vocabulary and
+    the apply join's keys cannot silently diverge."""
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    return (wf.filter(F.length("__w") <= int(max_word_len))
+            .groupBy("__w")
+            .agg(F.sum("__c").cast("bigint").alias("freq"))
+            .select(F.col("__w").alias("word"), "freq")
+            .localCheckpoint(eager=False))
+
+
 def _unigram_cost(counts: DataFrame, scale: int) -> DataFrame:
     """(piece, count, score_micro) with the engine's exact-integer
     inverse-frequency cost ``(scale · N) div count`` — the
@@ -971,6 +990,16 @@ def unigram_viterbi(words: DataFrame, pieces: DataFrame,
                       "piece")
     earr = (edges.groupBy("word", "freq")
             .agg(F.collect_list(F.struct("st", "ln", "cost")).alias("__es")))
+    # a word with ZERO in-model candidate pieces (every character
+    # outside a persisted model's inventory) must surface as the
+    # documented NULL row, not vanish — the inner piece join dropped
+    # it from earr, so re-anchor on the input words with an empty
+    # edge set (the DP then marks every position unreachable)
+    earr = (words.select("word", "freq")
+            .join(earr, ["word", "freq"], "left")
+            .withColumn("__es", F.coalesce(F.col("__es"), F.expr(
+                "CAST(array() AS"
+                " ARRAY<STRUCT<st: INT, ln: INT, cost: BIGINT>>)"))))
     # forward DP with backpointers: acc[j+1] = best (cost, k, bp) at
     # position j; the array_min feeds a one-element transform so the
     # min is computed ONCE per position (module rule #1). An
@@ -978,15 +1007,21 @@ def unigram_viterbi(words: DataFrame, pieces: DataFrame,
     # explicit 2^62 cost sentinel, NOT a null: inside aggregate's
     # accumulator the array element type is non-nullable (the init
     # literal's type), and Spark silently coerces null struct fields
-    # to 0 there (measured) — which would read as a FREE reach. The
-    # sentinel is assigned, never accumulated, so reachable hops after
-    # it add at most wlen·cap ≪ 2^62 of headroom — no overflow.
+    # to 0 there (measured) — which would read as a FREE reach. Edges
+    # LEAVING an unreachable position are filtered out (acc.c < big),
+    # so the sentinel never enters a sum — without that guard,
+    # sentinel + a near-envelope piece cost (up to scale·N ~ 9.2e18,
+    # see _unigram_cost) wraps int64 negative and a wrapped path would
+    # WIN the array_min, returning garbage instead of NULL. Dropping
+    # those edges is also exactly the oracle's semantics: its DP joins
+    # only REACHED predecessor states.
     big = 1 << 62
     dp = earr.withColumn("__dp", F.expr(
         "aggregate(sequence(1, length(word)),"
         " array(struct(CAST(0 AS BIGINT) AS c, 0 AS k, 0 AS bp)),"
         " (acc, i) -> concat(acc, transform(array(coalesce(array_min("
-        "   transform(filter(__es, e -> e.st + e.ln = i),"
+        "   transform(filter(__es, e -> e.st + e.ln = i"
+        f"     AND element_at(acc, e.st + 1).c < {big}),"
         "     e -> struct(element_at(acc, e.st + 1).c + e.cost AS c,"
         "                 element_at(acc, e.st + 1).k + 1 AS k,"
         "                 -e.ln AS nl))),"

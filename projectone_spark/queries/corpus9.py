@@ -488,6 +488,7 @@ def t20_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_lm_em_step,
         unigram_seed_pieces,
         unigram_viterbi,
+        unigram_word_freqs_from_counts,
     )
     from projectone_spark.session import scratch_dir
     from projectone_spark.store import TableStore
@@ -495,14 +496,7 @@ def t20_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     wf = bpe_doc_word_counts(docs)  # the ONE corpus scan, checkpointed
-    # (word, freq) is a vocabulary-bounded fold of the checkpointed
-    # counts — identical to unigram_word_freqs' frame without a second
-    # corpus scan (freq = total occurrences = sum of per-doc counts)
-    words = (wf.filter(F.length("__w") <= _UNI_W)
-             .groupBy("__w")
-             .agg(F.sum("__c").cast("bigint").alias("freq"))
-             .select(F.col("__w").alias("word"), "freq")
-             .localCheckpoint(eager=False))
+    words = unigram_word_freqs_from_counts(wf, _UNI_W)
     model = unigram_lm_em_step(words, unigram_seed_pieces(words, _UNI_L),
                                _UNI_L)
     store = TableStore(scratch_dir(prefix="po_t20_store_"))
@@ -665,6 +659,7 @@ def t21_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_lm_em_step,
         unigram_seed_pieces,
         unigram_viterbi,
+        unigram_word_freqs_from_counts,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -675,11 +670,7 @@ def t21_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = bpe_doc_word_counts(docs)  # the ONE shared application scan
     enc = bpe_vocab_encode(wf.select("__w").distinct(), merges)
     bpe = bpe_fold(wf, enc)
-    words = (wf.filter(F.length("__w") <= _UNI_W)
-             .groupBy("__w")
-             .agg(F.sum("__c").cast("bigint").alias("freq"))
-             .select(F.col("__w").alias("word"), "freq")
-             .localCheckpoint(eager=False))
+    words = unigram_word_freqs_from_counts(wf, _UNI_W)
     model = unigram_lm_em_step(words, unigram_seed_pieces(words, _UNI_L),
                                _UNI_L)
     seg = unigram_viterbi(words, model, _UNI_L).select("word", "n_pieces")

@@ -146,9 +146,18 @@ class TableStore:
             }
             # model metadata (store.models.save_model) rides the SAME
             # atomic manifest publish — never a second write — and
-            # carries forward across commits like txns, so an append to
-            # a model table cannot silently strip its kind stamp
-            if prev is not None and "model" in prev:
+            # carries forward across CONTENT-PRESERVING commits (append
+            # adds rows, compact/zorder rewrite the same rows), so an
+            # append to a model table cannot silently strip its kind
+            # stamp. Content-REPLACING commits (overwrite, selective
+            # overwrite, DML mutations) drop it: the new contents were
+            # not produced by save_model, and a stale stamp would let
+            # load_model hand a downstream apply task garbage with a
+            # valid-looking kind (r9 review finding — reproduced with a
+            # plain overwrite of junk onto a model table). save_model
+            # itself re-stamps through manifest_extra on every save.
+            if (prev is not None and "model" in prev
+                    and operation in ("append", "compact", "zorder")):
                 manifest["model"] = prev["model"]
             if manifest_extra:
                 manifest.update(manifest_extra)

@@ -99,7 +99,18 @@ def load_model(store: TableStore, spark: SparkSession, name: str,
         raise ValueError(
             f"model table '{name}' holds kind {meta.get('kind')!r}, "
             f"caller expected {kind!r}")
-    return store.read(spark, name), dict(meta)
+    frame = store.read(spark, name)
+    # belt and braces against stamp/content drift (a rewritten table
+    # whose stamp somehow survived): the frame must still carry the
+    # kind's required columns, same contract save_model enforced
+    required = MODEL_KINDS.get(meta.get("kind"), frozenset())
+    missing = required - set(frame.columns)
+    if missing:
+        raise ValueError(
+            f"model table '{name}' (kind {meta.get('kind')!r}) no longer "
+            f"carries required columns {sorted(missing)} — its contents "
+            f"were replaced by a non-save_model writer")
+    return frame, dict(meta)
 
 
 # -- bounded frame <-> driver-value adapters -------------------------------
@@ -136,6 +147,12 @@ def centroids_from_model(df: DataFrame) -> list[list[float]]:
     Bounded collect: k rows. Validates the cell ids are exactly
     0..k-1 — a gap would silently shift every assignment."""
     rows = df.select("cell", "centroid").orderBy("cell").collect()
+    if not rows:
+        # [] passes the 0..k-1 check vacuously, but an empty quantizer
+        # makes every downstream search probe nothing and return zero
+        # neighbors silently — fail here like assign_cell does
+        raise ValueError("centroid model is empty (k=0) — a search "
+                         "under it would return no results for any query")
     cells = [int(r["cell"]) for r in rows]
     if cells != list(range(len(rows))):
         raise ValueError(

@@ -159,3 +159,45 @@ def test_knn_ivf_with_persisted_centroids_skips_training(spark, tmp_path,
     persisted = E.knn_ivf(emb, queries, k=3, nprobe=4, centroids=loaded)
     assert sorted(map(tuple, persisted.collect())) \
         == sorted(map(tuple, inline.collect()))
+
+
+def test_plain_overwrite_strips_model_stamp(spark, tmp_path):
+    """r9 review finding: the kind stamp used to carry forward across a
+    PLAIN overwrite, so load_model would hand back junk with a
+    valid-looking kind. Content-replacing commits must drop the stamp;
+    content-preserving appends must keep it."""
+    store = _store(tmp_path)
+    w = spark.createDataFrame([("cat", 7)], "term string, weight_micro bigint")
+    save_model(store, spark, "m", "token_weights", w)
+    junk = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    store.overwrite(spark, junk, "m")
+    with pytest.raises(ValueError, match="no model metadata"):
+        load_model(store, spark, "m", kind="token_weights")
+    # re-saving restores the stamp; an APPEND then keeps it
+    save_model(store, spark, "m", "token_weights", w)
+    store.append(spark, spark.createDataFrame(
+        [("dog", 9)], "term string, weight_micro bigint"), "m")
+    back, meta = load_model(store, spark, "m", kind="token_weights")
+    assert meta["kind"] == "token_weights" and back.count() == 2
+
+
+def test_load_model_revalidates_required_columns(spark, tmp_path):
+    """Belt and braces: even if a stale stamp survived, a loaded frame
+    missing the kind's required columns must fail loudly."""
+    store = _store(tmp_path)
+    w = spark.createDataFrame([("cat", 7)], "term string, weight_micro bigint")
+    save_model(store, spark, "m", "token_weights", w)
+    # simulate stamp/content drift via a manifest amendment onto junk
+    junk = spark.createDataFrame([(1,)], "a bigint")
+    store.overwrite(spark, junk, "m")
+    store.amend_manifest(
+        "m", lambda man: man.update(
+            {"model": {"kind": "token_weights", "params": {}}}) or man)
+    with pytest.raises(ValueError, match="no longer carries required"):
+        load_model(store, spark, "m", kind="token_weights")
+
+
+def test_centroids_from_model_rejects_empty(spark):
+    with pytest.raises(ValueError, match="empty"):
+        centroids_from_model(spark.createDataFrame(
+            [], "cell int, centroid array<double>"))

@@ -180,3 +180,11 @@ def test_largest_remainder_sums_exactly_and_is_proportional(spark):
         df2, "g", "n", "q", 1_000_000).collect()}
     assert sum(out2.values()) == 1_000_000 and out2["a"] == 0
     assert out2["b"] == 750_000 and out2["c"] == 250_000
+
+
+def test_largest_remainder_zero_total_fails_loudly(spark):
+    from projectone_spark.functions.sampling import largest_remainder
+
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "g string, n bigint")
+    with pytest.raises(Exception, match="total mass is zero"):
+        largest_remainder(df, "g", "n", "q", 100).collect()

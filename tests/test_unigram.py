@@ -134,16 +134,15 @@ def test_t20_oov_accounting_and_persisted_depth(spark, tmp_path):
     reads the DP depth from the persisted params — a model saved at
     max_piece_len=2 must segment with 2-char pieces even if the
     caller's session default says otherwise."""
-    from projectone_spark.functions.text import bpe_doc_word_counts
+    from projectone_spark.functions.text import (
+        bpe_doc_word_counts, unigram_word_freqs_from_counts)
     from projectone_spark.store import TableStore
     from projectone_spark.store.models import load_model, save_model
 
     docs = _docs(spark, ["aa aa superlongword", "aa"])
     W = 4  # words longer than this are out-of-model
     wf = bpe_doc_word_counts(docs)
-    words = (wf.filter(F.length("__w") <= W)
-             .groupBy("__w").agg(F.sum("__c").cast("bigint").alias("freq"))
-             .select(F.col("__w").alias("word"), "freq"))
+    words = unigram_word_freqs_from_counts(wf, W)
     model = unigram_lm_em_step(words, unigram_seed_pieces(words, 2), 2)
     store = TableStore(str(tmp_path / "store"))
     save_model(store, spark, "tok", "unigram_lm", model,
@@ -167,3 +166,21 @@ def test_t20_oov_accounting_and_persisted_depth(spark, tmp_path):
     assert out[0]["n_pieces"] == 2
     assert out[1]["n_words"] == 1 and out[1]["n_oov"] == 0
     assert out[1]["n_pieces"] == 1
+
+
+def test_viterbi_zero_candidate_word_yields_null_row(spark):
+    """r9 review finding: a word with NO in-model candidate piece
+    (every character outside a persisted model's inventory) used to
+    vanish from the output entirely (inner piece join); the documented
+    contract is an explicit NULL row callers can gate on."""
+    words = spark.createDataFrame([("zz", 1), ("aa", 2)],
+                                  "word string, freq bigint")
+    pieces = spark.createDataFrame([("a", 3, 1_000_000)],
+                                   "piece string, count bigint,"
+                                   " score_micro bigint")
+    out = {r["word"]: r for r in unigram_viterbi(words, pieces).collect()}
+    assert set(out) == {"zz", "aa"}  # nothing dropped
+    assert out["aa"]["seg"] == "a a"
+    z = out["zz"]
+    assert z["seg"] is None and z["n_pieces"] is None \
+        and z["cost_micro"] is None and z["freq"] == 1
