@@ -986,6 +986,146 @@ def sq8_codes(vec: Column, dims: int) -> Column:
     return F.transform(F.sequence(F.lit(1), F.lit(dims)), code)
 
 
+def sq8_pack_words(code: Column, dims: int) -> list[Column]:
+    """Pack an SQ8 code array into ``ceil(dims/4)`` BIGINT words, 4
+    codes per word little-endian (code ``4*j + b`` occupies byte ``b``
+    of word ``j``) — the :func:`sign_words` discipline one rung up the
+    precision ladder. 32 bits of payload per word keeps every value far
+    from the int64 sign bit, so the packing is a plain integer sum that
+    behaves identically in any engine, and the packed layout is the
+    honest SQ8 storage shape: 8 bytes per 4 dims on disk instead of a
+    4-byte int per dim, and scalar (sortable, hashable) columns instead
+    of an array."""
+    if dims <= 0:
+        raise ValueError(f"dims must be positive, got {dims}")
+    words = []
+    for j in range(0, dims, 4):
+        nb = min(4, dims - j)
+        words.append(sum(
+            F.element_at(code, j + b + 1).cast("bigint") * F.lit(256 ** b)
+            for b in range(nb)).cast("bigint"))
+    return words
+
+
+def sq8_unpack_words(dims: int, prefix: str = "w") -> Column:
+    """Rebuild the SQ8 code array from :func:`sq8_pack_words` columns
+    ``{prefix}00..{prefix}NN`` — one higher-order expression (two nested
+    transforms over a 4-element divisor array), never ``dims`` unrolled
+    byte extractions (codegen size, the :func:`sq8_bounds` rule). Exact
+    integer div/mod, so pack -> unpack is an identity in any engine."""
+    if dims <= 0:
+        raise ValueError(f"dims must be positive, got {dims}")
+    n_words = (dims + 3) // 4
+    wcols = ", ".join(f"{prefix}{j:02d}" for j in range(n_words))
+    return F.slice(F.expr(
+        f"flatten(transform(array({wcols}),"
+        " w -> transform(array(1, 256, 65536, 16777216),"
+        " d -> CAST((w div d) % 256 AS INT))))"), 1, dims)
+
+
+def probe_cells(vec_col: Column, centroids: list[tuple[int, list[float]]],
+                nprobe: int) -> Column:
+    """``array<int>`` of the ``nprobe`` nearest cell ids under the
+    :func:`assign_cell` score ``dot(v, c) / |c|`` (ties to the lowest
+    cell id) — the multi-probe twin of ``assign_cell``, same struct-sort
+    codegen, same IEEE op sequence a DuckDB oracle reproduces with
+    ``_dot/_norm``. ``probe_cells(v, cents, 1)[0] == assign_cell(v,
+    cents)`` by construction."""
+    if not centroids:
+        raise ValueError("probe_cells needs at least one centroid")
+    if nprobe <= 0:
+        raise ValueError(f"nprobe must be positive, got {nprobe}")
+    entries = []
+    for cid, comps in centroids:
+        entries.append(F.struct(
+            (-(_centroid_dot(vec_col, comps) / F.lit(_folded_norm(comps))))
+            .alias("neg"),
+            F.lit(cid).alias("cid")))
+    ranked = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cid"])
+
+
+def build_ivf_sq8_codes(corpus: DataFrame,
+                        centroids: list[tuple[int, list[float]]],
+                        bounds: DataFrame, dims: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """The BUILD side of a persisted IVF-SQ8 index (the ``ivf_sq8``
+    kind in ``store.indexes``): one corpus scan emitting ``(vec_id,
+    cell, packed code words)`` — cell routing via :func:`assign_cell`
+    under the given coarse centroids, codes via :func:`sq8_codes` under
+    the given broadcast bounds row, packed 4-per-bigint by
+    :func:`sq8_pack_words`. Everything is scan-side codegen: at 100 TB
+    the build is exactly one pass over the raw vectors, and the emitted
+    table is the 4x-compressed artifact every later search scans
+    INSTEAD of the corpus."""
+    coded = (corpus.crossJoin(F.broadcast(bounds))
+             .select(F.col(id_col),
+                     assign_cell(F.col(vec_col), centroids).alias("cell"),
+                     sq8_codes(F.col(vec_col), dims).alias("__code")))
+    return coded.select(
+        id_col, "cell",
+        *[w.alias(f"w{j:02d}")
+          for j, w in enumerate(sq8_pack_words(F.col("__code"), dims))])
+
+
+def search_ivf_sq8_index(codes: DataFrame,
+                         centroids: list[tuple[int, list[float]]],
+                         bounds: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, k: int = 5, nprobe: int = 2,
+                         shortlist: int = 25, dims: int = 64,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         query_id_col: str = "query_id") -> DataFrame:
+    """The SEARCH side of a persisted IVF-SQ8 index — the production
+    cold read path: rank candidates from the PERSISTED code table alone
+    and touch raw vectors only for the per-query shortlist rerank.
+
+    Stage 0 (bounded): each query encodes against the broadcast bounds
+    row and probes its ``nprobe`` nearest cells under the broadcast
+    centroids. Stage 1 (the only index-sized work): the code table,
+    filtered to probed cells by an int equi-join against the broadcast
+    query frame, ranked by exact integer squared-L2 between unpacked
+    code arrays — raw vectors never appear. Stage 2: the established
+    funnel rerank fetches full vectors for ``n_queries × shortlist``
+    rows only, exact cosine, tie-break by neighbor id.
+
+    At 100 TB stage 1 scans the 4x-compressed code table — partition
+    the code table by ``cell`` and the probed-cell join prunes to
+    ~nprobe/n_cells of it; the corpus itself is read only by the
+    bounded broadcast-back in stage 2 (a plan property, pinned by
+    ``tests/test_plans.py``). Stage 1 ranks on integers, so the whole
+    funnel stays bit-exact-oracle-checkable."""
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    qc = (q.crossJoin(F.broadcast(bounds))
+          .select(query_id_col,
+                  sq8_codes(F.col("__qvec"), dims).alias("__qc"),
+                  F.explode(probe_cells(F.col("__qvec"), centroids, nprobe))
+                  .alias("cell")))
+    idx = codes.select(F.col(id_col), F.col("cell"),
+                       sq8_unpack_words(dims).alias("__c"))
+    sq = F.aggregate(
+        F.zip_with(F.col("__c"), F.col("__qc"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = (idx.join(F.broadcast(qc), "cell")
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(F.col(query_id_col),
+                      F.col(id_col).alias("neighbor_id"),
+                      sq.alias("sq_dist")))
+    short = _shortlist_topk(scored, query_id_col,
+                            [F.asc("sq_dist"), F.asc("neighbor_id")],
+                            shortlist) \
+        .select(query_id_col, "neighbor_id", "sq_dist")
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    rr = _funnel_rerank(
+        c.select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__vn")),
+        q.select(query_id_col, "__qvec",
+                 l2_norm(F.col("__qvec")).alias("__qn")),
+        short, "sq_dist", id_col, query_id_col)
+    return _topk(rr, query_id_col, k)
+
+
 def knn_sq8(corpus: DataFrame, queries: DataFrame, k: int = 5,
             shortlist: int = 25, dims: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",

@@ -905,15 +905,33 @@ def _unigram_cost(counts: DataFrame, scale: int) -> DataFrame:
     inverse-frequency cost ``(scale · N) div count`` — the
     :func:`unigram_surprise` surrogate for ``-log p(piece)``: additive
     over a segmentation, exactly representable in both engines, and
-    monotone in the piece's improbability. Int64 envelope (t10's):
-    ``scale · N < 2^63`` → N ≤ ~9.2e12 piece occurrences at the default
-    scale; past that drop ``scale`` (ordering survives, granularity
-    coarsens)."""
+    monotone in the piece's improbability.
+
+    Int64 envelope — ENFORCED, not advisory (r9 advice): a single
+    piece cost reaches ``scale · N`` (count = 1), and the Viterbi DP's
+    unreachable-position sentinel is 2^62, so ``scale · N`` must stay
+    below 2^61: (1) any PARTIAL path sum the DP ever forms is then
+    < 2^62 + 2^61 < 2^63 (predecessors with ``c ≥ 2^62`` are filtered
+    before extension), so int64 wraparound is impossible; (2) a NULL
+    Viterbi row then unambiguously means out-of-inventory except for
+    the measure-zero case of a best path of ≥ 3 near-max (count ≲ 2)
+    pieces summing past 2^62 — which call sites (t20/t21 ``n_oov``)
+    may count as OOV. At the default scale the bound is N ≤ ~2.3e12
+    piece occurrences; past that, drop ``scale`` (ordering survives,
+    granularity coarsens). The check rides the cost expression itself
+    (``raise_error``), so it runs wherever the frame is computed —
+    no eager driver action."""
     total = counts.agg(F.sum("count").alias("__n"))
+    n_max = (1 << 61) // int(scale)
     return (counts.crossJoin(F.broadcast(total))
             .select("piece", "count",
-                    F.expr(f"(CAST({int(scale)} AS BIGINT) * __n)"
-                           " div count").alias("score_micro")))
+                    F.expr(
+                        f"CASE WHEN __n > {n_max} THEN CAST(raise_error("
+                        f"'unigram cost envelope exceeded: scale*N must "
+                        f"stay below 2^61 (N > {n_max} at scale="
+                        f"{int(scale)}); lower scale') AS BIGINT) "
+                        f"ELSE (CAST({int(scale)} AS BIGINT) * __n)"
+                        " div count END").alias("score_micro")))
 
 
 def unigram_seed_pieces(words: DataFrame, max_piece_len: int = 4,

@@ -372,10 +372,17 @@ def st14_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 from projectone_spark.queries._embed_sql import _E_DBL  # noqa: E402
 from projectone_spark.queries.embeddings2 import _sq8_ctes  # noqa: E402
 
+_ST15_WORDS = ", ".join(
+    f"(CAST(c[{4 * j + 1}] AS BIGINT)"
+    + "".join(f" + CAST(c[{4 * j + b + 1}] AS BIGINT) * {256 ** b}"
+              for b in range(1, 4))
+    + f") AS w{j:02d}"
+    for j in range(16))
+
 _ST15_SQL = f"""
 WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
 {_sq8_ctes()}
-SELECT vec_id, c AS code FROM cd
+SELECT vec_id, {_ST15_WORDS} FROM cd
 """
 
 
@@ -385,18 +392,26 @@ SELECT vec_id, c AS code FROM cd
               "entire trained state) is trained once on the corpus and "
               "saved via save_model; each micro-batch then encodes its "
               "vectors scan-side against the broadcast loaded bounds "
-              "and appends (vec_id, code) rows under per-batch txn "
-              "watermarks — replay-idempotent, >= 4 real micro-batches "
-              "asserted in-query, and the accumulated code table is "
-              "proven EQUAL to the from-scratch batch rebuild under the "
-              "same model (the st13 batch-split-invariance proof "
-              "applied to e16's quantizer); the oracle recomputes "
-              "bounds and codes exactly (IEEE-exact min/max and "
-              "floor-clamp steps, the e16 discipline)",
+              "and appends (vec_id, packed code words) rows under "
+              "per-batch txn watermarks — replay-idempotent, >= 4 real "
+              "micro-batches asserted in-query, and the accumulated "
+              "code table is proven EQUAL to the from-scratch batch "
+              "rebuild under the same model (the st13 "
+              "batch-split-invariance proof applied to e16's "
+              "quantizer); codes are stored PACKED, 4 per bigint word "
+              "(sq8_pack_words — the honest SQ8 layout, 8 bytes/4 dims "
+              "on disk and scalar columns throughout); the oracle "
+              "recomputes bounds, codes and packing exactly "
+              "(IEEE-exact min/max and floor-clamp steps plus integer "
+              "byte sums, the e16/e13 discipline)",
           tags=("streaming", "embeddings", "ann", "quantization",
                 "incremental", "model"))
 def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from projectone_spark.functions.embeddings import sq8_bounds, sq8_codes
+    from projectone_spark.functions.embeddings import (
+        sq8_bounds,
+        sq8_codes,
+        sq8_pack_words,
+    )
     from projectone_spark.queries import check
     from projectone_spark.store import TableStore
     from projectone_spark.store.models import load_model, save_model
@@ -423,9 +438,13 @@ def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-batch broadcast must not re-read the store table every batch
 
     def code_frame(vectors: DataFrame) -> DataFrame:
-        return (vectors.crossJoin(F.broadcast(bounds))
-                .select("vec_id",
-                        sq8_codes(F.col("embedding"), 64).alias("code")))
+        coded = (vectors.crossJoin(F.broadcast(bounds))
+                 .select("vec_id",
+                         sq8_codes(F.col("embedding"), 64).alias("__code")))
+        return coded.select(
+            "vec_id",
+            *[w.alias(f"w{j:02d}") for j, w in enumerate(
+                sq8_pack_words(F.col("__code"), 64))])
 
     stream = read_stream_parquet(
         spark, src_dir, "vec_id bigint, embedding array<float>",
@@ -446,7 +465,8 @@ def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "to read a partially-built code index")
     check(store.txn_version("codes", "st15_codes") >= 3,
           "expected >= 4 micro-batches through the standing SQ8 index")
-    acc = (store.read(spark, "codes").select("vec_id", "code")
+    word_cols = ["vec_id"] + [f"w{j:02d}" for j in range(16)]
+    acc = (store.read(spark, "codes").select(*word_cols)
            .localCheckpoint(eager=True))  # the equality gate and the
     # returned frame share one read of the accumulated index
     # batch-split invariance, the st13 proof: the accumulation must

@@ -147,18 +147,26 @@ class TableStore:
             # model metadata (store.models.save_model) rides the SAME
             # atomic manifest publish — never a second write — and
             # carries forward across CONTENT-PRESERVING commits (append
-            # adds rows, compact/zorder rewrite the same rows), so an
-            # append to a model table cannot silently strip its kind
-            # stamp. Content-REPLACING commits (overwrite, selective
-            # overwrite, DML mutations) drop it: the new contents were
-            # not produced by save_model, and a stale stamp would let
-            # load_model hand a downstream apply task garbage with a
-            # valid-looking kind (r9 review finding — reproduced with a
-            # plain overwrite of junk onto a model table). save_model
-            # itself re-stamps through manifest_extra on every save.
-            if (prev is not None and "model" in prev
-                    and operation in ("append", "compact", "zorder")):
-                manifest["model"] = prev["model"]
+            # adds rows, compact/zorder/optimize recluster the same
+            # rows), so routine maintenance on a model table cannot
+            # silently strip its kind stamp. Content-REPLACING commits
+            # (overwrite, selective overwrite, DML mutations) drop it:
+            # the new contents were not produced by save_model, and a
+            # stale stamp would let load_model hand a downstream apply
+            # task garbage with a valid-looking kind (r9 review finding
+            # — reproduced with a plain overwrite of junk onto a model
+            # table). save_model itself re-stamps through manifest_extra
+            # on every save; restore copies the RESTORED version's stamp
+            # through manifest_extra (prev's would be the wrong
+            # contents' stamp).
+            # the index stamp (store.indexes.save_index) follows the same
+            # lifecycle one level up: appends are exactly how an index is
+            # incrementally maintained, so they must keep the stamp
+            for stamp in ("model", "index"):
+                if (prev is not None and stamp in prev
+                        and operation in ("append", "compact", "zorder",
+                                          "optimize")):
+                    manifest[stamp] = prev[stamp]
             if manifest_extra:
                 manifest.update(manifest_extra)
             tdir = self._table_dir(name)

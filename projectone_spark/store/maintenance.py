@@ -122,12 +122,18 @@ def restore(store: TableStore, name: str, version: int) -> int:
     if missing:
         raise FileNotFoundError(
             f"version {version} of '{name}' was vacuumed; missing {missing}")
+    # the restored contents are exactly the historical version's, so the
+    # model/index stamps (if any) must be THAT version's — never the
+    # pre-restore manifest's, which described different rows (r9 advice:
+    # restore onto a saved model previously stripped the stamp permanently)
+    extra = {k: target[k] for k in ("model", "index") if k in target} or None
     return store._commit(name, list(target["dirs"]),
                          list(target["partition_by"]), "restore",
                          {"restored_from": version},
                          stats_columns=list(target.get("stats_columns") or []),
                          set_columns=list(target.get("set_columns") or []),
-                         files=list(target.get("files") or []))
+                         files=list(target.get("files") or []),
+                         manifest_extra=extra)
 
 
 def clone(store: TableStore, name: str, target: str) -> int:

@@ -181,6 +181,39 @@ def test_plain_overwrite_strips_model_stamp(spark, tmp_path):
     assert meta["kind"] == "token_weights" and back.count() == 2
 
 
+def test_maintenance_keeps_model_stamp(spark, tmp_path):
+    """r9 advice finding: OPTIMIZE (a content-preserving recluster of the
+    same rows) and RESTORE (back to a version written by save_model) must
+    keep the kind stamp — previously both stripped it permanently, so
+    routine maintenance broke every downstream load_model."""
+    from projectone_spark.store.maintenance import restore
+    from projectone_spark.store.skipping import optimize
+
+    store = _store(tmp_path)
+    w = spark.createDataFrame([("cat", 7), ("dog", 9)],
+                              "term string, weight_micro bigint")
+    v_model = save_model(store, spark, "m", "token_weights", w,
+                         params={"scale": 1})
+    optimize(store, spark, "m", ["term"], target_files=1)
+    back, meta = load_model(store, spark, "m", kind="token_weights")
+    assert meta["params"] == {"scale": 1} and back.count() == 2
+
+    # stamp is dropped by a junk overwrite, then restored by RESTORE to
+    # the save_model version (the restored version's stamp, not prev's)
+    junk = spark.createDataFrame([(1,)], "a bigint")
+    store.overwrite(spark, junk, "m")
+    with pytest.raises(ValueError, match="no model metadata"):
+        load_model(store, spark, "m")
+    restore(store, "m", v_model)
+    back, meta = load_model(store, spark, "m", kind="token_weights")
+    assert meta["kind"] == "token_weights" and back.count() == 2
+
+    # and restoring back to the junk version drops the stamp again
+    restore(store, "m", v_model + 2)
+    with pytest.raises(ValueError, match="no model metadata"):
+        load_model(store, spark, "m")
+
+
 def test_load_model_revalidates_required_columns(spark, tmp_path):
     """Belt and braces: even if a stale stamp survived, a loaded frame
     missing the kind's required columns must fail loudly."""
