@@ -1095,8 +1095,12 @@ def search_ivf_sq8_index(codes: DataFrame,
     bounded broadcast-back in stage 2 (a plan property, pinned by
     ``tests/test_plans.py``). Stage 1 ranks on integers, so the whole
     funnel stays bit-exact-oracle-checkable."""
+    # the query batch is bounded by contract and feeds TWO subtrees
+    # (stage-0 encode/probe and the stage-2 rerank) — checkpoint it
+    # lazily so its source is scanned once, not once per subtree
     q = queries.select(F.col(id_col).alias(query_id_col),
-                       F.col(vec_col).alias("__qvec"))
+                       F.col(vec_col).alias("__qvec")) \
+        .localCheckpoint(eager=False)
     qc = (q.crossJoin(F.broadcast(bounds))
           .select(query_id_col,
                   sq8_codes(F.col("__qvec"), dims).alias("__qc"),

@@ -1318,6 +1318,32 @@ def apply_token_classifier(df: DataFrame, weights: DataFrame,
           .filter(F.col("term").isNotNull())
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
+    return apply_token_classifier_from_counts(
+        tf, weights, id_col=id_col, scale=scale,
+        broadcast_model=broadcast_model)
+
+
+def apply_token_classifier_from_counts(
+        tf: DataFrame, weights: DataFrame, id_col: str = "doc_id",
+        term_col: str = "term", count_col: str = "tf",
+        scale: int = 1_000_000,
+        broadcast_model: bool = True) -> DataFrame:
+    """Score documents from a PRE-FOLDED ``(doc, term, count)`` frame —
+    the shared-fold twin of :func:`apply_token_classifier` for pipelines
+    that already pay the (doc, word) tokenize for another model family:
+    the r10 ×100 cold-start probe measured the fold at ~75% of the whole
+    f15 apply wall (190 s of 255 s at 1M docs), and a classifier+BPE
+    apply that folds once instead of twice drops one full corpus scan —
+    at 100 TB the dominant term. ``tf`` must carry exactly one row per
+    (doc, term) with its count (``bpe_doc_word_counts`` output qualifies:
+    same ``tokens()`` normalization, and the ``!= ''`` filter is vacuous
+    since normalize collapses whitespace before the split).
+
+    Scoring semantics, broadcast-by-contract model join, and the
+    missing-doc contract are :func:`apply_token_classifier`'s exactly —
+    that function now delegates here."""
+    tf = tf.select(F.col(id_col), F.col(term_col).alias("term"),
+                   F.col(count_col).alias("tf"))
     w = weights.select("term", F.col("weight_micro").alias("__w"))
     if broadcast_model:
         w = F.broadcast(w)

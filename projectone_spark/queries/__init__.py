@@ -172,12 +172,23 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # driver-covered by e05/e10/e12/e13/e16/e17/e18 in-prefix). Both
     # rotated-out anchors stay locally parity-checked every pytest run.
     "t20_unigram_encode", "e18_persisted_ivf_search",
+    # round-10 rotation: the two new lifecycle queries take the slots of
+    # two 4-green anchors — f06 (avro/schema-registry: 4 driver greens,
+    # its task surface stays driver-covered by the in-prefix f12/f13/f15
+    # DAG flagships) and v02 (stage-metrics accounting: 4 driver greens,
+    # and the metrics listener is dogfooded by every ×100 probe). Both
+    # stay locally parity-checked every pytest run.
+    "e19_index_open_and_search", "f16_model_version_pinning",
+    # st17 (streaming maintenance of the e19 artifact) takes the slot of
+    # o04 (OAuth2 OData read, 4 driver greens; the OData family stays
+    # locally parity-checked every pytest run):
+    "st17_stream_index_maintenance",
     # never driver-adjudicated (new in r5 tail / new in r6):
-    "j02_jdbc_query_pushdown", "o04_odata_oauth_read",
-    "f06_avro_roundtrip", "f08_event_handlers",
+    "j02_jdbc_query_pushdown",
+    "f08_event_handlers",
     "f09_file_path_cdc", "v01_row_expectations",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
-    "v02_stage_metrics_accounting", "e05_knn_pq",
+    "e05_knn_pq",
     "e10_incremental_ivf_maintenance",
     "p09_bloom_contamination", "f11_curation_pipeline",
     # (p10 — 3 driver greens, ordering/sampling family still driver-
@@ -268,6 +279,7 @@ def _ensure_loaded() -> None:
         corpus7,  # new-in-r7: BPE encode, fastText-style classifier
         corpus8,  # new-in-r8: arrow BPE, calibration, dup runs, batches
         corpus9,  # new-in-r9: model persistence lifecycle, unigram LM
+        corpus10,  # new-in-r10: model version pinning / refresh semantics
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}

@@ -234,7 +234,8 @@ def f15_model_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_apply = task("f15_apply", f"""
         import pyspark.sql.functions as F
         from projectone_spark.functions.text import (
-            apply_token_classifier, bpe_encode)
+            apply_token_classifier_from_counts, bpe_doc_word_counts,
+            bpe_fold, bpe_vocab_encode)
         from projectone_spark.store import TableStore
         from projectone_spark.store.models import (
             bpe_merges_from_model, load_model)
@@ -249,10 +250,17 @@ def f15_model_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             rules, _ = load_model(store, spark, "f15_bpe",
                                   kind="bpe_merges")
             merges = bpe_merges_from_model(rules)
-            scored = apply_token_classifier(delta, w) \\
+            # ONE (doc, word) fold feeds BOTH model families — the r10
+            # x100 probe measured the fold at ~75% of the apply wall,
+            # so folding once instead of twice drops one full delta
+            # scan (at 100 TB the dominant apply cost)
+            wf = bpe_doc_word_counts(delta)
+            scored = apply_token_classifier_from_counts(
+                wf, w, term_col="__w", count_col="__c") \\
                 .select("doc_id", "score_micro")
-            enc = bpe_encode(delta, merges).select("doc_id",
-                                                   "n_bpe_tokens")
+            enc = bpe_fold(wf, bpe_vocab_encode(
+                wf.select("__w").distinct(), merges)) \\
+                .select("doc_id", "n_bpe_tokens")
             keep = F.col("score_micro") >= F.col("cutoff_micro")
             one = F.when(keep, 1)
             return (delta.select("doc_id", "source")

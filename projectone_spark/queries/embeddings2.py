@@ -646,3 +646,197 @@ def e18_persisted_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return (knn_ivf(emb, queries, k=5, nprobe=8, centroids=loaded)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+# The PERSISTED-INDEX open-and-search lifecycle (e19): the whole funnel
+# — seed-centroid cell routing, SQ8 bounds/codes, probed-cell stage 1
+# on exact integers, cosine rerank — mirrored in SQL at the production
+# shape (nprobe < n_cells, bounded shortlist), so the search FROM THE
+# PERSISTED ARTIFACT is adjudicated bit-for-bit, not recall-floored.
+_E19_NPROBE, _E19_CELLS, _E19_SHORTLIST = 2, 8, 25
+
+
+def _e19_sql(train_where: str = "TRUE") -> str:
+    """The full persisted-index funnel in SQL. ``train_where`` restricts
+    the QUANTIZER's training corpus (``tv`` — centroid seeds and SQ8
+    bounds) while cells/codes/search always cover every vector: exactly
+    the streamed-maintenance shape where the quantizer trains once at t0
+    and later deltas are encoded under the persisted parts (out-of-bound
+    coordinates clamp, the sq8_codes contract). st17 reuses this with
+    the base-corpus filter; e19 trains on everything."""
+    return f"""
+WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
+tv AS (SELECT vec_id, e FROM v WHERE {train_where}),
+c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        AS cid, e AS ce
+      FROM (SELECT vec_id, e FROM tv ORDER BY vec_id LIMIT {_E19_CELLS})),
+asg AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+  FROM (SELECT v.vec_id, c.cid, {_dot('v.e', 'c.ce')} / {_norm('c.ce')} AS s
+        FROM v CROSS JOIN c)),
+cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+b AS (SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+      FROM tv CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd GROUP BY i),
+pc AS (SELECT v.vec_id, b.i,
+              CASE WHEN b.mx > b.mn
+                   THEN CAST(least(255, greatest(0,
+                        floor((v.e[b.i] - b.mn) * 255.0 / (b.mx - b.mn))))
+                        AS INTEGER)
+                   ELSE 0 END AS code
+       FROM v CROSS JOIN b),
+cd AS (SELECT vec_id, list(code ORDER BY i) AS c FROM pc GROUP BY vec_id),
+w AS (SELECT v.vec_id, v.e, cd.c, cells.cell
+      FROM v JOIN cd USING (vec_id) JOIN cells USING (vec_id)),
+q AS (SELECT vec_id AS query_id, e AS qe, c AS qc
+      FROM v JOIN cd USING (vec_id) WHERE vec_id % 50 = 0),
+qp AS (SELECT query_id, cid AS cell FROM (
+         SELECT q.query_id, c.cid,
+                row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY {_dot('q.qe', 'c.ce')}
+                                            / {_norm('c.ce')} DESC,
+                                            c.cid) AS prk
+         FROM q CROSS JOIN c) WHERE prk <= {_E19_NPROBE}),
+s1 AS (
+  SELECT qp.query_id, w.vec_id AS neighbor_id, w.e AS e, q.qe AS qe,
+         CAST(list_aggregate(list_transform(range(1, 65),
+              i -> (w.c[i] - q.qc[i]) * (w.c[i] - q.qc[i])), 'sum')
+              AS BIGINT) AS sq_dist
+  FROM w JOIN qp ON w.cell = qp.cell
+  JOIN q ON q.query_id = qp.query_id
+  WHERE w.vec_id <> qp.query_id),
+sh AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sq_dist, neighbor_id) AS srank
+       FROM s1),
+rr AS (SELECT query_id, neighbor_id, sq_dist,
+              round({_dot('qe', 'e')} / ({_norm('qe')} * {_norm('e')}), 6)
+                AS score
+       FROM sh WHERE srank <= {_E19_SHORTLIST}),
+rk AS (SELECT query_id, neighbor_id, sq_dist, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+       FROM rr)
+SELECT query_id, neighbor_id, sq_dist, score, rank FROM rk WHERE rank <= 5
+"""
+
+
+_E19_SQL = _e19_sql()
+
+
+@register("e19_index_open_and_search", _E19_SQL,
+          doc="persisted-INDEX lifecycle — save_index/open-and-search, "
+              "the production cold read path at 100 TB (the index is "
+              "the 4x-compressed artifact a search scans INSTEAD of "
+              "the corpus): task A builds the full IVF-SQ8 index in "
+              "one corpus scan (seed-centroid cell routing + SQ8 "
+              "codes packed 4-per-bigint) and persists it via "
+              "save_index — code table stamped with its kind/params/"
+              "part names, centroids and bounds as kind-stamped model "
+              "parts bound to the index by name; task B OPENS the "
+              "index cold (stamp, kind, part-pairing and code columns "
+              "all validated) and answers KNN from the persisted "
+              "artifact alone: queries encode against the loaded "
+              "bounds and probe 2 of 8 cells under the loaded "
+              "centroids, stage 1 ranks probed-cell candidates by "
+              "exact integer squared-L2 over UNPACKED persisted "
+              "codes (raw vectors untouched — a plan test pins that "
+              "the only embeddings scans are the query input and the "
+              "bounded rerank fetch), stage 2 reranks 25/query with "
+              "exact cosine; the oracle mirrors the ENTIRE funnel at "
+              "this production shape bit-for-bit",
+          tags=("embeddings", "knn", "ann", "quantization", "model",
+                "pipeline", "dag"))
+def e19_index_open_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.queries import check
+    from projectone_spark.queries.corpus7 import _curation_task_builder
+    from projectone_spark.session import configure, scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.task.dag import PipelineRunner, TaskNode
+
+    configure(spark)
+    root = scratch_dir(prefix="po_e19_store_")
+    state = scratch_dir(prefix="po_e19_state_")
+    task = _curation_task_builder(spark, root, state)
+    emb_in = {"name": "emb", "path": f"{sf_dir}/embeddings.parquet",
+              "source": "parquet"}
+
+    t_build = task("e19_build", f"""
+        import pyspark.sql.functions as F
+        from projectone_spark.functions.embeddings import (
+            build_ivf_sq8_codes, seed_centroids, sq8_bounds)
+        from projectone_spark.store import TableStore
+        from projectone_spark.store.indexes import save_index
+        from projectone_spark.store.models import centroids_to_frame
+        def build_stage(emb):
+            spark = emb.sparkSession
+            store = TableStore({root!r})
+            # deterministic seeding (the e10 discipline) keeps the
+            # whole index SQL-adjudicable; swap ivf_train for
+            # production balance, nothing downstream changes
+            seeds = seed_centroids(emb, k={_E19_CELLS})
+            cents = [(i, comps) for i, (_, comps) in enumerate(seeds)]
+            bounds = sq8_bounds(emb, dims=64).localCheckpoint(eager=True)
+            codes = build_ivf_sq8_codes(emb, cents, bounds, dims=64)
+            save_index(store, spark, "e19_index", "ivf_sq8", codes,
+                       parts={{"centroids": centroids_to_frame(
+                                   spark, [c for _, c in cents]),
+                              "bounds": bounds}},
+                       params={{"dims": 64, "n_cells": {_E19_CELLS},
+                               "metric": "cosine",
+                               "seeding": "seed_centroids"}})
+            return (codes.groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("n_vectors")))
+    """, "build_stage", [emb_in], "e19_build_summary")
+
+    t_search = task("e19_search", f"""
+        import pyspark.sql.functions as F
+        from projectone_spark.functions.embeddings import (
+            search_ivf_sq8_index)
+        from projectone_spark.store import TableStore
+        from projectone_spark.store.indexes import open_index
+        from projectone_spark.store.models import centroids_from_model
+        def search_stage(emb):
+            spark = emb.sparkSession
+            store = TableStore({root!r})
+            idx = open_index(store, spark, "e19_index", kind="ivf_sq8")
+            cents = [(i, c) for i, c in enumerate(
+                centroids_from_model(idx.parts["centroids"]))]
+            # bounded one-row model state, pinned driver-side so the
+            # per-query broadcast does not re-read the store table
+            bounds = idx.parts["bounds"].localCheckpoint(eager=True)
+            queries = emb.filter(F.col("vec_id") % 50 == 0)
+            return search_ivf_sq8_index(
+                idx.codes, cents, bounds, emb, queries, k=5,
+                nprobe={_E19_NPROBE}, shortlist={_E19_SHORTLIST},
+                dims=int(idx.params["dims"]))
+    """, "search_stage", [emb_in], "e19_knn")
+
+    runs = PipelineRunner(spark).run([
+        TaskNode("e19_build", t_build.config),
+        TaskNode("e19_search", t_search.config, depends_on=["e19_build"]),
+    ])
+    bad = {n: r.error for n, r in runs.items() if r.status != "SUCCESS"}
+    check(not bad, f"e19 DAG tasks failed: {bad}")
+
+    store = TableStore(root)
+    out = (store.read(spark, "e19_knn")
+           .select("query_id", "neighbor_id", "sq_dist", "score", "rank")
+           .localCheckpoint(eager=True))  # the checks below and the
+    # returned frame share one read of the search output
+    # lifecycle sanity: the index opens cold AFTER the DAG too, and
+    # its summary accounts for every indexed vector exactly once
+    from projectone_spark.store.indexes import open_index
+
+    idx = open_index(store, spark, "e19_index", kind="ivf_sq8")
+    n_codes = idx.codes.count()
+    n_sum = (store.read(spark, "e19_build_summary")
+             .agg(F.sum("n_vectors").cast("bigint").alias("n")).first()["n"])
+    check(n_codes == n_sum,
+          f"index/summary disagree: {n_codes} codes vs {n_sum} summed")
+    per_q = (out.groupBy("query_id").count()
+             .agg(F.max("count").alias("mx")).first()["mx"])
+    check(per_q is not None and per_q <= 5,
+          f"top-k contract violated: {per_q} rows for one query")
+    return out

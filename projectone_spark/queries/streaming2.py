@@ -639,3 +639,128 @@ def st16_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     check(diff == 0,
           f"streamed gate verdicts diverge from batch recompute by {diff}")
     return acc
+
+
+# Streaming maintenance of the PERSISTED INDEX (st17): the e19 artifact
+# kept fresh O(delta) per micro-batch under txn watermarks, then opened
+# COLD and searched — the oracle is the e19 funnel with the quantizer
+# trained on the base corpus only (the t0-quantizer production shape;
+# delta coordinates outside the t0 bounds clamp, the sq8_codes contract).
+from projectone_spark.queries.embeddings2 import (  # noqa: E402
+    _E19_NPROBE,
+    _E19_SHORTLIST,
+    _e19_sql,
+)
+
+_ST17_SQL = _e19_sql("vec_id % 4 <> 0")
+
+
+@register("st17_stream_index_maintenance", _ST17_SQL,
+          doc="streaming maintenance of the PERSISTED IVF-SQ8 index "
+              "(the e19 artifact under the st15 proof pattern): the "
+              "index builds once on the base corpus (quantizer parts + "
+              "packed code table via save_index); each delta "
+              "micro-batch is then routed and encoded scan-side under "
+              "the LOADED parts (O(batch) — the quantizer never "
+              "retrains) and appended to the code table under "
+              "per-batch txn watermarks, which the index stamp "
+              "survives by contract; >= 4 real micro-batches asserted, "
+              "the maintained table proven EQUAL to a from-scratch "
+              "rebuild over base+delta under the same parts "
+              "(batch-split invariance), the index then OPENED COLD "
+              "and searched — and the oracle mirrors the entire "
+              "funnel (t0-trained quantizer, all-corpus codes, probed "
+              "cells, integer stage 1, cosine rerank) bit-for-bit",
+          tags=("streaming", "embeddings", "ann", "quantization",
+                "incremental", "model", "store"))
+def st17_stream_index_maintenance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.embeddings import (
+        build_ivf_sq8_codes,
+        search_ivf_sq8_index,
+        seed_centroids,
+        sq8_bounds,
+    )
+    from projectone_spark.queries import check
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.indexes import open_index, save_index
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        centroids_to_frame,
+    )
+    from projectone_spark.streaming import (
+        StreamTrigger,
+        read_stream_parquet,
+        write_stream,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    store = TableStore(scratch_dir(prefix="po_st17_store_"))
+
+    # t0: train the quantizer on the BASE corpus and persist the whole
+    # index — at 100 TB this is the one full base scan
+    seeds = seed_centroids(base, k=8)
+    cents = [(i, c) for i, (_, c) in enumerate(seeds)]
+    bounds = sq8_bounds(base, dims=64).localCheckpoint(eager=True)
+    save_index(store, spark, "st17_index", "ivf_sq8",
+               build_ivf_sq8_codes(base, cents, bounds, dims=64),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "bounds": bounds},
+               params={"dims": 64, "n_cells": 8,
+                       "seeding": "seed_centroids", "trained_on": "base"})
+
+    # the maintenance loop works from the LOADED parts (never the
+    # in-session training frames) — the lifecycle under adjudication
+    idx0 = open_index(store, spark, "st17_index", kind="ivf_sq8")
+    loaded_cents = [(i, c) for i, c in enumerate(
+        centroids_from_model(idx0.parts["centroids"]))]
+    loaded_bounds = idx0.parts["bounds"].localCheckpoint(eager=True)
+    check(loaded_cents == cents,
+          "persisted centroids differ from the trained seeds")
+
+    src_dir = scratch_dir(prefix="po_st17_src_")
+    delta.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = read_stream_parquet(
+        spark, src_dir, "vec_id bigint, embedding array<float>",
+        max_files_per_trigger=1)
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.txn_version("st17_index", "st17_codes"):
+            return  # at-least-once replay: already committed
+        store.append(
+            spark,
+            build_ivf_sq8_codes(batch_df, loaded_cents, loaded_bounds,
+                                dims=64).coalesce(1),
+            "st17_index", txn=("st17_codes", batch_id))
+
+    q = write_stream(stream, foreach_batch=index_batch,
+                     trigger=StreamTrigger(available_now=True),
+                     checkpoint=scratch_dir(prefix="po_st17_ckpt_"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st17 stream did not finish in 300s — refusing "
+                           "to read a partially-maintained index")
+    check(store.txn_version("st17_index", "st17_codes") >= 3,
+          "expected >= 4 micro-batches through the standing index")
+
+    # cold open of the MAINTAINED artifact (stamp survived the appends)
+    idx = open_index(store, spark, "st17_index", kind="ivf_sq8")
+    word_cols = ["vec_id", "cell"] + [f"w{j:02d}" for j in range(16)]
+    acc = idx.codes.select(*word_cols).localCheckpoint(eager=True)
+    # batch-split invariance: the maintained index equals a from-scratch
+    # rebuild over base+delta under the SAME persisted parts
+    rebuild = build_ivf_sq8_codes(emb, loaded_cents, loaded_bounds,
+                                  dims=64).select(*word_cols)
+    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
+            .count())
+    check(diff == 0,
+          f"maintained index diverges from batch rebuild by {diff} rows")
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return search_ivf_sq8_index(
+        acc, loaded_cents, loaded_bounds, emb, queries, k=5,
+        nprobe=_E19_NPROBE, shortlist=_E19_SHORTLIST,
+        dims=int(idx.params["dims"]))

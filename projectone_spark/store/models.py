@@ -80,16 +80,34 @@ def save_model(store: TableStore, spark: SparkSession, name: str, kind: str,
 
 
 def load_model(store: TableStore, spark: SparkSession, name: str,
-               kind: str | None = None) -> tuple[DataFrame, dict]:
+               kind: str | None = None,
+               version: int | None = None) -> tuple[DataFrame, dict]:
     """Read a saved model back as ``(frame, metadata)`` where metadata
     is the manifest's ``{"kind": ..., "params": ...}`` stamp. Passing
     ``kind`` asserts the table holds THAT model family — a mismatched
     or model-less table fails loudly instead of feeding a downstream
-    apply step garbage."""
-    m = store.manifest(name)
+    apply step garbage.
+
+    ``version`` PINS the load to a historical save (model time travel):
+    the stamp comes from THAT version's manifest and the frame from
+    ``store.read_version`` — a scorer pinned to v1 keeps reading v1's
+    weights and v1's params while retrains publish v2, v3, ... (the
+    refresh contract: version-pinned reruns are deterministic, new runs
+    pick up the latest — the reference's CDC state machine one level
+    up). A pinned version whose commit was not a ``save_model`` (e.g.
+    a junk overwrite between saves) fails the same no-model-metadata
+    check the unpinned path applies."""
+    if version is None:
+        m = store.manifest(name)
+    else:
+        m = next((h for h in store.history(name)
+                  if h["version"] == version), None)
     if m is None:
         raise FileNotFoundError(
-            f"model table '{name}' does not exist in {store.root}")
+            f"model table '{name}' does not exist in {store.root}"
+            if version is None else
+            f"model table '{name}' has no version {version} "
+            f"in {store.root}")
     meta = m.get("model")
     if meta is None:
         raise ValueError(
@@ -99,7 +117,8 @@ def load_model(store: TableStore, spark: SparkSession, name: str,
         raise ValueError(
             f"model table '{name}' holds kind {meta.get('kind')!r}, "
             f"caller expected {kind!r}")
-    frame = store.read(spark, name)
+    frame = (store.read(spark, name) if version is None
+             else store.read_version(spark, name, version))
     # belt and braces against stamp/content drift (a rewritten table
     # whose stamp somehow survived): the frame must still carry the
     # kind's required columns, same contract save_model enforced

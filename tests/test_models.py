@@ -122,6 +122,28 @@ def test_persisted_weights_score_identically_to_inline(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_apply_from_counts_matches_apply(spark):
+    """The shared-fold scorer (f15's apply tokenizes ONCE for classifier
+    + BPE) must score bit-identically to the self-folding apply — same
+    tokens() normalization, same model join, same integer close."""
+    from projectone_spark.functions.text import (
+        apply_token_classifier,
+        apply_token_classifier_from_counts,
+        bpe_doc_word_counts,
+        token_weight_table,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    w = token_weight_table(docs, label=F.col("lang") == "en",
+                           train=F.col("doc_id") % 7 == 0)
+    a = apply_token_classifier(docs, w)
+    b = apply_token_classifier_from_counts(
+        bpe_doc_word_counts(docs), w, term_col="__w", count_col="__c")
+    assert sorted(map(tuple, a.collect())) \
+        == sorted(map(tuple, b.collect()))
+    assert a.count() > 0
+
+
 def test_select_f1_cutoff_breaks_ties_low(spark):
     from projectone_spark.functions.text import select_f1_cutoff
 
@@ -228,6 +250,40 @@ def test_load_model_revalidates_required_columns(spark, tmp_path):
             {"model": {"kind": "token_weights", "params": {}}}) or man)
     with pytest.raises(ValueError, match="no longer carries required"):
         load_model(store, spark, "m", kind="token_weights")
+
+
+def test_version_pinned_load_survives_concurrent_retrain(spark, tmp_path):
+    """The f16 refresh contract: a scorer pinned to v1 keeps reading
+    exactly v1's rows and v1's params while a retrain publishes v2 —
+    including a frame loaded BEFORE the retrain committed (overwrite
+    retains prior versions' data dirs; only vacuum drops them). Pinning
+    to a non-save_model commit or an absent version fails loudly."""
+    store = _store(tmp_path)
+    w1 = spark.createDataFrame([("cat", 7)], "term string, weight_micro bigint")
+    w2 = spark.createDataFrame([("cat", 8)], "term string, weight_micro bigint")
+    v1 = save_model(store, spark, "m", "token_weights", w1,
+                    params={"corpus": "t0"})
+    held, hmeta = load_model(store, spark, "m", kind="token_weights",
+                             version=v1)
+    save_model(store, spark, "m", "token_weights", w2,
+               params={"corpus": "t1"})
+    # the frame held across the retrain still reads v1
+    assert [tuple(r) for r in held.collect()] == [("cat", 7)]
+    assert hmeta["params"] == {"corpus": "t0"}
+    # a fresh pinned load agrees; unpinned picks up v2 with v2's params
+    pinned, pmeta = load_model(store, spark, "m", version=v1)
+    latest, lmeta = load_model(store, spark, "m")
+    assert [tuple(r) for r in pinned.collect()] == [("cat", 7)]
+    assert [tuple(r) for r in latest.collect()] == [("cat", 8)]
+    assert pmeta["params"] == {"corpus": "t0"}
+    assert lmeta["params"] == {"corpus": "t1"}
+    # a junk overwrite between saves is not a loadable model version
+    junk = spark.createDataFrame([(1,)], "a bigint")
+    store.overwrite(spark, junk, "m")
+    with pytest.raises(ValueError, match="no model metadata"):
+        load_model(store, spark, "m", version=v1 + 2)
+    with pytest.raises(FileNotFoundError, match="no version"):
+        load_model(store, spark, "m", version=99)
 
 
 def test_centroids_from_model_rejects_empty(spark):

@@ -53,28 +53,26 @@ def test_harness_prefix_contract():
     assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
-    # round-9 rotation intent: every query that has never had a driver
-    # correctness row occupies a prefix slot. The whole r8 cohort went
-    # green in CORRECTNESS_r08.json (50/50 — zero rotation debt), so
-    # the set reset to the queries added this round; the 13 r8
-    # first-greens additionally STAY in the prefix for their second
-    # adjudication (the r8 verdict's item 3), enforced just below.
+    # round-10 rotation intent: every query that has never had a driver
+    # correctness row occupies a prefix slot. CORRECTNESS_r09 was 49/50
+    # — st15's array-typed output column broke the canonicalizer (fixed
+    # this round: packed bigint words), so st15 stays never-green along
+    # with the two r10 additions; the 8 r9 first-greens additionally
+    # STAY in the prefix for their second adjudication (the r9
+    # verdict's item 2), enforced just below.
     never_adjudicated = {
-        "f15_model_lifecycle", "t19_unigram_lm", "st15_stream_sq8_index",
+        "st15_stream_sq8_index",
+        "e19_index_open_and_search", "f16_model_version_pinning",
+        "st17_stream_index_maintenance",
+    }
+    r9_cohort_kept_for_second_green = {
+        "f15_model_lifecycle", "t19_unigram_lm",
         "t20_unigram_encode", "e18_persisted_ivf_search",
         "p17_ccnet_buckets", "t21_tokenizer_fertility",
         "st16_stream_quality_gate", "p18_temperature_budget",
     }
-    r8_cohort_kept_for_second_green = {
-        "t16_bpe_encode_arrow", "t17_classifier_calibration",
-        "d14_duplicate_runs", "f13_training_batches",
-        "d15_duplicate_run_removal", "t18_roc_auc",
-        "e15_farthest_first_seeds", "p15_quality_weighted_sample",
-        "e16_knn_sq8", "e17_ann_recall_audit", "p16_doremi_reweight",
-        "d16_lsh_recall_audit", "f14_filter_ablation",
-    }
-    kept = r8_cohort_kept_for_second_green - set(names[:50])
-    assert kept == set(), f"r8 cohort rotated out before 2nd green: {kept}"
+    kept = r9_cohort_kept_for_second_green - set(names[:50])
+    assert kept == set(), f"r9 cohort rotated out before 2nd green: {kept}"
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
 

@@ -332,6 +332,64 @@ def test_f15_apply_plan_is_training_free(spark, tmp_path):
     assert out.count() > 0
 
 
+def test_e19_search_plan_reads_index_not_corpus(spark, tmp_path):
+    """The persisted-index read path (e19): a cold search's plan scans
+    the PERSISTED code table for stage 1 and touches the raw embeddings
+    parquet exactly twice — the query-vector input and the shortlist
+    rerank fetch (both joined after bounded frames) — never as a
+    stage-1 candidate source. At 100 TB this is the difference between
+    scanning the 4x-compressed index and scanning the corpus."""
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        build_ivf_sq8_codes,
+        search_ivf_sq8_index,
+        seed_centroids,
+        sq8_bounds,
+    )
+    from projectone_spark.queries import load
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.indexes import open_index, save_index
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        centroids_to_frame,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = [(i, c) for i, (_, c) in enumerate(seed_centroids(emb, k=4))]
+    bounds = sq8_bounds(emb, dims=64).localCheckpoint(eager=True)
+    store = TableStore(str(tmp_path / "e19store"))
+    save_index(store, spark, "idx", "ivf_sq8",
+               build_ivf_sq8_codes(emb, cents, bounds, dims=64),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "bounds": bounds},
+               params={"dims": 64, "n_cells": 4})
+
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")
+    loaded = [(i, c) for i, c in enumerate(
+        centroids_from_model(idx.parts["centroids"]))]
+    out = search_ivf_sq8_index(
+        idx.codes, loaded, idx.parts["bounds"].localCheckpoint(eager=True),
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=3, nprobe=2,
+        shortlist=10, dims=64)
+    assert out.count() > 0  # AQE: final plan exists after execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # raw vectors: the rerank fetch ONLY — the bounded query batch is
+    # checkpointed (Scan ExistingRDD) and stage 1 must NOT have its
+    # own corpus scan
+    assert plan.count("embeddings.parquet") == 1
+    assert "Scan ExistingRDD" in plan
+    # exactly two file scans: the rerank fetch and the persisted code
+    # table, the latter identified by its packed-word columns (scan
+    # Location paths truncate in the plan string)
+    assert plan.count("Scan parquet") == 2
+    assert "w00" in plan and "cell" in plan
+    # the probed-cell restriction and the rerank/query fetches are all
+    # joins against bounded broadcast frames — never a corpus SMJ
+    assert "SortMergeJoin" not in plan
+
+
 def test_bpe_fold_vocabulary_join_broadcasts_by_contract(spark):
     """The encoded-vocabulary join must be a BroadcastHashJoin under
     BOTH encode engines — the r9 ×100 probe caught AQE sizing the
