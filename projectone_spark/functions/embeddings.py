@@ -1075,7 +1075,8 @@ def search_ivf_sq8_index(codes: DataFrame,
                          queries: DataFrame, k: int = 5, nprobe: int = 2,
                          shortlist: int = 25, dims: int = 64,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         query_id_col: str = "query_id") -> DataFrame:
+                         query_id_col: str = "query_id",
+                         prune_cells: bool = True) -> DataFrame:
     """The SEARCH side of a persisted IVF-SQ8 index — the production
     cold read path: rank candidates from the PERSISTED code table alone
     and touch raw vectors only for the per-query shortlist rerank.
@@ -1106,8 +1107,20 @@ def search_ivf_sq8_index(codes: DataFrame,
                   sq8_codes(F.col("__qvec"), dims).alias("__qc"),
                   F.explode(probe_cells(F.col("__qvec"), centroids, nprobe))
                   .alias("cell")))
-    idx = codes.select(F.col(id_col), F.col("cell"),
-                       sq8_unpack_words(dims).alias("__c"))
+    idx = codes
+    if prune_cells:
+        # the probed-cell set is bounded by n_cells (model state, never
+        # corpus-scaled), so collecting it turns the stage-1 restriction
+        # into LITERAL filters the scan can push down — on a code table
+        # partitioned by cell (save_index's production layout) this
+        # prunes to ~nprobe/n_cells of the FILES, the read-path analogue
+        # of partition pruning a 100 TB fact table
+        probed = sorted(r["cell"] for r in
+                        qc.select("cell").distinct().collect())
+        if probed:  # no queries -> the qc join below is empty anyway
+            idx = idx.filter(F.col("cell").isin(probed))
+    idx = idx.select(F.col(id_col), F.col("cell"),
+                     sq8_unpack_words(dims).alias("__c"))
     sq = F.aggregate(
         F.zip_with(F.col("__c"), F.col("__qc"),
                    lambda a, b: (a - b) * (a - b)),

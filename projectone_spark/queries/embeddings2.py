@@ -785,7 +785,10 @@ def e19_index_open_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "bounds": bounds}},
                        params={{"dims": 64, "n_cells": {_E19_CELLS},
                                "metric": "cosine",
-                               "seeding": "seed_centroids"}})
+                               "seeding": "seed_centroids"}},
+                       partition_by=["cell"])  # the production layout:
+            # probed-cell literals prune the search to ~nprobe/n_cells
+            # of the code table's FILES
             return (codes.groupBy("cell")
                     .agg(F.count(F.lit(1)).alias("n_vectors")))
     """, "build_stage", [emb_in], "e19_build_summary")

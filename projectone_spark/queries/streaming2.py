@@ -710,7 +710,9 @@ def st17_stream_index_maintenance(spark: SparkSession,
                           spark, [c for _, c in cents]),
                       "bounds": bounds},
                params={"dims": 64, "n_cells": 8,
-                       "seeding": "seed_centroids", "trained_on": "base"})
+                       "seeding": "seed_centroids", "trained_on": "base"},
+               partition_by=["cell"])  # micro-batch appends inherit the
+    # cell layout, so the maintained index stays prunable
 
     # the maintenance loop works from the LOADED parts (never the
     # in-session training frames) — the lifecycle under adjudication

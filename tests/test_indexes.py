@@ -41,7 +41,8 @@ def _built(spark, tmp_path, name="idx"):
                parts={"centroids": centroids_to_frame(
                           spark, [c for _, c in cents]),
                       "bounds": bounds},
-               params={"dims": 64, "n_cells": 4})
+               params={"dims": 64, "n_cells": 4},
+               partition_by=["cell"])  # the production prunable layout
     return store, emb, cents, bounds
 
 

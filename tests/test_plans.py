@@ -364,7 +364,8 @@ def test_e19_search_plan_reads_index_not_corpus(spark, tmp_path):
                parts={"centroids": centroids_to_frame(
                           spark, [c for _, c in cents]),
                       "bounds": bounds},
-               params={"dims": 64, "n_cells": 4})
+               params={"dims": 64, "n_cells": 4},
+               partition_by=["cell"])
 
     idx = open_index(store, spark, "idx", kind="ivf_sq8")
     loaded = [(i, c) for i, c in enumerate(
@@ -385,6 +386,12 @@ def test_e19_search_plan_reads_index_not_corpus(spark, tmp_path):
     # Location paths truncate in the plan string)
     assert plan.count("Scan parquet") == 2
     assert "w00" in plan and "cell" in plan
+    # the probed-cell set collapses to LITERAL partition filters on the
+    # cell-partitioned code table — the scan reads ~nprobe/n_cells of
+    # the index's FILES, not just its rows
+    pfilters = [seg.split("]")[0]
+                for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("cell" in p for p in pfilters), pfilters
     # the probed-cell restriction and the rerank/query fetches are all
     # joins against bounded broadcast frames — never a corpus SMJ
     assert "SortMergeJoin" not in plan
