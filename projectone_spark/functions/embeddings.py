@@ -407,6 +407,12 @@ def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Co
     multiply, sequential fold, one divide) are the exact IEEE sequence a
     DuckDB oracle reproduces with ``_dot/_norm``. ``|c|`` is folded
     driver-side in the same element order. Ties go to the lowest cell id.
+
+    The descending rank rides a negated sort key; ``0.0 - score``
+    (not unary minus) so a ``+0.0`` score cannot become ``-0.0`` —
+    Spark's Double ordering distinguishes the two while an oracle's
+    ``ORDER BY score DESC`` does not, so a signed-zero tie between two
+    cells would otherwise order differently across engines.
     """
     if not centroids:
         raise ValueError("assign_cell needs at least one centroid "
@@ -414,7 +420,8 @@ def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Co
     entries = []
     for cid, comps in centroids:
         entries.append(F.struct(
-            (-(_centroid_dot(vec_col, comps) / F.lit(_folded_norm(comps))))
+            (F.lit(0.0) - (_centroid_dot(vec_col, comps)
+                           / F.lit(_folded_norm(comps))))
             .alias("neg"),
             F.lit(cid).alias("cid")))
     return F.sort_array(F.array(*entries))[0]["cid"]
@@ -1030,7 +1037,9 @@ def probe_cells(vec_col: Column, centroids: list[tuple[int, list[float]]],
     cell id) — the multi-probe twin of ``assign_cell``, same struct-sort
     codegen, same IEEE op sequence a DuckDB oracle reproduces with
     ``_dot/_norm``. ``probe_cells(v, cents, 1)[0] == assign_cell(v,
-    cents)`` by construction."""
+    cents)`` by construction. The sort key is ``0.0 - score`` (not
+    unary minus) for the same signed-zero reason as
+    :func:`assign_cell`."""
     if not centroids:
         raise ValueError("probe_cells needs at least one centroid")
     if nprobe <= 0:
@@ -1038,7 +1047,8 @@ def probe_cells(vec_col: Column, centroids: list[tuple[int, list[float]]],
     entries = []
     for cid, comps in centroids:
         entries.append(F.struct(
-            (-(_centroid_dot(vec_col, comps) / F.lit(_folded_norm(comps))))
+            (F.lit(0.0) - (_centroid_dot(vec_col, comps)
+                           / F.lit(_folded_norm(comps))))
             .alias("neg"),
             F.lit(cid).alias("cid")))
     ranked = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
@@ -1109,6 +1119,11 @@ def search_ivf_sq8_index(codes: DataFrame,
                   .alias("cell")))
     idx = codes
     if prune_cells:
+        # qc feeds both the probed-cell collect below and the stage-1
+        # broadcast join — checkpoint it (lazily; the collect
+        # materializes it) so the bounded encode/probe subtree is
+        # computed once, not once per consumer
+        qc = qc.localCheckpoint(eager=False)
         # the probed-cell set is bounded by n_cells (model state, never
         # corpus-scaled), so collecting it turns the stage-1 restriction
         # into LITERAL filters the scan can push down — on a code table
@@ -1140,6 +1155,102 @@ def search_ivf_sq8_index(codes: DataFrame,
         q.select(query_id_col, "__qvec",
                  l2_norm(F.col("__qvec")).alias("__qn")),
         short, "sq_dist", id_col, query_id_col)
+    return _topk(rr, query_id_col, k)
+
+
+def build_ivf_pq_codes(corpus: DataFrame,
+                       centroids: list[tuple[int, list[float]]],
+                       codebooks: list[list[list[float]]],
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The BUILD side of a persisted IVF-PQ index (the ``ivf_pq`` kind
+    in ``store.indexes``): one corpus scan emitting ``(vec_id, cell,
+    packed code words)`` — cell routing via :func:`assign_cell` under
+    the given coarse centroids, ``m`` byte codes via the Arrow-batched
+    :func:`pq_encode_vectorized` (one numpy matmul per subspace per
+    batch; the expression form's m×n_codes interpreted lambdas dominate
+    a corpus-sized build), packed 4-per-bigint by the same
+    :func:`sq8_pack_words` word discipline SQ8 codes use (PQ codes are
+    bytes too: n_codes <= 256). At 100 TB the emitted table is the
+    16-64x-compressed artifact every later search scans INSTEAD of the
+    corpus — the economics rung below SQ8's 4x."""
+    m = len(codebooks)
+    coded = corpus.select(
+        F.col(id_col),
+        assign_cell(F.col(vec_col), centroids).alias("cell"),
+        pq_encode_vectorized(codebooks)(F.col(vec_col)).alias("__code"))
+    return coded.select(
+        id_col, "cell",
+        *[w.alias(f"w{j:02d}")
+          for j, w in enumerate(sq8_pack_words(F.col("__code"), m))])
+
+
+def search_ivf_pq_index(codes: DataFrame,
+                        centroids: list[tuple[int, list[float]]],
+                        codebooks: list[list[list[float]]],
+                        corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        nprobe: int = 2, shortlist: int = 25,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id",
+                        prune_cells: bool = True) -> DataFrame:
+    """The SEARCH side of a persisted IVF-PQ index — ADC over the
+    persisted code table, raw vectors touched only for the shortlist
+    rerank (the :func:`search_ivf_sq8_index` funnel with stage 1's
+    integer L2 swapped for asymmetric-distance table lookups).
+
+    Stage 0 (bounded): each query builds its m×n_codes ADC tables
+    (Arrow-batched) and probes its ``nprobe`` nearest cells. Stage 1
+    (the only index-sized work): the code table, restricted to probed
+    cells, scores each candidate as ``sum_s tabs[s][code_s]`` — m array
+    lookups per row, raw vectors never appear. Stage 2: the established
+    funnel rerank fetches full vectors for ``n_queries × shortlist``
+    rows only, exact cosine, tie-break by neighbor id.
+
+    ADC estimates are floats, so production recall is shortlist-floored
+    (tested), while full-shortlist searches pass any estimate through
+    and must equal brute force bit-for-bit — the e09 adjudication
+    pattern, applied to the PERSISTED artifact by e21."""
+    m = len(codebooks)
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec")) \
+        .localCheckpoint(eager=False)
+    qt = (q.select(query_id_col,
+                   pq_adc_tables_vectorized(codebooks)(F.col("__qvec"))
+                   .alias("__tabs"),
+                   F.explode(probe_cells(F.col("__qvec"), centroids, nprobe))
+                   .alias("cell")))
+    idx = codes
+    if prune_cells:
+        # bounded by n_cells; collected so the stage-1 restriction
+        # becomes LITERAL partition filters on the code-table scan
+        # (checkpoint first: qt also feeds the stage-1 broadcast join)
+        qt = qt.localCheckpoint(eager=False)
+        probed = sorted(r["cell"] for r in
+                        qt.select("cell").distinct().collect())
+        if probed:
+            idx = idx.filter(F.col("cell").isin(probed))
+    idx = idx.select(F.col(id_col), F.col("cell"),
+                     sq8_unpack_words(m).alias("__c"))
+    est = F.aggregate(
+        F.zip_with(F.col("__c"), F.col("__tabs"),
+                   lambda code, tab: F.element_at(tab, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (idx.join(F.broadcast(qt), "cell")
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(F.col(query_id_col),
+                      F.col(id_col).alias("neighbor_id"),
+                      est.alias("__est")))
+    short = _shortlist_topk(scored, query_id_col,
+                            [F.desc("__est"), F.asc("neighbor_id")],
+                            shortlist) \
+        .select(query_id_col, "neighbor_id")
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    rr = _funnel_rerank(
+        c.select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__vn")),
+        q.select(query_id_col, "__qvec",
+                 l2_norm(F.col("__qvec")).alias("__qn")),
+        short.withColumn("__carried", F.lit(0)), "__carried",
+        id_col, query_id_col).drop("__carried")
     return _topk(rr, query_id_col, k)
 
 

@@ -372,12 +372,16 @@ def st14_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 from projectone_spark.queries._embed_sql import _E_DBL  # noqa: E402
 from projectone_spark.queries.embeddings2 import _sq8_ctes  # noqa: E402
 
+_ST15_DIMS = 64  # the ONE dims binding for st15 — SQL word list, Spark
+# encode calls, and the equality proof's column set all derive from it
+# (store.indexes.code_word_columns owns the same ceil(dims/4) rule)
+
 _ST15_WORDS = ", ".join(
     f"(CAST(c[{4 * j + 1}] AS BIGINT)"
     + "".join(f" + CAST(c[{4 * j + b + 1}] AS BIGINT) * {256 ** b}"
               for b in range(1, 4))
     + f") AS w{j:02d}"
-    for j in range(16))
+    for j in range((_ST15_DIMS + 3) // 4))
 
 _ST15_SQL = f"""
 WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
@@ -432,19 +436,22 @@ def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB this is the quantizer's single corpus scan; every
     # micro-batch after is O(batch) scan-side work.
     save_model(store, spark, "st15_model", "sq8_bounds",
-               sq8_bounds(emb, dims=64), params={"dims": 64})
-    bounds, _ = load_model(store, spark, "st15_model", kind="sq8_bounds")
+               sq8_bounds(emb, dims=_ST15_DIMS), params={"dims": _ST15_DIMS})
+    bounds, meta = load_model(store, spark, "st15_model", kind="sq8_bounds")
     bounds = bounds.localCheckpoint(eager=True)  # one bounded row; the
     # per-batch broadcast must not re-read the store table every batch
+    # everything downstream derives dims from the LOADED model's params
+    # — the persisted stamp, not a second literal
+    dims = int(meta["params"]["dims"])
 
     def code_frame(vectors: DataFrame) -> DataFrame:
         coded = (vectors.crossJoin(F.broadcast(bounds))
                  .select("vec_id",
-                         sq8_codes(F.col("embedding"), 64).alias("__code")))
+                         sq8_codes(F.col("embedding"), dims).alias("__code")))
         return coded.select(
             "vec_id",
             *[w.alias(f"w{j:02d}") for j, w in enumerate(
-                sq8_pack_words(F.col("__code"), 64))])
+                sq8_pack_words(F.col("__code"), dims))])
 
     stream = read_stream_parquet(
         spark, src_dir, "vec_id bigint, embedding array<float>",
@@ -465,7 +472,7 @@ def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "to read a partially-built code index")
     check(store.txn_version("codes", "st15_codes") >= 3,
           "expected >= 4 micro-batches through the standing SQ8 index")
-    word_cols = ["vec_id"] + [f"w{j:02d}" for j in range(16)]
+    word_cols = ["vec_id"] + [f"w{j:02d}" for j in range((dims + 3) // 4)]
     acc = (store.read(spark, "codes").select(*word_cols)
            .localCheckpoint(eager=True))  # the equality gate and the
     # returned frame share one read of the accumulated index
@@ -664,7 +671,10 @@ _ST17_SQL = _e19_sql("vec_id % 4 <> 0")
               "the LOADED parts (O(batch) — the quantizer never "
               "retrains) and appended to the code table under "
               "per-batch txn watermarks, which the index stamp "
-              "survives by contract; >= 4 real micro-batches asserted, "
+              "survives by contract; a MID-STREAM OPTIMIZE compacts "
+              "the fragmenting cell layout between micro-batches "
+              "(stamp and watermark survive it, final file count "
+              "gated); >= 4 real micro-batches asserted, "
               "the maintained table proven EQUAL to a from-scratch "
               "rebuild over base+delta under the same parts "
               "(batch-split invariance), the index then OPENED COLD "
@@ -682,8 +692,13 @@ def st17_stream_index_maintenance(spark: SparkSession,
         sq8_bounds,
     )
     from projectone_spark.queries import check
-    from projectone_spark.store import TableStore
-    from projectone_spark.store.indexes import open_index, save_index
+    from projectone_spark.store import TableStore, last_commit_stats
+    from projectone_spark.store.indexes import (
+        code_word_columns,
+        open_index,
+        save_index,
+    )
+    from projectone_spark.store.maintenance import compact
     from projectone_spark.store.models import (
         centroids_from_model,
         centroids_to_frame,
@@ -737,6 +752,15 @@ def st17_stream_index_maintenance(spark: SparkSession,
             build_ivf_sq8_codes(batch_df, loaded_cents, loaded_bounds,
                                 dims=64).coalesce(1),
             "st17_index", txn=("st17_codes", batch_id))
+        if batch_id == 2:
+            # MID-STREAM compaction: at production cadence one commit per
+            # micro-batch fragments the cell partitioning (8 tiny files
+            # per batch here); OPTIMIZE between batches is the
+            # operational fix, and the index stamp + txn watermark must
+            # both survive it (the _commit carry-forward contract) — the
+            # cold open, equality proof, and file-count gate below
+            # adjudicate exactly that
+            compact(store, spark, "st17_index")
 
     q = write_stream(stream, foreach_batch=index_batch,
                      trigger=StreamTrigger(available_now=True),
@@ -748,9 +772,17 @@ def st17_stream_index_maintenance(spark: SparkSession,
     check(store.txn_version("st17_index", "st17_codes") >= 3,
           "expected >= 4 micro-batches through the standing index")
 
-    # cold open of the MAINTAINED artifact (stamp survived the appends)
+    # cold open of the MAINTAINED artifact (stamp survived the appends
+    # AND the mid-stream compact)
     idx = open_index(store, spark, "st17_index", kind="ivf_sq8")
-    word_cols = ["vec_id", "cell"] + [f"w{j:02d}" for j in range(16)]
+    ops = [h["operation"] for h in store.history("st17_index")]
+    check("compact" in ops, f"mid-stream OPTIMIZE never committed: {ops}")
+    n_files = last_commit_stats(store, "st17_index")["num_files"]
+    check(n_files <= 2 * 8,  # compacted snapshot + at most one
+          # post-compact micro-batch, each <= n_cells files
+          f"small-file accumulation survived compaction: {n_files} files")
+    word_cols = (["vec_id", "cell"]
+                 + code_word_columns(idx.kind, idx.params))
     acc = idx.codes.select(*word_cols).localCheckpoint(eager=True)
     # batch-split invariance: the maintained index equals a from-scratch
     # rebuild over base+delta under the SAME persisted parts

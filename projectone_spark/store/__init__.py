@@ -235,10 +235,30 @@ class TableStore:
         return spark.read.parquet(*m["dirs"])
 
     def read_version(self, spark: SparkSession, name: str, version: int) -> DataFrame:
-        """Time travel to an historical version."""
+        """Time travel to an historical version. Applies the same per-dir
+        ``basePath`` handling as :meth:`read` (a partitioned multi-dir
+        version must rediscover its hive partition columns per data
+        directory), and fails with a clear vacuumed-version error instead
+        of a raw Spark path error when the dirs are gone — the
+        ``maintenance.restore`` missing-dirs discipline, shared by every
+        pinned reader (``load_model(version=...)``,
+        ``open_index(version=...)``)."""
         for m in self.history(name):
-            if m["version"] == version:
-                return spark.read.parquet(*m["dirs"])
+            if m["version"] != version:
+                continue
+            missing = [d for d in m["dirs"] if not os.path.isdir(d)]
+            if missing:
+                raise FileNotFoundError(
+                    f"version {version} of '{name}' was vacuumed; "
+                    f"missing {missing}")
+            if m.get("partition_by"):
+                frames = [spark.read.option("basePath", d).parquet(d)
+                          for d in m["dirs"]]
+                out = frames[0]
+                for f in frames[1:]:
+                    out = out.unionByName(f)
+                return out
+            return spark.read.parquet(*m["dirs"])
         raise FileNotFoundError(f"table '{name}' has no version {version}")
 
     def _new_data_dir(self, name: str) -> str:

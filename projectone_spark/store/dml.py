@@ -61,7 +61,8 @@ def _all_files(dirs: Sequence[str]) -> list[str]:
 def _rewrite(store: TableStore, spark: SparkSession, name: str,
              predicates: Sequence[tuple[str, str, object]],
              transform, operation: str,
-             txn: tuple[str, int] | None = None) -> int | None:
+             txn: tuple[str, int] | None = None,
+             manifest_extra: dict | None = None) -> int | None:
     """Shared copy-on-write machinery: link untouched files, apply
     ``transform(candidate_df, residual_sql) -> DataFrame`` to the touched
     subset, commit. Returns the new version, or None when pruning proves
@@ -147,6 +148,10 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
         set_columns=m.get("set_columns") or [],
         files=store._stats_for([nd], cols, m.get("set_columns") or []),
         txn=txn,
+        # validated index maintenance (store.indexes.drop_from_index)
+        # re-stamps through the SAME atomic commit — plain DML callers
+        # pass nothing and the stamp drops, per the _commit contract
+        manifest_extra=manifest_extra,
         # a concurrent commit since our snapshot read means this rewrite
         # would drop its rows — fail, don't clobber (Delta's
         # ConcurrentAppendException for DELETE/UPDATE/MERGE)
@@ -154,7 +159,8 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
 
 
 def delete_where(store: TableStore, spark: SparkSession, name: str,
-                 predicates: Sequence[tuple[str, str, object]]) -> int | None:
+                 predicates: Sequence[tuple[str, str, object]],
+                 manifest_extra: dict | None = None) -> int | None:
     """``DELETE FROM name WHERE <predicates>`` (conjunctive
     ``(col, op, literal)`` terms, the same form ``read_where`` takes).
     Copy-on-write: only files that may contain matching rows are rewritten
@@ -164,7 +170,7 @@ def delete_where(store: TableStore, spark: SparkSession, name: str,
     return _rewrite(
         store, spark, name, predicates,
         lambda df, residual: df.filter(f"NOT ({residual})"),
-        "delete")
+        "delete", manifest_extra=manifest_extra)
 
 
 def update_where(store: TableStore, spark: SparkSession, name: str,

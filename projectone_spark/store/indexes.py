@@ -39,17 +39,35 @@ INDEX_KINDS: dict[str, dict[str, str]] = {
     # the centroids part, packed words from sq8_pack_words under the
     # bounds part.
     "ivf_sq8": {"centroids": "ivf_centroids", "bounds": "sq8_bounds"},
+    # IVF routing over product-quantization codes: FAISS IndexIVFPQ.
+    # codes table: (vec_id, cell, w00..w{ceil(m/4)-1:02d}) — cell from
+    # the centroids part, m byte codes (one per subspace, packed by the
+    # same sq8_pack_words word discipline) from pq_encode under the
+    # codebooks part. At 100 TB this is the 16-64x artifact (m bytes per
+    # vector vs 4*dims raw), the economics rung below SQ8's 4x.
+    "ivf_pq": {"centroids": "ivf_centroids", "codebooks": "pq_codebooks"},
 }
+
+
+def code_word_columns(kind: str, params: dict) -> list[str]:
+    """Ordered packed-word column names (``w00..``) the code table of
+    ``kind`` carries under ``params`` — the ONE owner of the
+    dims/m -> ceil(n/4) derivation, shared by builders, searches, and
+    equality proofs (st15/st17) so a dims change cannot silently desync
+    anyone's column set."""
+    if kind == "ivf_sq8":
+        n = int(params["dims"])
+    elif kind == "ivf_pq":
+        n = int(params["m"])
+    else:
+        raise ValueError(f"unknown index kind {kind!r}; known: "
+                         f"{sorted(INDEX_KINDS)}")
+    return [f"w{j:02d}" for j in range((n + 3) // 4)]
 
 
 def _code_columns(kind: str, params: dict) -> set[str]:
     """Columns the code table of ``kind`` must carry under ``params``."""
-    if kind == "ivf_sq8":
-        dims = int(params["dims"])
-        n_words = (dims + 3) // 4
-        return {"vec_id", "cell", *(f"w{j:02d}" for j in range(n_words))}
-    raise ValueError(f"unknown index kind {kind!r}; known: "
-                     f"{sorted(INDEX_KINDS)}")
+    return {"vec_id", "cell", *code_word_columns(kind, params)}
 
 
 @dataclass(frozen=True)
@@ -87,6 +105,13 @@ def save_index(store: TableStore, spark: SparkSession, name: str,
     if part_kinds is None:
         raise ValueError(f"unknown index kind {kind!r}; known: "
                          f"{sorted(INDEX_KINDS)}")
+    if "index" in params:
+        # the 'index' params key is the name binding open_index's
+        # part-pairing check rides on — a caller-supplied value would
+        # silently shadow it and defeat the refusing-to-pair guard
+        raise ValueError(
+            "params key 'index' is reserved for the part-to-index name "
+            "binding; rename the caller's key")
     missing_parts = set(part_kinds) - set(parts)
     if missing_parts:
         raise ValueError(f"index kind {kind!r} requires parts "
@@ -99,38 +124,70 @@ def save_index(store: TableStore, spark: SparkSession, name: str,
             f"code table for index kind {kind!r} is missing required "
             f"columns {sorted(missing)} (has {codes.columns})")
     part_tables = {}
+    part_versions = {}
     for part, model_kind in part_kinds.items():
         part_tables[part] = f"{name}__{part}"
-        save_model(store, spark, part_tables[part], model_kind,
-                   parts[part], params={"index": name, **params})
+        part_versions[part] = save_model(
+            store, spark, part_tables[part], model_kind, parts[part],
+            params={"index": name, **params})
+    # part_versions pin THIS save's part commits into the stamp, so a
+    # version-pinned open (open_index(version=...)) can pair historical
+    # codes with the exact part contents they were built under while a
+    # concurrent rebuild publishes newer parts (f16's model pinning,
+    # lifted to the whole artifact)
     return store.overwrite(
         spark, codes, name, partition_by=partition_by,
         manifest_extra={"index": {"kind": kind, "params": dict(params),
-                                  "parts": part_tables}})
+                                  "parts": part_tables,
+                                  "part_versions": part_versions}})
 
 
 def open_index(store: TableStore, spark: SparkSession, name: str,
-               kind: str | None = None) -> OpenedIndex:
+               kind: str | None = None,
+               version: int | None = None) -> OpenedIndex:
     """Open a persisted index cold: validate the ``index`` stamp (and
     ``kind`` if given), load every part through ``load_model`` (each
     part's model kind re-validated), and structurally re-check the code
     table's columns — a code table whose contents were replaced by a
     plain writer, or paired with a missing/mismatched part, fails loudly
-    before a search can return silently-wrong neighbors."""
-    m = store.manifest(name)
+    before a search can return silently-wrong neighbors.
+
+    ``version`` PINS the open to an historical code-table commit (the
+    ``load_model(version=...)`` contract lifted to the whole artifact):
+    the stamp comes from THAT version's manifest, the codes from
+    ``read_version``, and each part from the ``part_versions`` the stamp
+    recorded at save time — so a search pinned to index v_N keeps
+    reading v_N's codes AND the exact quantizer contents they were
+    encoded under, bit-for-bit, while a concurrent rebuild publishes
+    v_N+1 over both the code table and the part tables. A pinned commit
+    that was not save_index-stamped (e.g. a junk overwrite between
+    saves) fails the same no-index-metadata check as the unpinned path."""
+    if version is None:
+        m = store.manifest(name)
+    else:
+        m = next((h for h in store.history(name)
+                  if h["version"] == version), None)
     if m is None:
         raise FileNotFoundError(
-            f"index table '{name}' does not exist in {store.root}")
+            f"index table '{name}' does not exist in {store.root}"
+            if version is None else
+            f"index table '{name}' has no version {version} "
+            f"in {store.root}")
     meta = m.get("index")
     if meta is None:
         raise ValueError(
             f"store table '{name}' carries no index metadata — it was "
-            f"written by a plain writer, not save_index")
+            f"written by a plain writer, not save_index"
+            if version is None else
+            f"version {version} of store table '{name}' carries no index "
+            f"metadata — that commit was not produced by save_index or a "
+            f"stamp-preserving maintenance op")
     if kind is not None and meta.get("kind") != kind:
         raise ValueError(f"index '{name}' holds kind {meta.get('kind')!r}, "
                          f"caller expected {kind!r}")
     ikind, params = meta["kind"], dict(meta.get("params") or {})
-    codes = store.read(spark, name)
+    codes = (store.read(spark, name) if version is None
+             else store.read_version(spark, name, version))
     required = _code_columns(ikind, params)
     missing = required - set(codes.columns)
     if missing:
@@ -138,10 +195,19 @@ def open_index(store: TableStore, spark: SparkSession, name: str,
             f"index '{name}' (kind {ikind!r}) code table no longer "
             f"carries required columns {sorted(missing)} — its contents "
             f"were replaced by a non-save_index writer")
+    part_versions = meta.get("part_versions") or {}
     parts = {}
     for part, model_kind in INDEX_KINDS[ikind].items():
         table = (meta.get("parts") or {}).get(part, f"{name}__{part}")
-        frame, pmeta = load_model(store, spark, table, kind=model_kind)
+        pin = part_versions.get(part) if version is not None else None
+        if version is not None and pin is None:
+            raise ValueError(
+                f"index '{name}' version {version} predates part-version "
+                f"pinning (no part_versions in its stamp) — a pinned open "
+                f"cannot prove part '{part}' still holds that save's "
+                f"contents; open unpinned or rebuild the index")
+        frame, pmeta = load_model(store, spark, table, kind=model_kind,
+                                  version=pin)
         if pmeta.get("params", {}).get("index") != name:
             raise ValueError(
                 f"index part '{table}' (kind {model_kind!r}) was saved "
@@ -152,4 +218,41 @@ def open_index(store: TableStore, spark: SparkSession, name: str,
                        version=int(m["version"]))
 
 
-__all__ = ["INDEX_KINDS", "OpenedIndex", "save_index", "open_index"]
+def drop_from_index(store: TableStore, spark: SparkSession, name: str,
+                    predicates) -> int | None:
+    """Remove vectors from a persisted index WITHOUT a rebuild — the
+    re-curation flow: a dedup/decontamination pass condemns vec_ids and
+    the index sheds them in one validated, copy-on-write DELETE.
+
+    Plain ``dml.delete_where`` on a code table drops the ``index`` stamp
+    by design (a mutation the lifecycle didn't witness could have
+    replaced the contents with garbage). This is the lifecycle-witnessed
+    path: the index is first OPENED (stamp, kind, part pairing, and code
+    columns all validated — the same checks a search runs), and the
+    delete's predicates may only reference code-table columns, so the
+    surviving rows are bit-for-bit rows save_index wrote; the stamp is
+    therefore re-published THROUGH the delete's own atomic commit (never
+    a second manifest write — no crash window where the table exists
+    unstamped).
+
+    Cost ∝ files touched, not index size: the DELETE inherits dml's
+    file-stat pruning, and on the production cell-partitioned layout a
+    ``("cell", ...)``-scoped predicate rewrites only the affected cells'
+    files (the rest hard-link forward). Returns the new version, or None
+    when file stats prove no row matches (stamp untouched)."""
+    from projectone_spark.store.dml import delete_where
+
+    opened = open_index(store, spark, name)  # full lifecycle validation
+    code_cols = set(opened.codes.columns)
+    bad = sorted({c for c, _, _ in predicates} - code_cols)
+    if bad:
+        raise ValueError(
+            f"drop_from_index predicates may only reference code-table "
+            f"columns {sorted(code_cols)}; got {bad}")
+    meta = store.manifest(name)["index"]
+    return delete_where(store, spark, name, predicates,
+                        manifest_extra={"index": meta})
+
+
+__all__ = ["INDEX_KINDS", "OpenedIndex", "code_word_columns",
+           "save_index", "open_index", "drop_from_index"]

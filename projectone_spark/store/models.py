@@ -50,6 +50,7 @@ MODEL_KINDS: dict[str, frozenset[str]] = {
     "score_cutoff": frozenset({"cutoff_micro"}),
     "sq8_bounds": frozenset({"__mn", "__mx"}),
     "ivf_centroids": frozenset({"cell", "centroid"}),
+    "pq_codebooks": frozenset({"subspace", "code", "centroid"}),
     "unigram_lm": frozenset({"piece", "score_micro"}),
 }
 
@@ -179,7 +180,53 @@ def centroids_from_model(df: DataFrame) -> list[list[float]]:
     return [[float(x) for x in r["centroid"]] for r in rows]
 
 
+def codebooks_to_frame(spark: SparkSession,
+                       codebooks: Sequence[Sequence[Sequence[float]]],
+                       ) -> DataFrame:
+    """(subspace, code, centroid) frame from ``pq_train``'s driver-side
+    nested list — ``codebooks[s][j]`` becomes the row (s, j, centroid),
+    the layout ``codebooks_from_model`` inverts for ``pq_encode`` /
+    ``pq_adc_tables``. Bounded: m × n_codes rows of sub-dim arrays."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("subspace", T.IntegerType(), False),
+        T.StructField("code", T.IntegerType(), False),
+        T.StructField("centroid", T.ArrayType(T.DoubleType()), False)])
+    return spark.createDataFrame(
+        [(s, j, [float(x) for x in c])
+         for s, book in enumerate(codebooks) for j, c in enumerate(book)],
+        schema)
+
+
+def codebooks_from_model(df: DataFrame) -> list[list[list[float]]]:
+    """Nested ``codebooks[s][j]`` list for the PQ encode/ADC builders.
+    Bounded collect: m × n_codes rows. Validates both id spaces are
+    dense 0..n-1 per level — a gap would silently shift every code."""
+    rows = df.select("subspace", "code", "centroid") \
+        .orderBy("subspace", "code").collect()
+    if not rows:
+        raise ValueError("PQ codebook model is empty — an encode under "
+                         "it would be undefined for every vector")
+    books: list[list[list[float]]] = []
+    for r in rows:
+        s, j = int(r["subspace"]), int(r["code"])
+        if s == len(books):
+            books.append([])
+        if s != len(books) - 1 or j != len(books[s]):
+            raise ValueError(
+                f"PQ codebook ids must be dense (subspace 0..m-1, code "
+                f"0..n_codes-1 within each); row ({s}, {j}) breaks the "
+                f"expected order")
+        books[s].append([float(x) for x in r["centroid"]])
+    sizes = {len(b) for b in books}
+    if len(sizes) != 1:
+        raise ValueError(f"ragged PQ codebooks: per-subspace sizes {sizes}")
+    return books
+
+
 __all__ = [
     "MODEL_KINDS", "save_model", "load_model", "bpe_merges_from_model",
     "centroids_to_frame", "centroids_from_model",
+    "codebooks_to_frame", "codebooks_from_model",
 ]
