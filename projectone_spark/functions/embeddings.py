@@ -427,6 +427,47 @@ def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Co
     return F.sort_array(F.array(*entries))[0]["cid"]
 
 
+def assign_cell_vectorized(centroids: list[tuple[int, list[float]]]):
+    """Arrow-batched cell assignment for LARGE k — the
+    :func:`pq_encode_vectorized` discipline applied to coarse routing:
+    one numpy matmul per batch computes every ``dot(v, c) / |c|`` and
+    the argmax (first-wins ties = lowest cell id, matching
+    :func:`assign_cell`'s tie rule). Returns a callable for
+    ``df.select(fn(col))``.
+
+    Use when k × dims literal expressions outgrow codegen (≳32 cells —
+    the :func:`assign_cell_join` threshold) but a corpus-wide groupBy
+    shuffle is unacceptable: this stays scan-side (zero shuffle), the
+    production build shape for a 64-256-cell index at 100 TB.
+
+    Honesty note on bit-identity: numpy's dot uses pairwise summation
+    while the literal/join paths fold sequentially, so a vector whose
+    two best cells tie within float rounding COULD route differently.
+    Oracle-adjudicated queries therefore keep the literal path (bounded
+    k); this is the large-k production/probe path, recall-tested rather
+    than bit-adjudicated."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if not centroids:
+        raise ValueError("assign_cell_vectorized needs at least one "
+                         "centroid")
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.asarray([c for _, c in centroids], dtype=np.float64)
+    Cn = np.sqrt((C ** 2).sum(axis=1))
+    Cn[Cn == 0.0] = 1.0
+
+    @pandas_udf("int")
+    def assign(v):
+        import pandas as pd
+
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        scores = (X @ C.T) / Cn[None, :]
+        return pd.Series(cids[scores.argmax(axis=1)].astype(np.int32))
+
+    return assign
+
+
 def assign_cell_join(df: DataFrame, centroids: list[tuple[int, list[float]]],
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -1059,7 +1100,8 @@ def build_ivf_sq8_codes(corpus: DataFrame,
                         centroids: list[tuple[int, list[float]]],
                         bounds: DataFrame, dims: int = 64,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        route: str = "literal") -> DataFrame:
     """The BUILD side of a persisted IVF-SQ8 index (the ``ivf_sq8``
     kind in ``store.indexes``): one corpus scan emitting ``(vec_id,
     cell, packed code words)`` — cell routing via :func:`assign_cell`
@@ -1068,10 +1110,25 @@ def build_ivf_sq8_codes(corpus: DataFrame,
     :func:`sq8_pack_words`. Everything is scan-side codegen: at 100 TB
     the build is exactly one pass over the raw vectors, and the emitted
     table is the 4x-compressed artifact every later search scans
-    INSTEAD of the corpus."""
+    INSTEAD of the corpus.
+
+    ``route="literal"`` (default) routes via :func:`assign_cell`'s
+    codegen expression — bit-adjudicable, bounded k.
+    ``route="vectorized"`` swaps in :func:`assign_cell_vectorized`
+    (Arrow matmul, still scan-side/zero-shuffle) for large-k builds
+    where k × dims literal trees outgrow codegen; see its docstring
+    for the tie-rounding honesty note."""
+    if route == "vectorized":
+        router = assign_cell_vectorized(centroids)
+    elif route == "literal":
+        def router(c):
+            return assign_cell(c, centroids)
+    else:
+        raise ValueError(f"route must be 'literal' or 'vectorized', "
+                         f"got {route!r}")
     coded = (corpus.crossJoin(F.broadcast(bounds))
              .select(F.col(id_col),
-                     assign_cell(F.col(vec_col), centroids).alias("cell"),
+                     router(F.col(vec_col)).alias("cell"),
                      sq8_codes(F.col(vec_col), dims).alias("__code")))
     return coded.select(
         id_col, "cell",

@@ -128,14 +128,18 @@ def oracle_sql() -> dict[str, str]:
 #:    using the remaining slots — fillers are first to give way to new
 #:    queries.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    # round-7 rotation: q42/q43 (TPC-H Q2/Q11 shapes, the only registry
-    # entries that had never had a driver correctness row) take the slots
-    # of the two most-proven anchors, s07 (4 driver greens) and f01
-    # (2 greens) — both stay locally parity-checked every pytest run:
-    "q42_min_cost_supplier", "q43_important_stock",
+    # round-11 rotation: the three new index-lifecycle queries (e20
+    # drop-maintenance, e21 persisted PQ, e22 pinned open) take the
+    # slots of three 4-green r7 anchors — q42/q43 (TPC-H Q2/Q11; the
+    # TPC-H family stays driver-covered by the in-prefix q44/q45) and
+    # t14 (BPE encode; the tokenizer family stays driver-covered by the
+    # in-prefix t16/f13/t21). All three stay locally parity-checked
+    # every pytest run.
+    "e20_index_drop_maintenance", "e21_persisted_pq_search",
+    "e22_pinned_index_search",
     # new-in-round-7 (took the f02/f03/f05/d10/d11/d12 slots — 2 driver
     # greens each), kept for their SECOND adjudication per the r7 brief:
-    "t14_bpe_encode", "t15_linear_classifier", "f12_curation_dag",
+    "t15_linear_classifier", "f12_curation_dag",
     "e14_kmeans_lloyd", "p14_ngram_decontamination",
     "s23_zorder_skipping",
     # new-in-round-8: Arrow-batched production BPE encode, classifier

@@ -656,14 +656,19 @@ def e18_persisted_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E19_NPROBE, _E19_CELLS, _E19_SHORTLIST = 2, 8, 25
 
 
-def _e19_sql(train_where: str = "TRUE") -> str:
+def _e19_sql(train_where: str = "TRUE", corpus_where: str = "TRUE") -> str:
     """The full persisted-index funnel in SQL. ``train_where`` restricts
     the QUANTIZER's training corpus (``tv`` — centroid seeds and SQ8
     bounds) while cells/codes/search always cover every vector: exactly
     the streamed-maintenance shape where the quantizer trains once at t0
     and later deltas are encoded under the persisted parts (out-of-bound
     coordinates clamp, the sq8_codes contract). st17 reuses this with
-    the base-corpus filter; e19 trains on everything."""
+    the base-corpus filter; e19 trains on everything.
+
+    ``corpus_where`` restricts the INDEXED set — candidates, rerank
+    vectors, and queries — while the quantizer still trains on
+    everything: the re-curation shape (e20) where vectors are DROPPED
+    from a standing index built before the purge."""
     return f"""
 WITH v AS (SELECT vec_id, {_E_DBL} AS e FROM embeddings),
 tv AS (SELECT vec_id, e FROM v WHERE {train_where}),
@@ -687,9 +692,11 @@ pc AS (SELECT v.vec_id, b.i,
        FROM v CROSS JOIN b),
 cd AS (SELECT vec_id, list(code ORDER BY i) AS c FROM pc GROUP BY vec_id),
 w AS (SELECT v.vec_id, v.e, cd.c, cells.cell
-      FROM v JOIN cd USING (vec_id) JOIN cells USING (vec_id)),
+      FROM v JOIN cd USING (vec_id) JOIN cells USING (vec_id)
+      WHERE {corpus_where}),
 q AS (SELECT vec_id AS query_id, e AS qe, c AS qc
-      FROM v JOIN cd USING (vec_id) WHERE vec_id % 50 = 0),
+      FROM v JOIN cd USING (vec_id)
+      WHERE vec_id % 50 = 0 AND ({corpus_where})),
 qp AS (SELECT query_id, cid AS cell FROM (
          SELECT q.query_id, c.cid,
                 row_number() OVER (PARTITION BY q.query_id
@@ -843,3 +850,272 @@ def e19_index_open_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     check(per_q is not None and per_q <= 5,
           f"top-k contract violated: {per_q} rows for one query")
     return out
+
+
+# The re-curation flow (e20): the LLM-pipeline loop ends with REMOVAL —
+# a dedup/decontamination pass condemns vectors and the standing index
+# must shed them without a full rebuild. The oracle is the e19 funnel
+# with the quantizer trained on EVERYTHING (it predates the purge) and
+# the indexed set — candidates, rerank vectors, queries — restricted to
+# the survivors.
+_E20_SQL = _e19_sql(corpus_where="vec_id % 4 <> 0")
+
+
+@register("e20_index_drop_maintenance", _E20_SQL,
+          doc="index maintenance under DELETE — the re-curation flow: "
+              "the full IVF-SQ8 index persists via save_index (quantizer "
+              "trained on everything), a decontamination pass then "
+              "condemns a quarter of the ids and drop_from_index sheds "
+              "them in ONE validated copy-on-write DELETE — the stamp "
+              "re-published through the delete's own atomic commit "
+              "(plain DML would strip it by design), cost proportional "
+              "to files touched on the cell-partitioned layout; the "
+              "maintained artifact is then OPENED COLD, proven equal to "
+              "a from-scratch rebuild over the surviving corpus under "
+              "the same persisted parts, and searched (no condemned id "
+              "can surface — they are gone from stage 1's scan, not "
+              "filtered at query time); the oracle mirrors the funnel "
+              "with an everything-trained quantizer over survivors "
+              "bit-for-bit",
+          tags=("embeddings", "knn", "ann", "quantization", "model",
+                "store", "dml"))
+def e20_index_drop_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        build_ivf_sq8_codes,
+        search_ivf_sq8_index,
+        seed_centroids,
+        sq8_bounds,
+    )
+    from projectone_spark.queries import check
+    from projectone_spark.session import configure, scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.indexes import (
+        code_word_columns,
+        drop_from_index,
+        open_index,
+        save_index,
+    )
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        centroids_to_frame,
+    )
+
+    configure(spark)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = TableStore(scratch_dir(prefix="po_e20_store_"))
+
+    # t0: the index predates the purge — quantizer and codes cover
+    # EVERYTHING (one corpus scan, the e19 build)
+    seeds = seed_centroids(emb, k=_E19_CELLS)
+    cents = [(i, c) for i, (_, c) in enumerate(seeds)]
+    bounds = sq8_bounds(emb, dims=64).localCheckpoint(eager=True)
+    save_index(store, spark, "e20_index", "ivf_sq8",
+               build_ivf_sq8_codes(emb, cents, bounds, dims=64),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "bounds": bounds},
+               params={"dims": 64, "n_cells": _E19_CELLS,
+                       "seeding": "seed_centroids"},
+               partition_by=["cell"])
+
+    # t1: the re-curation pass condemns ids (stands in for a d06-d16
+    # dedup/decontamination output; bounded collect here — at 100 TB
+    # the condemned set arrives as a table and the DELETE runs in
+    # cell-scoped chunks, each pruned by the same file stats)
+    condemned = sorted(int(r["vec_id"]) for r in
+                       emb.filter(F.col("vec_id") % 4 == 0)
+                          .select("vec_id").collect())
+    v = drop_from_index(store, spark, "e20_index",
+                        [("vec_id", "in", condemned)])
+    check(v is not None, "drop_from_index pruned everything — the "
+                         "condemned ids never reached the index?")
+
+    # t2: cold open of the MAINTAINED artifact (stamp survived the
+    # validated delete) and the rebuild-equality proof
+    idx = open_index(store, spark, "e20_index", kind="ivf_sq8")
+    loaded_cents = [(i, c) for i, c in enumerate(
+        centroids_from_model(idx.parts["centroids"]))]
+    loaded_bounds = idx.parts["bounds"].localCheckpoint(eager=True)
+    survivors = emb.filter(F.col("vec_id") % 4 != 0)
+    word_cols = (["vec_id", "cell"]
+                 + code_word_columns(idx.kind, idx.params))
+    acc = idx.codes.select(*word_cols).localCheckpoint(eager=True)
+    rebuild = build_ivf_sq8_codes(
+        survivors, loaded_cents, loaded_bounds,
+        dims=int(idx.params["dims"])).select(*word_cols)
+    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
+            .count())
+    check(diff == 0,
+          f"maintained index diverges from survivor rebuild by {diff} rows")
+
+    queries = survivors.filter(F.col("vec_id") % 50 == 0)
+    return search_ivf_sq8_index(
+        acc, loaded_cents, loaded_bounds, survivors, queries, k=5,
+        nprobe=_E19_NPROBE, shortlist=_E19_SHORTLIST,
+        dims=int(idx.params["dims"]))
+
+
+# The persisted PQ index (e21): the 16-64x artifact. PQ codebooks are
+# trained driver-side (numpy Lloyd over a bounded sample — not
+# SQL-derivable), so the adjudication uses the e09 pattern: at full
+# probe + full shortlist every ADC estimate passes through and the
+# search from the PERSISTED artifact must equal exact brute force
+# bit-for-bit; ADC estimate ACCURACY stays recall-floor-tested
+# (test_indexes, test_embeddings_ivf) and the production pruned shape
+# is plan-pinned (test_plans).
+_E21_SQL = _E08_SQL
+
+
+@register("e21_persisted_pq_search", _E21_SQL,
+          doc="persisted IVF-PQ index lifecycle — save_index/open/"
+              "search for the ivf_pq kind: one corpus scan builds "
+              "(vec_id, cell, m byte codes packed 4-per-bigint) under "
+              "driver-trained codebooks (numpy Lloyd per subspace, "
+              "Arrow-batched encode) and persists codes + centroids + "
+              "codebooks as one stamped artifact; the index is OPENED "
+              "COLD (kind, part pairing, code columns validated; "
+              "loaded codebooks proven bit-identical to the trained "
+              "ones), queries build m x n_codes ADC tables and stage 1 "
+              "ranks candidates by table lookups over UNPACKED "
+              "persisted codes; at full probe + full shortlist the "
+              "funnel must reproduce exact brute-force top-5 "
+              "bit-for-bit (the e09 adjudication applied to the "
+              "persisted artifact; production pruned shape is "
+              "plan-pinned)",
+          tags=("embeddings", "knn", "ann", "pq", "quantization",
+                "model", "store"))
+def e21_persisted_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        build_ivf_pq_codes,
+        pq_train,
+        search_ivf_pq_index,
+        seed_centroids,
+    )
+    from projectone_spark.queries import check
+    from projectone_spark.session import configure, scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.indexes import open_index, save_index
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        codebooks_from_model,
+        codebooks_to_frame,
+        centroids_to_frame,
+    )
+
+    configure(spark)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = TableStore(scratch_dir(prefix="po_e21_store_"))
+
+    seeds = seed_centroids(emb, k=_E19_CELLS)
+    cents = [(i, c) for i, (_, c) in enumerate(seeds)]
+    books = pq_train(emb, m=8, n_codes=16)
+    save_index(store, spark, "e21_index", "ivf_pq",
+               build_ivf_pq_codes(emb, cents, books),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "codebooks": codebooks_to_frame(spark, books)},
+               params={"dims": 64, "m": 8, "n_codes": 16,
+                       "n_cells": _E19_CELLS,
+                       "seeding": "seed_centroids"},
+               partition_by=["cell"])
+
+    idx = open_index(store, spark, "e21_index", kind="ivf_pq")
+    loaded_books = codebooks_from_model(idx.parts["codebooks"])
+    check(loaded_books == books,
+          "persisted codebooks differ from the trained ones")
+    loaded_cents = [(i, c) for i, c in enumerate(
+        centroids_from_model(idx.parts["centroids"]))]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # full probe + full shortlist: every candidate survives stage 1, so
+    # the persisted-artifact funnel must equal exact brute force (one
+    # bounded driver scalar sizes the shortlist, the e09 discipline)
+    n = emb.count()
+    return search_ivf_pq_index(
+        idx.codes, loaded_cents, loaded_books, emb, queries, k=5,
+        nprobe=int(idx.params["n_cells"]), shortlist=n)
+
+
+# Pinned search under concurrent rebuild (e22): f16's version-pinning
+# contract lifted to the whole index artifact. The oracle is e19's —
+# the v0 artifact's funnel — which the pinned search must keep
+# reproducing bit-for-bit AFTER a rebuild with a DIFFERENT quantizer
+# publishes v0+1 over the same table names.
+_E22_SQL = _E19_SQL
+
+
+@register("e22_pinned_index_search", _E22_SQL,
+          doc="version-pinned index open under a concurrent rebuild: "
+              "save_index publishes v0 (8-cell quantizer, the e19 "
+              "artifact), a REBUILD then overwrites codes AND parts "
+              "with a 4-cell quantizer under the same names; "
+              "open_index(version=v0) pins the code table via time "
+              "travel and each part via the part_versions the stamp "
+              "recorded at save time, so the pinned search reproduces "
+              "the HISTORICAL artifact's funnel bit-for-bit (the e19 "
+              "oracle) while the live open sees the new quantizer — "
+              "verified in-query (live params differ, pinned params "
+              "match v0); the f16 model-refresh contract lifted to the "
+              "whole persisted artifact",
+          tags=("embeddings", "knn", "ann", "quantization", "model",
+                "store", "versioning"))
+def e22_pinned_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        build_ivf_sq8_codes,
+        search_ivf_sq8_index,
+        seed_centroids,
+        sq8_bounds,
+    )
+    from projectone_spark.queries import check
+    from projectone_spark.session import configure, scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.indexes import open_index, save_index
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        centroids_to_frame,
+    )
+
+    configure(spark)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = TableStore(scratch_dir(prefix="po_e22_store_"))
+
+    def publish(k: int) -> int:
+        seeds = seed_centroids(emb, k=k)
+        cents = [(i, c) for i, (_, c) in enumerate(seeds)]
+        bounds = sq8_bounds(emb, dims=64).localCheckpoint(eager=True)
+        return save_index(
+            store, spark, "e22_index", "ivf_sq8",
+            build_ivf_sq8_codes(emb, cents, bounds, dims=64),
+            parts={"centroids": centroids_to_frame(
+                       spark, [c for _, c in cents]),
+                   "bounds": bounds},
+            params={"dims": 64, "n_cells": k,
+                    "seeding": "seed_centroids"},
+            partition_by=["cell"])
+
+    v0 = publish(_E19_CELLS)   # the artifact under adjudication
+    publish(_E19_CELLS // 2)   # the concurrent rebuild: different
+    # quantizer, same table names — what an unpinned reader now sees
+
+    live = open_index(store, spark, "e22_index", kind="ivf_sq8")
+    check(int(live.params["n_cells"]) == _E19_CELLS // 2,
+          f"live open should see the rebuild: {live.params}")
+    pinned = open_index(store, spark, "e22_index", kind="ivf_sq8",
+                        version=v0)
+    check(int(pinned.params["n_cells"]) == _E19_CELLS,
+          f"pinned open lost v0's params: {pinned.params}")
+    cents = [(i, c) for i, c in enumerate(
+        centroids_from_model(pinned.parts["centroids"]))]
+    check(len(cents) == _E19_CELLS,
+          "pinned parts must be v0's 8-cell quantizer")
+    bounds = pinned.parts["bounds"].localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return search_ivf_sq8_index(
+        pinned.codes, cents, bounds, emb, queries, k=5,
+        nprobe=_E19_NPROBE, shortlist=_E19_SHORTLIST,
+        dims=int(pinned.params["dims"]))

@@ -163,3 +163,209 @@ def test_search_from_persisted_index_matches_fresh_funnel(spark, tmp_path):
     assert sorted(map(tuple, cold.collect())) \
         == sorted(map(tuple, fresh.collect()))
     assert cold.count() > 0
+
+
+def test_drop_from_index_keeps_stamp_and_matches_survivor_rebuild(
+        spark, tmp_path):
+    """The re-curation flow: a dedup pass condemns vec_ids and
+    drop_from_index sheds them WITHOUT a rebuild — the stamp rides the
+    delete's own commit (still openable), and the maintained code table
+    equals a from-scratch rebuild over the surviving corpus under the
+    same persisted parts. A plain delete_where keeps dropping the stamp
+    (the junk-write guard is unchanged), and predicates on non-code
+    columns are rejected before anything commits."""
+    from projectone_spark.store.dml import delete_where
+    from projectone_spark.store.indexes import drop_from_index
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    v0 = store.version("idx")
+    with pytest.raises(ValueError, match="code-table columns"):
+        drop_from_index(store, spark, "idx", [("embedding", "=", 1)])
+    v1 = drop_from_index(store, spark, "idx", [("vec_id", "in",
+                         [int(r["vec_id"]) for r in
+                          emb.filter(F.col("vec_id") % 4 == 0)
+                             .select("vec_id").collect()])])
+    assert v1 == v0 + 1
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")  # stamp survived
+    survivors = emb.filter(F.col("vec_id") % 4 != 0)
+    rebuilt = build_ivf_sq8_codes(survivors, cents, bounds, dims=64)
+    cols = sorted(idx.codes.columns)
+    diff = (idx.codes.select(*cols).exceptAll(rebuilt.select(*cols))
+            .unionAll(rebuilt.select(*cols)
+                      .exceptAll(idx.codes.select(*cols))).count())
+    assert diff == 0
+    assert idx.codes.count() == survivors.count()
+    # a search over the maintained artifact never returns a dropped id
+    queries = survivors.filter(F.col("vec_id") % 50 == 25).limit(3)
+    hits = search_ivf_sq8_index(
+        idx.codes, cents, idx.parts["bounds"].localCheckpoint(eager=True),
+        survivors, queries, k=3, nprobe=2, shortlist=10, dims=64)
+    bad = hits.filter(F.col("neighbor_id") % 4 == 0).count()
+    assert bad == 0 and hits.count() > 0
+    # the unvalidated path still strips the stamp by design
+    delete_where(store, spark, "idx", [("cell", "=", 0)])
+    with pytest.raises(ValueError, match="no index metadata"):
+        open_index(store, spark, "idx")
+
+
+def test_drop_from_index_noop_when_pruned(spark, tmp_path):
+    """File stats proving no match -> no commit, stamp untouched."""
+    from projectone_spark.store.indexes import drop_from_index
+
+    store, emb, *_ = _built(spark, tmp_path)
+    v0 = store.version("idx")
+    assert drop_from_index(store, spark, "idx",
+                           [("cell", "=", 99)]) is None
+    assert store.version("idx") == v0
+    open_index(store, spark, "idx", kind="ivf_sq8")
+
+
+def test_save_index_rejects_reserved_params_key(spark, tmp_path):
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    codes = build_ivf_sq8_codes(emb, cents, bounds, dims=64)
+    with pytest.raises(ValueError, match="reserved"):
+        save_index(store, spark, "idx2", "ivf_sq8", codes,
+                   parts={"centroids": centroids_to_frame(
+                              spark, [c for _, c in cents]),
+                          "bounds": bounds},
+                   params={"dims": 64, "index": "shadow"})
+
+
+def test_open_index_version_pinning_survives_concurrent_rebuild(
+        spark, tmp_path):
+    """f16's refresh contract lifted to the whole artifact: a search
+    pinned to index v_N reads v_N's codes AND the part contents they
+    were encoded under, bit-for-bit, while a rebuild publishes new codes
+    and new parts over the SAME table names."""
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    v0 = store.version("idx")
+    idx0 = open_index(store, spark, "idx", kind="ivf_sq8")
+    codes0 = sorted(map(tuple, idx0.codes.select(
+        sorted(idx0.codes.columns)).collect()))
+    cents0 = sorted(map(tuple, idx0.parts["centroids"]
+                        .select("cell", "centroid").collect()))
+    # the rebuild: different quantizer (k=2), different codes, same names
+    seeds2 = seed_centroids(emb, k=2)
+    cents2 = [(i, c) for i, (_, c) in enumerate(seeds2)]
+    save_index(store, spark, "idx", "ivf_sq8",
+               build_ivf_sq8_codes(emb, cents2, bounds, dims=64),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents2]),
+                      "bounds": bounds},
+               params={"dims": 64, "n_cells": 2},
+               partition_by=["cell"])
+    pinned = open_index(store, spark, "idx", kind="ivf_sq8", version=v0)
+    assert pinned.params["n_cells"] == 4
+    assert sorted(map(tuple, pinned.codes.select(
+        sorted(pinned.codes.columns)).collect())) == codes0
+    assert sorted(map(tuple, pinned.parts["centroids"]
+                      .select("cell", "centroid").collect())) == cents0
+    latest = open_index(store, spark, "idx", kind="ivf_sq8")
+    assert latest.params["n_cells"] == 2
+    assert latest.parts["centroids"].count() == 2
+    # pinning to a non-save_index commit fails the stamp check
+    junk_v = store.overwrite(spark, emb.select("vec_id"), "idx")
+    with pytest.raises(ValueError, match="no index metadata"):
+        open_index(store, spark, "idx", version=junk_v)
+    with pytest.raises(FileNotFoundError, match="no version"):
+        open_index(store, spark, "idx", version=99)
+
+
+def test_open_index_pinned_rejects_pre_pinning_stamp(spark, tmp_path):
+    """A stamp without part_versions (pre-pinning save) cannot prove
+    which part contents its codes were built under — a pinned open must
+    refuse rather than silently pair with the latest parts."""
+    store, *_ = _built(spark, tmp_path)
+    v0 = store.version("idx")
+
+    def _strip(man):
+        man["index"].pop("part_versions", None)
+
+    store.amend_manifest("idx", _strip)
+    with pytest.raises(ValueError, match="predates part-version"):
+        open_index(store, spark, "idx", version=v0)
+    open_index(store, spark, "idx")  # unpinned open still fine
+
+
+def test_ivf_pq_index_roundtrip_and_fullshortlist_equals_bruteforce(
+        spark, tmp_path):
+    """The ivf_pq kind end-to-end: save/open validates codebook pairing
+    and code columns; a full-probe full-shortlist ADC search from the
+    persisted artifact equals exact brute force bit-for-bit (the e09
+    adjudication pattern); the production shape stays bounded."""
+    from projectone_spark.functions.embeddings import (
+        build_ivf_pq_codes,
+        knn_bruteforce,
+        pq_train,
+        search_ivf_pq_index,
+    )
+    from projectone_spark.store.models import (
+        codebooks_from_model,
+        codebooks_to_frame,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = [(i, c) for i, (_, c) in enumerate(seed_centroids(emb, k=4))]
+    books = pq_train(emb, m=8, n_codes=16)
+    codes = build_ivf_pq_codes(emb, cents, books)
+    store = _store(tmp_path)
+    save_index(store, spark, "pq", "ivf_pq", codes,
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "codebooks": codebooks_to_frame(spark, books)},
+               params={"dims": 64, "m": 8, "n_codes": 16, "n_cells": 4},
+               partition_by=["cell"])
+    idx = open_index(store, spark, "pq", kind="ivf_pq")
+    loaded_books = codebooks_from_model(idx.parts["codebooks"])
+    assert loaded_books == books  # parquet doubles round-trip exactly
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    full = search_ivf_pq_index(idx.codes, cents, loaded_books, emb,
+                               queries, k=5, nprobe=4, shortlist=n)
+    brute = knn_bruteforce(emb, queries, k=5)
+    assert sorted(map(tuple, full.collect())) \
+        == sorted(map(tuple, brute.collect()))
+    prod = search_ivf_pq_index(idx.codes, cents, loaded_books, emb,
+                               queries, k=5, nprobe=2, shortlist=25)
+    per_q = prod.groupBy("query_id").count().agg(
+        F.max("count").alias("m")).first()["m"]
+    assert per_q is not None and per_q <= 5
+
+
+def test_codebooks_adapters_validate(spark):
+    from projectone_spark.store.models import codebooks_from_model
+
+    with pytest.raises(ValueError, match="empty"):
+        codebooks_from_model(spark.createDataFrame(
+            [], "subspace int, code int, centroid array<double>"))
+    with pytest.raises(ValueError, match="dense"):
+        codebooks_from_model(spark.createDataFrame(
+            [(0, 0, [0.0]), (0, 2, [1.0])],
+            "subspace int, code int, centroid array<double>"))
+    with pytest.raises(ValueError, match="ragged"):
+        codebooks_from_model(spark.createDataFrame(
+            [(0, 0, [0.0]), (0, 1, [1.0]), (1, 0, [0.0])],
+            "subspace int, code int, centroid array<double>"))
+
+
+def test_assign_cell_vectorized_matches_literal(spark):
+    """The large-k Arrow router agrees with the literal codegen path on
+    real (non-tied) vectors, and build_ivf_sq8_codes produces the same
+    code table under either route."""
+    from projectone_spark.functions.embeddings import (
+        assign_cell_vectorized,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = [(i, c) for i, (_, c) in enumerate(seed_centroids(emb, k=4))]
+    both = emb.select(
+        assign_cell(F.col("embedding"), cents).alias("a"),
+        assign_cell_vectorized(cents)(F.col("embedding")).alias("b"))
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
+    bounds = sq8_bounds(emb, dims=64).localCheckpoint(eager=True)
+    lit = build_ivf_sq8_codes(emb, cents, bounds, dims=64)
+    vec = build_ivf_sq8_codes(emb, cents, bounds, dims=64,
+                              route="vectorized")
+    assert lit.exceptAll(vec).unionAll(vec.exceptAll(lit)).count() == 0
+    with pytest.raises(ValueError, match="route"):
+        build_ivf_sq8_codes(emb, cents, bounds, dims=64, route="x")

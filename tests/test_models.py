@@ -290,3 +290,19 @@ def test_centroids_from_model_rejects_empty(spark):
     with pytest.raises(ValueError, match="empty"):
         centroids_from_model(spark.createDataFrame(
             [], "cell int, centroid array<double>"))
+
+
+def test_pinned_load_of_vacuumed_version_fails_clearly(spark, tmp_path):
+    """A pinned load whose data dirs were vacuumed must surface the
+    restore-style vacuumed-version error, not a raw Spark path error
+    (read_version owns the check for every pinned reader)."""
+    from projectone_spark.store.maintenance import vacuum
+
+    store = _store(tmp_path)
+    w1 = spark.createDataFrame([("cat", 7)], "term string, weight_micro bigint")
+    w2 = spark.createDataFrame([("cat", 8)], "term string, weight_micro bigint")
+    v1 = save_model(store, spark, "m", "token_weights", w1)
+    save_model(store, spark, "m", "token_weights", w2)
+    vacuum(store, "m", keep_versions=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        load_model(store, spark, "m", version=v1)

@@ -53,26 +53,22 @@ def test_harness_prefix_contract():
     assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
-    # round-10 rotation intent: every query that has never had a driver
-    # correctness row occupies a prefix slot. CORRECTNESS_r09 was 49/50
-    # — st15's array-typed output column broke the canonicalizer (fixed
-    # this round: packed bigint words), so st15 stays never-green along
-    # with the two r10 additions; the 8 r9 first-greens additionally
-    # STAY in the prefix for their second adjudication (the r9
-    # verdict's item 2), enforced just below.
+    # round-11 rotation intent: every query that has never had a driver
+    # correctness row occupies a prefix slot — after r10's 50/50 clean
+    # sheet that is exactly the three new index-lifecycle queries; the
+    # r10 first-greens (e19/f16/st17) additionally STAY in the prefix
+    # for their second adjudication (the r10 verdict's item 5),
+    # enforced just below.
     never_adjudicated = {
-        "st15_stream_sq8_index",
+        "e20_index_drop_maintenance", "e21_persisted_pq_search",
+        "e22_pinned_index_search",
+    }
+    r10_cohort_kept_for_second_green = {
         "e19_index_open_and_search", "f16_model_version_pinning",
-        "st17_stream_index_maintenance",
+        "st17_stream_index_maintenance", "st15_stream_sq8_index",
     }
-    r9_cohort_kept_for_second_green = {
-        "f15_model_lifecycle", "t19_unigram_lm",
-        "t20_unigram_encode", "e18_persisted_ivf_search",
-        "p17_ccnet_buckets", "t21_tokenizer_fertility",
-        "st16_stream_quality_gate", "p18_temperature_budget",
-    }
-    kept = r9_cohort_kept_for_second_green - set(names[:50])
-    assert kept == set(), f"r9 cohort rotated out before 2nd green: {kept}"
+    kept = r10_cohort_kept_for_second_green - set(names[:50])
+    assert kept == set(), f"r10 cohort rotated out before 2nd green: {kept}"
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
 

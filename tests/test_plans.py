@@ -397,6 +397,62 @@ def test_e19_search_plan_reads_index_not_corpus(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_e21_pq_search_plan_reads_index_not_corpus(spark, tmp_path):
+    """The ivf_pq twin of the e19 plan pin: a production-shape
+    (nprobe < n_cells, pruned) cold ADC search scans the PERSISTED
+    code table with literal cell partition filters; the raw embeddings
+    parquet appears only as the rerank fetch (the query batch is
+    checkpointed), and no corpus-sized SortMergeJoin exists."""
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        build_ivf_pq_codes,
+        pq_train,
+        search_ivf_pq_index,
+        seed_centroids,
+    )
+    from projectone_spark.queries import load
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.indexes import open_index, save_index
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        centroids_to_frame,
+        codebooks_from_model,
+        codebooks_to_frame,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = [(i, c) for i, (_, c) in enumerate(seed_centroids(emb, k=4))]
+    books = pq_train(emb, m=8, n_codes=16)
+    store = TableStore(str(tmp_path / "e21store"))
+    save_index(store, spark, "idx", "ivf_pq",
+               build_ivf_pq_codes(emb, cents, books),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "codebooks": codebooks_to_frame(spark, books)},
+               params={"dims": 64, "m": 8, "n_codes": 16, "n_cells": 4},
+               partition_by=["cell"])
+
+    idx = open_index(store, spark, "idx", kind="ivf_pq")
+    loaded = [(i, c) for i, c in enumerate(
+        centroids_from_model(idx.parts["centroids"]))]
+    out = search_ivf_pq_index(
+        idx.codes, loaded, codebooks_from_model(idx.parts["codebooks"]),
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=3, nprobe=2,
+        shortlist=10)
+    assert out.count() > 0  # AQE: final plan exists after execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # raw vectors: the rerank fetch ONLY (query batch is checkpointed)
+    assert plan.count("embeddings.parquet") == 1
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 2
+    assert "w00" in plan and "cell" in plan
+    pfilters = [seg.split("]")[0]
+                for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("cell" in p for p in pfilters), pfilters
+    assert "SortMergeJoin" not in plan
+
+
 def test_bpe_fold_vocabulary_join_broadcasts_by_contract(spark):
     """The encoded-vocabulary join must be a BroadcastHashJoin under
     BOTH encode engines — the r9 ×100 probe caught AQE sizing the
