@@ -1143,10 +1143,39 @@ def search_ivf_sq8_index(codes: DataFrame,
                          shortlist: int = 25, dims: int = 64,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          query_id_col: str = "query_id",
-                         prune_cells: bool = True) -> DataFrame:
+                         prune_cells: bool = True,
+                         fetch_ids=None,
+                         rebalance: int | None = None) -> DataFrame:
     """The SEARCH side of a persisted IVF-SQ8 index — the production
     cold read path: rank candidates from the PERSISTED code table alone
     and touch raw vectors only for the per-query shortlist rerank.
+
+    ``fetch_ids`` (optional, ``Callable[[list], DataFrame]``) replaces
+    the stage-2 corpus SCAN with a KEYED fetch: the shortlist id set
+    (bounded at ``n_queries × shortlist`` by contract) is collected and
+    handed to the callable, which returns the ``(id_col, vec_col)``
+    rows for exactly those ids — at 100 TB, ``store.skipping.read_where
+    (..., [(id_col, "in", ids)])`` over an id-stats/z-ordered corpus
+    table reads only the files containing shortlist vectors, where the
+    default streams the ENTIRE raw corpus through the broadcast join
+    (bounded output rows, but full-scan I/O). Without it, pass the
+    corpus frame and the scan shape applies (fine when the corpus is
+    already cached or the batch is huge enough to amortize the scan).
+
+    ``rebalance`` (optional int) round-robin-repartitions the pruned,
+    still-PACKED candidate rows before the stage-1 join. Per-scan-task
+    stage-1 work is rows-in-split × queries-probing-that-cell; splits
+    are uniform in BYTES, so a hot cell (high occupancy AND probed by
+    most queries) concentrates the pair fold into its few splits — the
+    r11 skew probe measured a 30%-occupancy cell turning 929 s of
+    aggregate stage time into 203 s wall (~5 effective cores of 32). A
+    round-robin shuffle mixes hot and cold rows into every task
+    (uniform per-task work by construction — no salting keys needed,
+    the join side is broadcast). Cost: one shuffle of the pruned code
+    subset; leave None for huge offline scans where that shuffle would
+    dominate, set to the session parallelism for skewed/online shapes.
+    Results are bit-identical either way (the ranking's total order is
+    partition-independent).
 
     Stage 0 (bounded): each query encodes against the broadcast bounds
     row and probes its ``nprobe`` nearest cells under the broadcast
@@ -1191,6 +1220,9 @@ def search_ivf_sq8_index(codes: DataFrame,
                         qc.select("cell").distinct().collect())
         if probed:  # no queries -> the qc join below is empty anyway
             idx = idx.filter(F.col("cell").isin(probed))
+    if rebalance:
+        idx = idx.repartition(rebalance)  # packed rows shuffle compact;
+        # the unpack projection below runs post-shuffle
     idx = idx.select(F.col(id_col), F.col("cell"),
                      sq8_unpack_words(dims).alias("__c"))
     sq = F.aggregate(
@@ -1206,13 +1238,39 @@ def search_ivf_sq8_index(codes: DataFrame,
                             [F.asc("sq_dist"), F.asc("neighbor_id")],
                             shortlist) \
         .select(query_id_col, "neighbor_id", "sq_dist")
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    if fetch_ids is not None:
+        # the shortlist feeds BOTH the id collect and the rerank join —
+        # checkpoint so stage 1 computes once, not once per consumer
+        short = short.localCheckpoint(eager=False)
+    c = _rerank_source(corpus, short, fetch_ids, id_col, vec_col)
     rr = _funnel_rerank(
-        c.select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__vn")),
+        c,
         q.select(query_id_col, "__qvec",
                  l2_norm(F.col("__qvec")).alias("__qn")),
         short, "sq_dist", id_col, query_id_col)
     return _topk(rr, query_id_col, k)
+
+
+def _rerank_source(corpus: DataFrame | None, short: DataFrame, fetch_ids,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """Stage-2 vector source for the funnel rerank: the corpus SCAN by
+    default, or a KEYED fetch when ``fetch_ids`` is given — the
+    shortlist's distinct neighbor ids (bounded at n_queries × shortlist
+    by contract, the probed-cell collect's cost class) are collected
+    and handed to the callable, so a store-backed fetch
+    (``read_where(..., [(id, "in", ids)])``) reads only the files that
+    contain shortlist vectors instead of streaming the whole raw
+    corpus through the broadcast join. Returns (id, __vec, __vn)."""
+    if fetch_ids is not None:
+        ids = sorted(r[0] for r in
+                     short.select("neighbor_id").distinct().collect())
+        src = fetch_ids(ids)
+    elif corpus is not None:
+        src = corpus
+    else:
+        raise ValueError("search needs a corpus frame or fetch_ids")
+    c = src.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    return c.select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__vn"))
 
 
 def build_ivf_pq_codes(corpus: DataFrame,
@@ -1249,11 +1307,16 @@ def search_ivf_pq_index(codes: DataFrame,
                         nprobe: int = 2, shortlist: int = 25,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         query_id_col: str = "query_id",
-                        prune_cells: bool = True) -> DataFrame:
+                        prune_cells: bool = True,
+                        fetch_ids=None,
+                        rebalance: int | None = None) -> DataFrame:
     """The SEARCH side of a persisted IVF-PQ index — ADC over the
     persisted code table, raw vectors touched only for the shortlist
     rerank (the :func:`search_ivf_sq8_index` funnel with stage 1's
-    integer L2 swapped for asymmetric-distance table lookups).
+    integer L2 swapped for asymmetric-distance table lookups;
+    ``fetch_ids`` swaps the rerank's corpus scan for a keyed fetch and
+    ``rebalance`` round-robins the pruned candidates against hot-cell
+    stragglers the same way — see that function's docstring).
 
     Stage 0 (bounded): each query builds its m×n_codes ADC tables
     (Arrow-batched) and probes its ``nprobe`` nearest cells. Stage 1
@@ -1286,6 +1349,8 @@ def search_ivf_pq_index(codes: DataFrame,
                         qt.select("cell").distinct().collect())
         if probed:
             idx = idx.filter(F.col("cell").isin(probed))
+    if rebalance:
+        idx = idx.repartition(rebalance)
     idx = idx.select(F.col(id_col), F.col("cell"),
                      sq8_unpack_words(m).alias("__c"))
     est = F.aggregate(
@@ -1301,9 +1366,11 @@ def search_ivf_pq_index(codes: DataFrame,
                             [F.desc("__est"), F.asc("neighbor_id")],
                             shortlist) \
         .select(query_id_col, "neighbor_id")
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    if fetch_ids is not None:
+        short = short.localCheckpoint(eager=False)
+    c = _rerank_source(corpus, short, fetch_ids, id_col, vec_col)
     rr = _funnel_rerank(
-        c.select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__vn")),
+        c,
         q.select(query_id_col, "__qvec",
                  l2_norm(F.col("__qvec")).alias("__qn")),
         short.withColumn("__carried", F.lit(0)), "__carried",

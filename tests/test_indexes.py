@@ -369,3 +369,109 @@ def test_assign_cell_vectorized_matches_literal(spark):
     assert lit.exceptAll(vec).unionAll(vec.exceptAll(lit)).count() == 0
     with pytest.raises(ValueError, match="route"):
         build_ivf_sq8_codes(emb, cents, bounds, dims=64, route="x")
+
+
+def test_search_keyed_fetch_matches_corpus_scan(spark, tmp_path):
+    """fetch_ids (the 100 TB rerank shape: keyed file-skipped fetch of
+    the bounded shortlist instead of streaming the whole raw corpus)
+    returns bit-identical results to the corpus-scan default, for both
+    index kinds, including when the fetch goes through a real
+    store.read_where over an id-stats table."""
+    from projectone_spark.functions.embeddings import (
+        build_ivf_pq_codes,
+        pq_train,
+        search_ivf_pq_index,
+    )
+    from projectone_spark.store.models import codebooks_to_frame
+    from projectone_spark.store.skipping import read_where
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    store.overwrite(spark, emb, "corpus", stats_columns=["vec_id"])
+    calls = []
+
+    def fetch(ids):
+        calls.append(len(ids))
+        return read_where(store, spark, "corpus", [("vec_id", "in", ids)])
+
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    scan = search_ivf_sq8_index(idx.codes, cents, bounds, emb, queries,
+                                k=3, nprobe=2, shortlist=10, dims=64)
+    keyed = search_ivf_sq8_index(idx.codes, cents, bounds, None, queries,
+                                 k=3, nprobe=2, shortlist=10, dims=64,
+                                 fetch_ids=fetch)
+    assert sorted(map(tuple, scan.collect())) \
+        == sorted(map(tuple, keyed.collect()))
+    assert calls and calls[0] > 0  # the fetch really ran, with real ids
+    with pytest.raises(ValueError, match="corpus frame or fetch_ids"):
+        search_ivf_sq8_index(idx.codes, cents, bounds, None, queries,
+                             k=3, nprobe=2, shortlist=10, dims=64).collect()
+
+    books = pq_train(emb, m=8, n_codes=16)
+    codes = build_ivf_pq_codes(emb, cents, books)
+    pq_scan = search_ivf_pq_index(codes, cents, books, emb, queries,
+                                  k=3, nprobe=2, shortlist=10)
+    pq_keyed = search_ivf_pq_index(codes, cents, books, None, queries,
+                                   k=3, nprobe=2, shortlist=10,
+                                   fetch_ids=fetch)
+    assert sorted(map(tuple, pq_scan.collect())) \
+        == sorted(map(tuple, pq_keyed.collect()))
+
+
+def test_search_rebalance_is_bit_identical(spark, tmp_path):
+    """rebalance= (the hot-cell straggler mitigation) is a pure
+    physical rebalance: results match the scan-side join row-for-row,
+    for both index kinds."""
+    from projectone_spark.functions.embeddings import (
+        build_ivf_pq_codes,
+        pq_train,
+        search_ivf_pq_index,
+    )
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    plain = search_ivf_sq8_index(idx.codes, cents, bounds, emb, queries,
+                                 k=3, nprobe=2, shortlist=10, dims=64)
+    reb = search_ivf_sq8_index(idx.codes, cents, bounds, emb, queries,
+                               k=3, nprobe=2, shortlist=10, dims=64,
+                               rebalance=8)
+    assert sorted(map(tuple, plain.collect())) \
+        == sorted(map(tuple, reb.collect()))
+    books = pq_train(emb, m=8, n_codes=16)
+    codes = build_ivf_pq_codes(emb, cents, books)
+    pq_plain = search_ivf_pq_index(codes, cents, books, emb, queries,
+                                   k=3, nprobe=2, shortlist=10)
+    pq_reb = search_ivf_pq_index(codes, cents, books, emb, queries,
+                                 k=3, nprobe=2, shortlist=10, rebalance=8)
+    assert sorted(map(tuple, pq_plain.collect())) \
+        == sorted(map(tuple, pq_reb.collect()))
+
+
+def test_compact_keeps_index_stamp_and_contents(spark, tmp_path):
+    """OPTIMIZE between maintenance appends (the st17 mid-stream shape,
+    store-level twin of test_models.py::test_maintenance_keeps_model_stamp):
+    compact preserves the index stamp, the txn watermarks, the cell
+    partitioning, and every row — and bounds the file count."""
+    from projectone_spark.store import last_commit_stats
+    from projectone_spark.store.maintenance import compact
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    delta = build_ivf_sq8_codes(
+        emb.filter(F.col("vec_id") % 7 == 0)
+           .withColumn("vec_id", F.col("vec_id") + 1_000_000),
+        cents, bounds, dims=64)
+    store.append(spark, delta.coalesce(1), "idx", txn=("maint", 3))
+    before = open_index(store, spark, "idx", kind="ivf_sq8")
+    rows_before = sorted(map(tuple, before.codes.select(
+        sorted(before.codes.columns)).collect()))
+    files_before = last_commit_stats(store, "idx")["num_files"]
+    assert compact(store, spark, "idx", target_file_bytes=1 << 30) is not None
+    after = open_index(store, spark, "idx", kind="ivf_sq8")  # stamp kept
+    assert after.params == before.params
+    assert store.txn_version("idx", "maint") == 3  # watermark kept
+    assert store.manifest("idx")["partition_by"] == ["cell"]
+    rows_after = sorted(map(tuple, after.codes.select(
+        sorted(after.codes.columns)).collect()))
+    assert rows_after == rows_before
+    assert last_commit_stats(store, "idx")["num_files"] <= files_before
