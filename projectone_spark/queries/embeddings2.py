@@ -920,15 +920,13 @@ def e20_index_drop_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "seeding": "seed_centroids"},
                partition_by=["cell"])
 
-    # t1: the re-curation pass condemns ids (stands in for a d06-d16
-    # dedup/decontamination output; bounded collect here — at 100 TB
-    # the condemned set arrives as a table and the DELETE runs in
-    # cell-scoped chunks, each pruned by the same file stats)
-    condemned = sorted(int(r["vec_id"]) for r in
-                       emb.filter(F.col("vec_id") % 4 == 0)
-                          .select("vec_id").collect())
-    v = drop_from_index(store, spark, "e20_index",
-                        [("vec_id", "in", condemned)])
+    # t1: the re-curation pass condemns ids — delivered as a FRAME
+    # (what a d06-d16 dedup/decontamination output looks like at
+    # 100 TB: corpus-scaled, never collected); the drop runs as an
+    # anti-join MERGE delete with source-key-range file pruning, the
+    # stamp re-published through the same commit
+    condemned = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id")
+    v = drop_from_index(store, spark, "e20_index", ids=condemned)
     check(v is not None, "drop_from_index pruned everything — the "
                          "condemned ids never reached the index?")
 
@@ -1084,10 +1082,14 @@ def e22_pinned_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     store = TableStore(scratch_dir(prefix="po_e22_store_"))
 
+    # both publishes quantize over the same corpus, so the bounds scan
+    # (the one full-corpus fold) runs once and both saves reuse the row
+    shared_bounds = sq8_bounds(emb, dims=64).localCheckpoint(eager=True)
+
     def publish(k: int) -> int:
         seeds = seed_centroids(emb, k=k)
         cents = [(i, c) for i, (_, c) in enumerate(seeds)]
-        bounds = sq8_bounds(emb, dims=64).localCheckpoint(eager=True)
+        bounds = shared_bounds
         return save_index(
             store, spark, "e22_index", "ivf_sq8",
             build_ivf_sq8_codes(emb, cents, bounds, dims=64),

@@ -206,6 +206,7 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
                when_not_matched_by_source_delete: str | bool = False,
                schema_evolution: bool = False,
                txn: tuple[str, int] | None = None,
+               manifest_extra: dict | None = None,
                ) -> int | None:
     """General ``MERGE INTO`` (Delta ``DeltaTable.merge`` surface — the
     reference's SCD writers are specializations of this; ``scd1/2/3`` in
@@ -334,7 +335,8 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
             out_cols.append(val.alias(c))
         return joined.filter(keep).select(*out_cols)
 
-    v = _rewrite(store, spark, name, predicates, apply, "merge", txn=txn)
+    v = _rewrite(store, spark, name, predicates, apply, "merge", txn=txn,
+                 manifest_extra=manifest_extra)
     if v is None and when_not_matched_insert:
         # every target file pruned, but source-only rows still insert
         ins = source.alias("source")

@@ -219,7 +219,8 @@ def open_index(store: TableStore, spark: SparkSession, name: str,
 
 
 def drop_from_index(store: TableStore, spark: SparkSession, name: str,
-                    predicates) -> int | None:
+                    predicates=None, *, ids: DataFrame | None = None,
+                    key: str = "vec_id") -> int | None:
     """Remove vectors from a persisted index WITHOUT a rebuild — the
     re-curation flow: a dedup/decontamination pass condemns vec_ids and
     the index sheds them in one validated, copy-on-write DELETE.
@@ -235,21 +236,46 @@ def drop_from_index(store: TableStore, spark: SparkSession, name: str,
     a second manifest write — no crash window where the table exists
     unstamped).
 
-    Cost ∝ files touched, not index size: the DELETE inherits dml's
-    file-stat pruning, and on the production cell-partitioned layout a
+    Two condemned-set shapes (exactly one must be given):
+
+    - ``predicates`` — conjunctive ``(col, op, literal)`` terms, the
+      ``delete_where`` form. Right when the set is expressible as
+      literals (a cell, an id range, a bounded IN-list).
+    - ``ids`` — a DataFrame of condemned ``key`` values, the shape a
+      dedup/decontamination pass actually EMITS at 100 TB (corpus-
+      scaled, never collectible): runs as an anti-join MERGE
+      (``when_matched_delete``), with the source's key-range bounds
+      pruning untouched files exactly like Delta MERGE.
+
+    Cost ∝ files touched, not index size: both shapes inherit dml's
+    file-stat pruning; on the production cell-partitioned layout a
     ``("cell", ...)``-scoped predicate rewrites only the affected cells'
     files (the rest hard-link forward). Returns the new version, or None
     when file stats prove no row matches (stamp untouched)."""
-    from projectone_spark.store.dml import delete_where
+    from projectone_spark.store.dml import delete_where, merge_into
 
+    if (predicates is None) == (ids is None):
+        raise ValueError("drop_from_index takes exactly one of "
+                         "predicates or ids")
     opened = open_index(store, spark, name)  # full lifecycle validation
     code_cols = set(opened.codes.columns)
+    meta = store.manifest(name)["index"]
+    if ids is not None:
+        if key not in code_cols:
+            raise ValueError(
+                f"drop_from_index key {key!r} is not a code-table "
+                f"column (has {sorted(code_cols)})")
+        extra_cols = [c for c in ids.columns if c != key]
+        condemned = ids.select(key) if extra_cols else ids
+        return merge_into(store, spark, name, condemned, [key],
+                          when_matched_delete=True,
+                          when_not_matched_insert=False,
+                          manifest_extra={"index": meta})
     bad = sorted({c for c, _, _ in predicates} - code_cols)
     if bad:
         raise ValueError(
             f"drop_from_index predicates may only reference code-table "
             f"columns {sorted(code_cols)}; got {bad}")
-    meta = store.manifest(name)["index"]
     return delete_where(store, spark, name, predicates,
                         manifest_extra={"index": meta})
 

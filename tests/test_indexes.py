@@ -475,3 +475,33 @@ def test_compact_keeps_index_stamp_and_contents(spark, tmp_path):
         sorted(after.codes.columns)).collect()))
     assert rows_after == rows_before
     assert last_commit_stats(store, "idx")["num_files"] <= files_before
+
+
+def test_drop_from_index_by_ids_frame(spark, tmp_path):
+    """The ids-frame shape — the condemned set as a TABLE (what a
+    dedup pass emits at scale; never collected): an anti-join MERGE
+    delete, stamp re-published through the same commit, identical
+    survivors to the predicate shape."""
+    from projectone_spark.store.indexes import drop_from_index
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    condemned = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id")
+    v = drop_from_index(store, spark, "idx", ids=condemned)
+    assert v is not None
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")  # stamp kept
+    survivors = emb.filter(F.col("vec_id") % 4 != 0)
+    assert idx.codes.count() == survivors.count()
+    rebuilt = build_ivf_sq8_codes(survivors, cents, bounds, dims=64)
+    cols = sorted(idx.codes.columns)
+    assert (idx.codes.select(*cols).exceptAll(rebuilt.select(*cols))
+            .unionAll(rebuilt.select(*cols)
+                      .exceptAll(idx.codes.select(*cols))).count()) == 0
+    with pytest.raises(ValueError, match="exactly one"):
+        drop_from_index(store, spark, "idx")
+    with pytest.raises(ValueError, match="exactly one"):
+        drop_from_index(store, spark, "idx", [("cell", "=", 0)],
+                        ids=condemned)
+    with pytest.raises(ValueError, match="not a code-table column"):
+        drop_from_index(store, spark, "idx",
+                        ids=condemned.withColumnRenamed("vec_id", "doc"),
+                        key="doc")
