@@ -137,9 +137,14 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # every pytest run.
     "e20_index_drop_maintenance", "e21_persisted_pq_search",
     "e22_pinned_index_search",
+    # st18 (streaming maintenance INTERLEAVED with the e20 drop — the
+    # full production loop on one artifact) takes the slot of t15
+    # (linear classifier, 4 driver greens; the classifier family stays
+    # driver-covered by the in-prefix t17/t18/st16):
+    "st18_stream_drop_maintenance",
     # new-in-round-7 (took the f02/f03/f05/d10/d11/d12 slots — 2 driver
     # greens each), kept for their SECOND adjudication per the r7 brief:
-    "t15_linear_classifier", "f12_curation_dag",
+    "f12_curation_dag",
     "e14_kmeans_lloyd", "p14_ngram_decontamination",
     "s23_zorder_skipping",
     # new-in-round-8: Arrow-batched production BPE encode, classifier

@@ -798,3 +798,151 @@ def st17_stream_index_maintenance(spark: SparkSession,
         acc, loaded_cents, loaded_bounds, emb, queries, k=5,
         nprobe=_E19_NPROBE, shortlist=_E19_SHORTLIST,
         dims=int(idx.params["dims"]))
+
+
+# The FULL production loop on one persisted artifact (st18): streaming
+# APPEND maintenance interleaved with a mid-stream re-curation DROP.
+# Base corpus indexed at t0 (quantizer trained on base); delta
+# micro-batches stream in under txn watermarks; BETWEEN batches a
+# decontamination pass condemns a slice of the BASE ids and
+# drop_from_index sheds them (anti-join MERGE delete, stamp
+# re-published through the same commit); more batches append AFTER the
+# drop. The maintained artifact must equal a from-scratch rebuild over
+# (surviving base + all delta) under the t0 parts, then answers a cold
+# search. Oracle: the e19 funnel with train restricted to base and the
+# indexed set restricted to survivors — both _e19_sql parameters at
+# once. survivors = delta ∪ (base ∧ vec_id % 5 <> 2); since
+# base = vec_id % 4 <> 0, that is (vec_id % 4 = 0 OR vec_id % 5 <> 2).
+_ST18_SQL = _e19_sql(
+    train_where="vec_id % 4 <> 0",
+    corpus_where="(vec_id % 4 = 0 OR vec_id % 5 <> 2)")
+
+
+@register("st18_stream_drop_maintenance", _ST18_SQL,
+          doc="streaming maintenance INTERLEAVED with re-curation on "
+              "one persisted IVF-SQ8 index — the full production loop "
+              "(st17's append stream + e20's validated DROP on the "
+              "same artifact): the index builds on the base corpus at "
+              "t0; delta micro-batches append under per-batch txn "
+              "watermarks; MID-STREAM, a decontamination pass condemns "
+              "a fifth of the base ids as a FRAME and drop_from_index "
+              "sheds them via an anti-join MERGE delete whose commit "
+              "re-publishes the index stamp (later batches keep "
+              "appending to the already-purged artifact); >= 4 real "
+              "micro-batches and the drop commit asserted in the "
+              "history, the maintained code table proven EQUAL to a "
+              "from-scratch rebuild over surviving-base + all-delta "
+              "under the same t0 parts, condemned ids proven absent, "
+              "and the index then OPENED COLD and searched; the "
+              "oracle mirrors the funnel with a base-trained "
+              "quantizer over the survivor set bit-for-bit",
+          tags=("streaming", "embeddings", "ann", "quantization",
+                "incremental", "model", "store", "dml"))
+def st18_stream_drop_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from projectone_spark.functions.embeddings import (
+        build_ivf_sq8_codes,
+        search_ivf_sq8_index,
+        seed_centroids,
+        sq8_bounds,
+    )
+    from projectone_spark.queries import check
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.indexes import (
+        code_word_columns,
+        drop_from_index,
+        open_index,
+        save_index,
+    )
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        centroids_to_frame,
+    )
+    from projectone_spark.streaming import (
+        StreamTrigger,
+        read_stream_parquet,
+        write_stream,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    condemned = base.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    store = TableStore(scratch_dir(prefix="po_st18_store_"))
+
+    # t0: one full base scan builds and persists the whole index
+    seeds = seed_centroids(base, k=8)
+    cents = [(i, c) for i, (_, c) in enumerate(seeds)]
+    bounds = sq8_bounds(base, dims=64).localCheckpoint(eager=True)
+    save_index(store, spark, "st18_index", "ivf_sq8",
+               build_ivf_sq8_codes(base, cents, bounds, dims=64),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "bounds": bounds},
+               params={"dims": 64, "n_cells": 8,
+                       "seeding": "seed_centroids", "trained_on": "base"},
+               partition_by=["cell"])
+
+    idx0 = open_index(store, spark, "st18_index", kind="ivf_sq8")
+    loaded_cents = [(i, c) for i, c in enumerate(
+        centroids_from_model(idx0.parts["centroids"]))]
+    loaded_bounds = idx0.parts["bounds"].localCheckpoint(eager=True)
+
+    src_dir = scratch_dir(prefix="po_st18_src_")
+    delta.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = read_stream_parquet(
+        spark, src_dir, "vec_id bigint, embedding array<float>",
+        max_files_per_trigger=1)
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.txn_version("st18_index", "st18_codes"):
+            return  # at-least-once replay: already committed
+        store.append(
+            spark,
+            build_ivf_sq8_codes(batch_df, loaded_cents, loaded_bounds,
+                                dims=64).coalesce(1),
+            "st18_index", txn=("st18_codes", batch_id))
+        if batch_id == 1:
+            # MID-STREAM re-curation: the condemned BASE ids leave the
+            # standing artifact between micro-batches; the stamp and
+            # the st18_codes watermark both ride/survive the delete's
+            # commit, so maintenance simply continues on the purged
+            # index (later batches are new data, never re-condemned)
+            drop_from_index(store, spark, "st18_index", ids=condemned)
+
+    q = write_stream(stream, foreach_batch=index_batch,
+                     trigger=StreamTrigger(available_now=True),
+                     checkpoint=scratch_dir(prefix="po_st18_ckpt_"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st18 stream did not finish in 300s — refusing "
+                           "to read a partially-maintained index")
+    check(store.txn_version("st18_index", "st18_codes") >= 3,
+          "expected >= 4 micro-batches through the standing index")
+    ops = [h["operation"] for h in store.history("st18_index")]  # newest 1st
+    check("merge" in ops, f"the mid-stream drop never committed: {ops}")
+    check(ops[0] != "merge",
+          f"the drop must be INTERLEAVED (appends after it): {ops}")
+
+    # cold open of the artifact that lived the whole loop
+    idx = open_index(store, spark, "st18_index", kind="ivf_sq8")
+    word_cols = (["vec_id", "cell"]
+                 + code_word_columns(idx.kind, idx.params))
+    acc = idx.codes.select(*word_cols).localCheckpoint(eager=True)
+    survivors = emb.filter((F.col("vec_id") % 4 == 0)
+                           | (F.col("vec_id") % 5 != 2))
+    rebuild = build_ivf_sq8_codes(survivors, loaded_cents, loaded_bounds,
+                                  dims=64).select(*word_cols)
+    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
+            .count())
+    check(diff == 0,
+          f"maintained index diverges from survivor rebuild by {diff} rows")
+    n_condemned_left = acc.join(condemned, "vec_id", "semi").count()
+    check(n_condemned_left == 0,
+          f"{n_condemned_left} condemned ids survived the drop")
+
+    queries = survivors.filter(F.col("vec_id") % 50 == 0)
+    return search_ivf_sq8_index(
+        acc, loaded_cents, loaded_bounds, survivors, queries, k=5,
+        nprobe=_E19_NPROBE, shortlist=_E19_SHORTLIST,
+        dims=int(idx.params["dims"]))

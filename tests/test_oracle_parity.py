@@ -61,7 +61,7 @@ def test_harness_prefix_contract():
     # enforced just below.
     never_adjudicated = {
         "e20_index_drop_maintenance", "e21_persisted_pq_search",
-        "e22_pinned_index_search",
+        "e22_pinned_index_search", "st18_stream_drop_maintenance",
     }
     r10_cohort_kept_for_second_green = {
         "e19_index_open_and_search", "f16_model_version_pinning",
