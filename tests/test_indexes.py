@@ -505,3 +505,50 @@ def test_drop_from_index_by_ids_frame(spark, tmp_path):
         drop_from_index(store, spark, "idx",
                         ids=condemned.withColumnRenamed("vec_id", "doc"),
                         key="doc")
+
+
+def test_pq_production_shape_recall_floor(spark, tmp_path):
+    """Recall@5 of the PRUNED persisted-PQ search (nprobe < n_cells,
+    bounded shortlist — the production shape e21's full-shortlist
+    oracle deliberately bypasses) against exact brute force: the
+    standard ANN audit, run over the cold-opened artifact."""
+    from projectone_spark.functions.embeddings import (
+        build_ivf_pq_codes,
+        knn_bruteforce,
+        knn_recall,
+        pq_train,
+        search_ivf_pq_index,
+    )
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        codebooks_from_model,
+        codebooks_to_frame,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = [(i, c) for i, (_, c) in enumerate(seed_centroids(emb, k=4))]
+    books = pq_train(emb, m=8, n_codes=16)
+    store = _store(tmp_path)
+    save_index(store, spark, "pq", "ivf_pq",
+               build_ivf_pq_codes(emb, cents, books),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "codebooks": codebooks_to_frame(spark, books)},
+               params={"dims": 64, "m": 8, "n_codes": 16, "n_cells": 4},
+               partition_by=["cell"])
+    idx = open_index(store, spark, "pq", kind="ivf_pq")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = search_ivf_pq_index(
+        idx.codes,
+        [(i, c) for i, c in enumerate(
+            centroids_from_model(idx.parts["centroids"]))],
+        codebooks_from_model(idx.parts["codebooks"]),
+        emb, queries, k=5, nprobe=3, shortlist=50)
+    exact = knn_bruteforce(emb, queries, k=5)
+    rec = (knn_recall(exact, approx, "ivf_pq", k=5)
+           .agg(F.avg("recall").alias("r")).first()["r"])
+    # probing 3/4 cells of a seed-centroid (deliberately degenerate,
+    # SQL-adjudicable) quantizer over the tiny test corpus measures
+    # 0.68; the 0.5 floor catches a silently-broken ADC/unpack/funnel
+    # (~0 recall), not quantization noise
+    assert rec is not None and rec >= 0.5, rec
