@@ -1264,7 +1264,18 @@ def _rerank_source(corpus: DataFrame | None, short: DataFrame, fetch_ids,
     if fetch_ids is not None:
         ids = sorted(r[0] for r in
                      short.select("neighbor_id").distinct().collect())
-        src = fetch_ids(ids)
+        src = fetch_ids(ids).localCheckpoint(eager=True)  # bounded
+        # a fetch that comes back short would make the inner rerank
+        # join DROP candidates silently — index/corpus drift (vectors
+        # deleted from the corpus table but not the index) must fail
+        # loudly, not skew top-k
+        n_got = src.select(id_col).distinct().count()
+        if n_got < len(ids):
+            raise ValueError(
+                f"fetch_ids returned vectors for {n_got} of {len(ids)} "
+                f"shortlist ids — the corpus table is missing indexed "
+                f"vectors (index/corpus drift); rebuild or "
+                f"drop_from_index the missing ids")
     elif corpus is not None:
         src = corpus
     else:

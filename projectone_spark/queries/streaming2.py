@@ -895,20 +895,25 @@ def st18_stream_drop_maintenance(spark: SparkSession,
         max_files_per_trigger=1)
 
     def index_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= store.txn_version("st18_index", "st18_codes"):
-            return  # at-least-once replay: already committed
-        store.append(
-            spark,
-            build_ivf_sq8_codes(batch_df, loaded_cents, loaded_bounds,
-                                dims=64).coalesce(1),
-            "st18_index", txn=("st18_codes", batch_id))
-        if batch_id == 1:
+        # each side effect carries its OWN txn watermark, checked
+        # independently: a replay that finds the append committed but
+        # crashed before the drop must still run the drop (a single
+        # early return would skip it forever)
+        if batch_id > store.txn_version("st18_index", "st18_codes"):
+            store.append(
+                spark,
+                build_ivf_sq8_codes(batch_df, loaded_cents, loaded_bounds,
+                                    dims=64).coalesce(1),
+                "st18_index", txn=("st18_codes", batch_id))
+        if (batch_id >= 1
+                and store.txn_version("st18_index", "st18_drop") < 1):
             # MID-STREAM re-curation: the condemned BASE ids leave the
             # standing artifact between micro-batches; the stamp and
-            # the st18_codes watermark both ride/survive the delete's
-            # commit, so maintenance simply continues on the purged
-            # index (later batches are new data, never re-condemned)
-            drop_from_index(store, spark, "st18_index", ids=condemned)
+            # both txn watermarks ride/survive the delete's commit, so
+            # maintenance simply continues on the purged index (later
+            # batches are new data, never re-condemned)
+            drop_from_index(store, spark, "st18_index", ids=condemned,
+                            txn=("st18_drop", 1))
 
     q = write_stream(stream, foreach_batch=index_batch,
                      trigger=StreamTrigger(available_now=True),

@@ -160,7 +160,8 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
 
 def delete_where(store: TableStore, spark: SparkSession, name: str,
                  predicates: Sequence[tuple[str, str, object]],
-                 manifest_extra: dict | None = None) -> int | None:
+                 manifest_extra: dict | None = None,
+                 txn: tuple[str, int] | None = None) -> int | None:
     """``DELETE FROM name WHERE <predicates>`` (conjunctive
     ``(col, op, literal)`` terms, the same form ``read_where`` takes).
     Copy-on-write: only files that may contain matching rows are rewritten
@@ -170,7 +171,7 @@ def delete_where(store: TableStore, spark: SparkSession, name: str,
     return _rewrite(
         store, spark, name, predicates,
         lambda df, residual: df.filter(f"NOT ({residual})"),
-        "delete", manifest_extra=manifest_extra)
+        "delete", manifest_extra=manifest_extra, txn=txn)
 
 
 def update_where(store: TableStore, spark: SparkSession, name: str,

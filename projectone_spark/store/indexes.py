@@ -220,7 +220,8 @@ def open_index(store: TableStore, spark: SparkSession, name: str,
 
 def drop_from_index(store: TableStore, spark: SparkSession, name: str,
                     predicates=None, *, ids: DataFrame | None = None,
-                    key: str = "vec_id") -> int | None:
+                    key: str = "vec_id",
+                    txn: tuple[str, int] | None = None) -> int | None:
     """Remove vectors from a persisted index WITHOUT a rebuild — the
     re-curation flow: a dedup/decontamination pass condemns vec_ids and
     the index sheds them in one validated, copy-on-write DELETE.
@@ -251,7 +252,12 @@ def drop_from_index(store: TableStore, spark: SparkSession, name: str,
     file-stat pruning; on the production cell-partitioned layout a
     ``("cell", ...)``-scoped predicate rewrites only the affected cells'
     files (the rest hard-link forward). Returns the new version, or None
-    when file stats prove no row matches (stamp untouched)."""
+    when file stats prove no row matches (stamp untouched).
+
+    ``txn`` records a ``(app_id, version)`` watermark inside the drop's
+    own commit (Delta's txnAppId/txnVersion), so a drop interleaved in
+    an at-least-once pipeline (the st18 foreachBatch shape) can be
+    replay-guarded exactly like an append."""
     from projectone_spark.store.dml import delete_where, merge_into
 
     if (predicates is None) == (ids is None):
@@ -265,19 +271,22 @@ def drop_from_index(store: TableStore, spark: SparkSession, name: str,
             raise ValueError(
                 f"drop_from_index key {key!r} is not a code-table "
                 f"column (has {sorted(code_cols)})")
-        extra_cols = [c for c in ids.columns if c != key]
-        condemned = ids.select(key) if extra_cols else ids
+        # set semantics: a dedup pass may emit the same condemned id
+        # many times (once per duplicate pair); raw duplicates would
+        # trip MERGE's duplicate-match guard, which protects UPDATES,
+        # not deletes
+        condemned = ids.select(key).distinct()
         return merge_into(store, spark, name, condemned, [key],
                           when_matched_delete=True,
                           when_not_matched_insert=False,
-                          manifest_extra={"index": meta})
+                          manifest_extra={"index": meta}, txn=txn)
     bad = sorted({c for c, _, _ in predicates} - code_cols)
     if bad:
         raise ValueError(
             f"drop_from_index predicates may only reference code-table "
             f"columns {sorted(code_cols)}; got {bad}")
     return delete_where(store, spark, name, predicates,
-                        manifest_extra={"index": meta})
+                        manifest_extra={"index": meta}, txn=txn)
 
 
 __all__ = ["INDEX_KINDS", "OpenedIndex", "code_word_columns",

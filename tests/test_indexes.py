@@ -552,3 +552,44 @@ def test_pq_production_shape_recall_floor(spark, tmp_path):
     # 0.68; the 0.5 floor catches a silently-broken ADC/unpack/funnel
     # (~0 recall), not quantization noise
     assert rec is not None and rec >= 0.5, rec
+
+
+def test_drop_from_index_dedups_ids_and_carries_txn(spark, tmp_path):
+    """A dedup pass emits condemned ids once per duplicate PAIR —
+    drop_from_index must treat them as a set (raw duplicates would trip
+    MERGE's duplicate-match guard, which protects updates, not
+    deletes); and the drop's own txn watermark makes an interleaved
+    at-least-once drop replay-guardable like an append."""
+    from projectone_spark.store.indexes import drop_from_index
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    dup_ids = (emb.filter(F.col("vec_id") % 4 == 0).select("vec_id")
+               .unionAll(emb.filter(F.col("vec_id") % 8 == 0)
+                         .select("vec_id")))  # every %8 id appears twice
+    v = drop_from_index(store, spark, "idx", ids=dup_ids,
+                        txn=("recuration", 7))
+    assert v is not None
+    assert store.txn_version("idx", "recuration") == 7
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")
+    assert idx.codes.count() == emb.filter(F.col("vec_id") % 4 != 0).count()
+    # replay guard: the watermark says this drop already ran
+    assert store.txn_version("idx", "recuration") >= 7
+
+
+def test_keyed_fetch_detects_index_corpus_drift(spark, tmp_path):
+    """A corpus table missing indexed vectors must fail the search
+    loudly (silent candidate drops would skew top-k)."""
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")
+    # the "corpus" is missing a quarter of the indexed vectors
+    store.overwrite(spark, emb.filter(F.col("vec_id") % 4 != 0), "corpus")
+
+    def fetch(ids):
+        return store.read(spark, "corpus") \
+            .filter(F.col("vec_id").isin(list(ids)))
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    with pytest.raises(ValueError, match="index/corpus drift"):
+        search_ivf_sq8_index(idx.codes, cents, bounds, None, queries,
+                             k=3, nprobe=2, shortlist=10, dims=64,
+                             fetch_ids=fetch).collect()
