@@ -62,14 +62,26 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
              predicates: Sequence[tuple[str, str, object]],
              transform, operation: str,
              txn: tuple[str, int] | None = None,
-             manifest_extra: dict | None = None) -> int | None:
+             manifest_extra: dict | None = None,
+             expected_version: int | None = None) -> int | None:
     """Shared copy-on-write machinery: link untouched files, apply
     ``transform(candidate_df, residual_sql) -> DataFrame`` to the touched
     subset, commit. Returns the new version, or None when pruning proves
-    nothing matches."""
+    nothing matches. ``expected_version`` pins the SNAPSHOT the caller
+    prepared against (e.g. the manifest a ``manifest_extra`` stamp was
+    read from): a commit that landed in between raises
+    ConcurrentWriteError here instead of re-publishing stale metadata
+    over the newer contents."""
     m = store.manifest(name)
     if m is None:
         raise FileNotFoundError(f"table '{name}' does not exist")
+    if expected_version is not None and m["version"] != expected_version:
+        from projectone_spark.store import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"table '{name}' is at version {m['version']}, but this "
+            f"{operation} was prepared against version "
+            f"{expected_version}; re-read and retry")
     # materialize any generator-valued 'in' before the SQL render consumes
     # it (the prune pass below reuses the same predicate list)
     from projectone_spark.store.skipping import _validate_predicates
@@ -161,7 +173,8 @@ def _rewrite(store: TableStore, spark: SparkSession, name: str,
 def delete_where(store: TableStore, spark: SparkSession, name: str,
                  predicates: Sequence[tuple[str, str, object]],
                  manifest_extra: dict | None = None,
-                 txn: tuple[str, int] | None = None) -> int | None:
+                 txn: tuple[str, int] | None = None,
+                 expected_version: int | None = None) -> int | None:
     """``DELETE FROM name WHERE <predicates>`` (conjunctive
     ``(col, op, literal)`` terms, the same form ``read_where`` takes).
     Copy-on-write: only files that may contain matching rows are rewritten
@@ -171,7 +184,8 @@ def delete_where(store: TableStore, spark: SparkSession, name: str,
     return _rewrite(
         store, spark, name, predicates,
         lambda df, residual: df.filter(f"NOT ({residual})"),
-        "delete", manifest_extra=manifest_extra, txn=txn)
+        "delete", manifest_extra=manifest_extra, txn=txn,
+        expected_version=expected_version)
 
 
 def update_where(store: TableStore, spark: SparkSession, name: str,
@@ -208,6 +222,7 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
                schema_evolution: bool = False,
                txn: tuple[str, int] | None = None,
                manifest_extra: dict | None = None,
+               expected_version: int | None = None,
                ) -> int | None:
     """General ``MERGE INTO`` (Delta ``DeltaTable.merge`` surface — the
     reference's SCD writers are specializations of this; ``scd1/2/3`` in
@@ -337,7 +352,8 @@ def merge_into(store: TableStore, spark: SparkSession, name: str,
         return joined.filter(keep).select(*out_cols)
 
     v = _rewrite(store, spark, name, predicates, apply, "merge", txn=txn,
-                 manifest_extra=manifest_extra)
+                 manifest_extra=manifest_extra,
+                 expected_version=expected_version)
     if v is None and when_not_matched_insert:
         # every target file pruned, but source-only rows still insert
         ins = source.alias("source")

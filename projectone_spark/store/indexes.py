@@ -265,7 +265,12 @@ def drop_from_index(store: TableStore, spark: SparkSession, name: str,
                          "predicates or ids")
     opened = open_index(store, spark, name)  # full lifecycle validation
     code_cols = set(opened.codes.columns)
-    meta = store.manifest(name)["index"]
+    m = store.manifest(name)
+    meta, meta_version = m["index"], int(m["version"])
+    # the stamp re-published below was read from meta_version's
+    # manifest; pinning the rewrite to that snapshot makes a rebuild
+    # that lands in between a loud ConcurrentWriteError instead of the
+    # old stamp silently pairing with the new contents
     if ids is not None:
         if key not in code_cols:
             raise ValueError(
@@ -279,14 +284,16 @@ def drop_from_index(store: TableStore, spark: SparkSession, name: str,
         return merge_into(store, spark, name, condemned, [key],
                           when_matched_delete=True,
                           when_not_matched_insert=False,
-                          manifest_extra={"index": meta}, txn=txn)
+                          manifest_extra={"index": meta}, txn=txn,
+                          expected_version=meta_version)
     bad = sorted({c for c, _, _ in predicates} - code_cols)
     if bad:
         raise ValueError(
             f"drop_from_index predicates may only reference code-table "
             f"columns {sorted(code_cols)}; got {bad}")
     return delete_where(store, spark, name, predicates,
-                        manifest_extra={"index": meta}, txn=txn)
+                        manifest_extra={"index": meta}, txn=txn,
+                        expected_version=meta_version)
 
 
 __all__ = ["INDEX_KINDS", "OpenedIndex", "code_word_columns",

@@ -593,3 +593,24 @@ def test_keyed_fetch_detects_index_corpus_drift(spark, tmp_path):
         search_ivf_sq8_index(idx.codes, cents, bounds, None, queries,
                              k=3, nprobe=2, shortlist=10, dims=64,
                              fetch_ids=fetch).collect()
+
+
+def test_drop_from_index_stamp_cannot_pair_with_concurrent_rebuild(
+        spark, tmp_path):
+    """The drop re-publishes the stamp it read; a rebuild landing
+    between that read and the delete's commit must make the drop fail
+    (ConcurrentWriteError via expected_version) — never silently pair
+    the OLD stamp with the NEW contents. Simulated by handing
+    delete_where a stale expected_version directly."""
+    from projectone_spark.store import ConcurrentWriteError
+    from projectone_spark.store.dml import delete_where
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    v = store.version("idx")
+    with pytest.raises(ConcurrentWriteError, match="prepared against"):
+        delete_where(store, spark, "idx", [("cell", "=", 0)],
+                     manifest_extra={"index": {"stale": True}},
+                     expected_version=v - 1)
+    # untouched: the failed drop committed nothing
+    assert store.version("idx") == v
+    open_index(store, spark, "idx", kind="ivf_sq8")
