@@ -143,13 +143,31 @@ def main() -> None:
     # `parsed: null`). Keep stdout to ONE tiny line (<300 bytes) with the
     # headline metric only; the full per-query map goes to stderr where
     # humans (and BENCH_r*.json's stderr capture) can still read it.
-    print(json.dumps({"queries": timings,
-                      "cpu_s": {n: round(v, 3) for n, v in cpus.items()},
-                      "shuffle_mb": {n: round(v, 1)
-                                     for n, v in shuffles.items()},
-                      "load1": {n: round(v, 2) for n, v in loads.items()},
-                      "sf": float(sf) if sf else None},
-                     separators=(",", ":")), file=sys.stderr, flush=True)
+    full = {"queries": timings,
+            "cpu_s": {n: round(v, 3) for n, v in cpus.items()},
+            "shuffle_mb": {n: round(v, 1) for n, v in shuffles.items()},
+            "load1": {n: round(v, 2) for n, v in loads.items()},
+            "sf": float(sf) if sf else None}
+    print(json.dumps(full, separators=(",", ":")), file=sys.stderr,
+          flush=True)
+    # The driver keeps only ~2 KB of the stderr tail, so the full
+    # per-query map above never survives into BENCH_r{N}.json (the r11
+    # verdict: a judge cannot compare per-query walls across rounds
+    # without re-running). Persist it as a committed repo artifact —
+    # overwritten on every run, committed once per round alongside the
+    # recorded sweep.
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LOCAL.json")
+    try:
+        with open(local_path, "w") as f:
+            json.dump({**full,
+                       "value": round(sum(timings.values()), 3),
+                       "n_queries": len(timings),
+                       "cpu_s_total": round(sum(cpus.values()), 1),
+                       "max_load1": round(max_load, 1)}, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # a read-only checkout must not fail the bench
+        print(f"# BENCH_LOCAL.json not written: {exc}", file=sys.stderr)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "total_query_seconds",

@@ -529,12 +529,42 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 3,
     source scan. Empty cells drop (standard Lloyd); k is bounded by the
     corpus size through the seeding.
     """
+    v = _lloyd_project(df, id_col, vec_col)
+    cents = _lloyd_refine(v, k, iters, id_col)
+    return assign_cell_join(v, cents, id_col=id_col, vec_col="e")
+
+
+def kmeans_lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 3,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           ) -> list[tuple[int, list[float]]]:
+    """The TRAINED STATE of :func:`kmeans_lloyd` — the converged
+    centroid list after ``iters`` refinement rounds, without the final
+    corpus-wide assignment pass. This is what a quantizer RETRAIN needs
+    (e23's retrain-and-swap): the refreshed centroids feed
+    :func:`build_ivf_sq8_codes` / ``save_index`` directly, exactly like
+    :func:`seed_centroids` output but refined on the current (drifted)
+    corpus. Cell ids are the surviving seed vec_ids (empty cells drop,
+    standard Lloyd), sorted ascending — re-index to ``0..len-1`` before
+    an index build if a dense cell space is wanted. Bounded output
+    (≤ k rows of dim doubles); same adjudicability contract as
+    :func:`kmeans_lloyd` (an oracle unrolls one assign+mean CTE level
+    per iteration and reads centroids ``c{iters}``)."""
+    return _lloyd_refine(_lloyd_project(df, id_col, vec_col), k, iters,
+                         id_col)
+
+
+def _lloyd_project(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return (df.select(F.col(id_col),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("e"))
+            .localCheckpoint(eager=False))
+
+
+def _lloyd_refine(v: DataFrame, k: int, iters: int,
+                  id_col: str) -> list[tuple[int, list[float]]]:
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    v = (df.select(F.col(id_col),
-                   F.transform(F.col(vec_col),
-                               lambda x: x.cast("double")).alias("e"))
-         .localCheckpoint(eager=False))
     cents = seed_centroids(v, k=k, id_col=id_col, vec_col="e")
     for _ in range(iters):
         asg = assign_cell_join(v, cents, id_col=id_col, vec_col="e")
@@ -548,7 +578,7 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 3,
         rows = cm.collect()  # bounded: <= k rows of dim doubles
         cents = sorted((int(r["cell_id"]), [float(x) for x in r["ce"]])
                        for r in rows)
-    return assign_cell_join(v, cents, id_col=id_col, vec_col="e")
+    return cents
 
 
 def kmeans_farthest_first(df: DataFrame, k: int = 8,

@@ -128,6 +128,17 @@ def oracle_sql() -> dict[str, str]:
 #:    using the remaining slots — fillers are first to give way to new
 #:    queries.
 _DRIVER_PREFIX: tuple[str, ...] = (
+    # round-12 rotation: the two new queries — e23 (quantizer
+    # retrain-and-swap, the index lifecycle's last verb) and e24 (the
+    # persisted-artifact recall audit) — take the slots of two 6-green
+    # anchors whose families stay driver-covered by in-prefix siblings:
+    # e05 (in-query PQ funnel; the PQ family is covered by the
+    # persisted e21 and audited by e24) and e10 (incremental IVF
+    # maintenance; the maintenance family is covered by e20/st15/st17/
+    # st18). Both stay locally parity-checked every pytest run.
+    "e23_quantizer_retrain_swap", "e24_persisted_index_recall_audit",
+    # round-11 cohort, kept for its SECOND adjudication (the r11
+    # verdict's item 2):
     # round-11 rotation: the three new index-lifecycle queries (e20
     # drop-maintenance, e21 persisted PQ, e22 pinned open) take the
     # slots of three 4-green r7 anchors — q42/q43 (TPC-H Q2/Q11; the
@@ -197,8 +208,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "f08_event_handlers",
     "f09_file_path_cdc", "v01_row_expectations",
     "q41_skew_salted_pipeline", "f10_stream_multi_output_task",
-    "e05_knn_pq",
-    "e10_incremental_ivf_maintenance",
+    # (e05/e10 — 6 driver greens each — gave their slots to the r12
+    # additions at the top of this tuple)
     "p09_bloom_contamination", "f11_curation_pipeline",
     # (p10 — 3 driver greens, ordering/sampling family still driver-
     # covered by p12/p13/p15/p16 in-prefix — gave its slot to the CCNet
@@ -289,6 +300,7 @@ def _ensure_loaded() -> None:
         corpus8,  # new-in-r8: arrow BPE, calibration, dup runs, batches
         corpus9,  # new-in-r9: model persistence lifecycle, unigram LM
         corpus10,  # new-in-r10: model version pinning / refresh semantics
+        embeddings3,  # new-in-r12: quantizer retrain-and-swap, recall audit
     )
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PREFIX}

@@ -675,7 +675,21 @@ tv AS (SELECT vec_id, e FROM v WHERE {train_where}),
 c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
         AS cid, e AS ce
       FROM (SELECT vec_id, e FROM tv ORDER BY vec_id LIMIT {_E19_CELLS})),
-asg AS (
+{_e19_funnel_ctes(corpus_where)}
+SELECT query_id, neighbor_id, sq_dist, score, rank FROM rk WHERE rank <= 5
+"""
+
+
+def _e19_funnel_ctes(corpus_where: str = "TRUE") -> str:
+    """The IVF-SQ8 funnel CTE chain (cell routing → SQ8 bounds/codes →
+    probed-cell integer stage 1 → cosine rerank → ``rk``), assuming
+    ``v(vec_id, e)``, ``tv`` (the quantizer's training corpus) and
+    ``c(cid, ce)`` (the coarse centroids) are already in scope. Shared
+    by the e19/e20/st17 funnel oracles (through :func:`_e19_sql`), the
+    retrained-quantizer funnel (e23 — same funnel under kmeans-refined
+    centroids) and the persisted-artifact recall audit (e24 — the
+    funnel's ``rk`` joined against exact brute force)."""
+    return f"""asg AS (
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
   FROM (SELECT v.vec_id, c.cid, {_dot('v.e', 'c.ce')} / {_norm('c.ce')} AS s
@@ -722,9 +736,7 @@ rr AS (SELECT query_id, neighbor_id, sq_dist,
 rk AS (SELECT query_id, neighbor_id, sq_dist, score,
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY score DESC, neighbor_id) AS rank
-       FROM rr)
-SELECT query_id, neighbor_id, sq_dist, score, rank FROM rk WHERE rank <= 5
-"""
+       FROM rr)"""
 
 
 _E19_SQL = _e19_sql()

@@ -867,7 +867,11 @@ def st18_stream_drop_maintenance(spark: SparkSession,
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") % 4 != 0)
     delta = emb.filter(F.col("vec_id") % 4 == 0)
-    condemned = base.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    # bounded and single-use, but pinned so the foreachBatch drop call
+    # does not re-plan the parquet scan inside the stream thread (the
+    # discipline every other bounded reuse in this family follows)
+    condemned = (base.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+                 .localCheckpoint(eager=False))
     store = TableStore(scratch_dir(prefix="po_st18_store_"))
 
     # t0: one full base scan builds and persists the whole index

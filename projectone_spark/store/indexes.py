@@ -135,8 +135,15 @@ def save_index(store: TableStore, spark: SparkSession, name: str,
     # codes with the exact part contents they were built under while a
     # concurrent rebuild publishes newer parts (f16's model pinning,
     # lifted to the whole artifact)
+    # per-file vec_id min/max stats make the ids-shaped drop_from_index
+    # prunable: the anti-join MERGE bounds its rewrite by the condemned
+    # set's key range, and without recorded key stats every file is a
+    # candidate (the r12 drop-at-scale probe's finding — a range-scoped
+    # re-curation was rewriting the WHOLE index). Appends inherit the
+    # stats columns, so incremental maintenance keeps the pruning.
     return store.overwrite(
         spark, codes, name, partition_by=partition_by,
+        stats_columns=["vec_id"],
         manifest_extra={"index": {"kind": kind, "params": dict(params),
                                   "parts": part_tables,
                                   "part_versions": part_versions}})
@@ -296,5 +303,78 @@ def drop_from_index(store: TableStore, spark: SparkSession, name: str,
                         expected_version=meta_version)
 
 
+def index_stats(store: TableStore, spark: SparkSession, name: str,
+                version: int | None = None) -> DataFrame:
+    """Per-cell occupancy observability for a persisted index, computed
+    from the store's OWN manifest file stats — no data scan: on the
+    production cell-partitioned layout every committed file's path
+    carries its hive ``cell=N`` value and the manifest records its
+    footer row count and byte size, so the whole profile folds
+    driver-side over the bounded file list (files, not rows).
+
+    This is the adjudicable INPUT to the retrain decision the r11 skew
+    probe computed by hand: a cell whose ``occupancy_micro`` dwarfs
+    1e6/n_cells is the structural-skew signal that says "retrain the
+    coarse quantizer" (e23's flow) rather than paper over it with
+    ``rebalance=`` at query time — and the same rows feed monitoring
+    (files per cell growing past the compaction gate, byte share per
+    cell for scan-cost forecasting).
+
+    Occupancy is exact integer micro-units (``1e6 * cell_rows //
+    total_rows``, the engine-wide cross-engine-exact discipline) with
+    one closing divide to ``occupancy`` for human eyes. ``version``
+    pins the profile to an historical commit (the ``open_index``
+    contract — e.g. to compare occupancy across a retrain's v_N/v_N+1
+    publishes). Returns a bounded DataFrame, one row per cell:
+    ``(cell, n_files, n_rows, n_bytes, occupancy_micro, occupancy)``.
+
+    Raises on a non-save_index table (no ``index`` stamp — same check
+    as ``open_index``) and on a layout without per-file cell values (an
+    unpartitioned code table's files span cells; the manifest cannot
+    attribute rows without a scan, and guessing would be silently
+    wrong)."""
+    if version is None:
+        m = store.manifest(name)
+    else:
+        m = next((h for h in store.history(name)
+                  if h["version"] == version), None)
+    if m is None:
+        raise FileNotFoundError(
+            f"index table '{name}' does not exist in {store.root}"
+            if version is None else
+            f"index table '{name}' has no version {version} in {store.root}")
+    if m.get("index") is None:
+        raise ValueError(
+            f"store table '{name}' carries no index metadata — it was "
+            f"written by a plain writer, not save_index")
+    from projectone_spark.store.skipping import partition_values
+
+    files = m.get("files") or []
+    per: dict[int, list[int]] = {}
+    for f in files:
+        pv = partition_values(f["path"])
+        if "cell" not in pv:
+            raise ValueError(
+                f"index '{name}' is not cell-partitioned (file "
+                f"{f['path']!r} carries no cell= partition value) — "
+                f"per-cell stats need save_index(partition_by=['cell']), "
+                f"the production layout")
+        acc = per.setdefault(int(pv["cell"]), [0, 0, 0])
+        acc[0] += 1
+        acc[1] += int(f["rows"])
+        acc[2] += int(f["bytes"])
+    total = sum(v[1] for v in per.values())
+    rows = [(cell, nf, nr, nb,
+             (1_000_000 * nr) // total if total else 0)
+            for cell, (nf, nr, nb) in sorted(per.items())]
+    df = spark.createDataFrame(
+        rows, "cell int, n_files bigint, n_rows bigint, n_bytes bigint, "
+              "occupancy_micro bigint")
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "occupancy", (F.col("occupancy_micro") / 1_000_000.0))
+
+
 __all__ = ["INDEX_KINDS", "OpenedIndex", "code_word_columns",
-           "save_index", "open_index", "drop_from_index"]
+           "save_index", "open_index", "drop_from_index", "index_stats"]

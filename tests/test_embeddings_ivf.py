@@ -300,3 +300,29 @@ def test_kmeans_lloyd_rejects_zero_iters(spark):
 
     with _pytest.raises(ValueError, match="iters"):
         kmeans_lloyd(_emb(spark), iters=0)
+
+
+def test_kmeans_lloyd_centroids_consistent_with_assignments(spark):
+    """kmeans_lloyd_centroids exposes the converged trained state;
+    routing the corpus under it must reproduce kmeans_lloyd's own final
+    assignment exactly (the retrain path e23 builds an index from)."""
+    from projectone_spark.functions.embeddings import (
+        assign_cell_join,
+        kmeans_lloyd,
+        kmeans_lloyd_centroids,
+    )
+    from projectone_spark.queries import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = kmeans_lloyd_centroids(emb, k=4, iters=2)
+    assert 1 <= len(cents) <= 4
+    assert cents == sorted(cents)  # sorted by surviving seed cell id
+    via_state = sorted(map(tuple, assign_cell_join(
+        emb.select("vec_id",
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("e")),
+        cents, vec_col="e").collect()))
+    direct = sorted(map(tuple,
+                        kmeans_lloyd(emb, k=4, iters=2).collect()))
+    assert via_state == direct

@@ -614,3 +614,154 @@ def test_drop_from_index_stamp_cannot_pair_with_concurrent_rebuild(
     # untouched: the failed drop committed nothing
     assert store.version("idx") == v
     open_index(store, spark, "idx", kind="ivf_sq8")
+
+
+def test_index_stats_profile_matches_codes(spark, tmp_path):
+    """index_stats is manifest-only observability: its per-cell row
+    counts must equal a groupBy over the code table, occupancy must sum
+    to ~1e6 in exact micro-units, and the profile must stay readable
+    (a) pinned to an historical version after a rebuild and (b) after a
+    drop_from_index rewrote some cells' files."""
+    from projectone_spark.store.indexes import drop_from_index, index_stats
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")
+    truth = {r["cell"]: r["n"] for r in
+             idx.codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    prof = {r["cell"]: r for r in
+            index_stats(store, spark, "idx").collect()}
+    assert {c: r["n_rows"] for c, r in prof.items()} == truth
+    total = sum(truth.values())
+    assert all(r["occupancy_micro"] == 1_000_000 * truth[c] // total
+               for c, r in prof.items())
+    assert all(r["n_files"] >= 1 and r["n_bytes"] > 0
+               for r in prof.values())
+    v0 = store.version("idx")
+    # a drop rewrites the condemned cells' files; stats must re-derive
+    # from the POST-delete manifest
+    drop_from_index(store, spark, "idx", [("cell", "=", 0)])
+    prof2 = {r["cell"]: r["n_rows"] for r in
+             index_stats(store, spark, "idx").collect()}
+    assert 0 not in prof2
+    assert prof2 == {c: n for c, n in truth.items() if c != 0}
+    # and the pinned profile still describes v0's layout
+    pinned = {r["cell"]: r["n_rows"] for r in
+              index_stats(store, spark, "idx", version=v0).collect()}
+    assert pinned == truth
+
+
+def test_index_stats_rejects_unstamped_and_unpartitioned(spark, tmp_path):
+    from projectone_spark.store.indexes import index_stats
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    store.overwrite(spark, emb.select("vec_id"), "plain")
+    with pytest.raises(ValueError, match="no index metadata"):
+        index_stats(store, spark, "plain")
+    with pytest.raises(FileNotFoundError):
+        index_stats(store, spark, "missing")
+    # an unpartitioned code table's files span cells — refusal, not a
+    # silently-wrong guess
+    codes = build_ivf_sq8_codes(emb, cents, bounds, dims=64)
+    save_index(store, spark, "flat", "ivf_sq8", codes,
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "bounds": bounds},
+               params={"dims": 64, "n_cells": 4})
+    with pytest.raises(ValueError, match="not cell-partitioned"):
+        index_stats(store, spark, "flat")
+
+
+def test_drop_from_index_rebuild_landing_mid_drop_fails_loudly(
+        spark, tmp_path, monkeypatch):
+    """The full drop_from_index path under the race the stamp guard
+    exists for: a REBUILD commits between the drop's manifest read and
+    its MERGE commit. The drop must raise ConcurrentWriteError (its
+    stamp snapshot is stale) and leave the rebuild's artifact intact —
+    never republish v0's stamp over the new contents. (The existing
+    stamp-race test drives delete_where with a stale expected_version
+    directly; this one injects the rebuild inside drop_from_index
+    itself.)"""
+    from projectone_spark.store import ConcurrentWriteError
+    from projectone_spark.store import dml as dml_mod
+    from projectone_spark.store.indexes import drop_from_index
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    real_merge = dml_mod.merge_into
+
+    def rebuild_then_merge(*args, **kwargs):
+        # the rebuild lands AFTER the drop validated/opened the index
+        # and snapshotted its stamp, BEFORE the delete commits
+        cents2 = [(i, c) for i, (_, c)
+                  in enumerate(seed_centroids(emb, k=2))]
+        save_index(store, spark, "idx", "ivf_sq8",
+                   build_ivf_sq8_codes(emb, cents2, bounds, dims=64),
+                   parts={"centroids": centroids_to_frame(
+                              spark, [c for _, c in cents2]),
+                          "bounds": bounds},
+                   params={"dims": 64, "n_cells": 2},
+                   partition_by=["cell"])
+        dml_mod.merge_into = real_merge  # inject exactly once
+        return real_merge(*args, **kwargs)
+
+    monkeypatch.setattr(dml_mod, "merge_into", rebuild_then_merge)
+    condemned = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id")
+    with pytest.raises(ConcurrentWriteError, match="prepared against"):
+        drop_from_index(store, spark, "idx", ids=condemned)
+    # the rebuild's artifact survives untouched and coherent
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")
+    assert idx.params["n_cells"] == 2
+    assert idx.parts["centroids"].count() == 2
+
+
+def test_retrain_swap_pinned_search_unchanged(spark, tmp_path):
+    """e23's contract at test scale, extending the concurrent-rebuild
+    pinning test: a kmeans-retrained quantizer publishes v0+1 over the
+    same names; the search pinned to v0 reproduces the pre-swap answer
+    row-for-row while the live open serves the retrained artifact."""
+    from projectone_spark.functions.embeddings import kmeans_lloyd_centroids
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    v0 = store.version("idx")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    s0 = sorted(map(tuple, search_ivf_sq8_index(
+        open_index(store, spark, "idx").codes, cents, bounds, emb,
+        queries, k=3, nprobe=2, shortlist=10, dims=64).collect()))
+    refined = kmeans_lloyd_centroids(emb, k=4, iters=1)
+    cents1 = [(i, c) for i, (_, c) in enumerate(refined)]
+    save_index(store, spark, "idx", "ivf_sq8",
+               build_ivf_sq8_codes(emb, cents1, bounds, dims=64),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents1]),
+                      "bounds": bounds},
+               params={"dims": 64, "n_cells": len(cents1),
+                       "seeding": "kmeans_lloyd"},
+               partition_by=["cell"])
+    pinned = open_index(store, spark, "idx", version=v0)
+    s_pinned = sorted(map(tuple, search_ivf_sq8_index(
+        pinned.codes, cents, pinned.parts["bounds"], emb, queries,
+        k=3, nprobe=2, shortlist=10, dims=64).collect()))
+    assert s_pinned == s0
+    assert open_index(store, spark, "idx").params["seeding"] \
+        == "kmeans_lloyd"
+
+
+def test_code_table_records_key_stats_and_id_drop_prunes(spark, tmp_path):
+    """save_index declares vec_id as a stats column, so every code file
+    carries its key range and an ids-shaped drop bounds its rewrite by
+    the condemned range — a condemned set provably outside every file
+    is a no-commit noop (the r12 drop-at-scale finding: without key
+    stats the anti-join MERGE rewrote the whole index)."""
+    from projectone_spark.store.indexes import drop_from_index
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    m = store.manifest("idx")
+    assert m["stats_columns"] == ["vec_id"]
+    assert m["files"] and all(
+        "vec_id" in f["min"] and "vec_id" in f["max"] for f in m["files"])
+    v0 = store.version("idx")
+    ghosts = spark.range(10_000_000, 10_000_100) \
+        .select(F.col("id").alias("vec_id"))
+    assert drop_from_index(store, spark, "idx", ids=ghosts) is None
+    assert store.version("idx") == v0
+    open_index(store, spark, "idx", kind="ivf_sq8")

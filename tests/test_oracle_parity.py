@@ -53,22 +53,21 @@ def test_harness_prefix_contract():
     assert names[:50] == list(_DRIVER_PREFIX)
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"no-oracle queries occupy prefix slots: {missing}"
-    # round-11 rotation intent: every query that has never had a driver
-    # correctness row occupies a prefix slot — after r10's 50/50 clean
-    # sheet that is exactly the three new index-lifecycle queries; the
-    # r10 first-greens (e19/f16/st17) additionally STAY in the prefix
-    # for their second adjudication (the r10 verdict's item 5),
+    # round-12 rotation intent: every query that has never had a driver
+    # correctness row occupies a prefix slot — after r11's 50/50 clean
+    # sheet that is exactly the two new round-12 queries; the r11
+    # first-greens (e20/e21/e22/st18) additionally STAY in the prefix
+    # for their second adjudication (the r11 verdict's item 2),
     # enforced just below.
     never_adjudicated = {
+        "e23_quantizer_retrain_swap", "e24_persisted_index_recall_audit",
+    }
+    r11_cohort_kept_for_second_green = {
         "e20_index_drop_maintenance", "e21_persisted_pq_search",
         "e22_pinned_index_search", "st18_stream_drop_maintenance",
     }
-    r10_cohort_kept_for_second_green = {
-        "e19_index_open_and_search", "f16_model_version_pinning",
-        "st17_stream_index_maintenance", "st15_stream_sq8_index",
-    }
-    kept = r10_cohort_kept_for_second_green - set(names[:50])
-    assert kept == set(), f"r10 cohort rotated out before 2nd green: {kept}"
+    kept = r11_cohort_kept_for_second_green - set(names[:50])
+    assert kept == set(), f"r11 cohort rotated out before 2nd green: {kept}"
     out = never_adjudicated - set(names[:50])
     assert out == set(), f"never-adjudicated queries outside prefix: {out}"
 
