@@ -95,15 +95,28 @@ def main() -> None:
     gen_corpus(spark)
     emb = spark.read.parquet(CORPUS)
 
+    clustered = emb.filter(
+        (F.col("vec_id") >= N // 2)
+        & (F.col("vec_id") < N // 2 + N // 100)).select("vec_id")
+    scattered = emb.filter(F.col("vec_id") % 100 == 37).select("vec_id")
+    # variant -> (condemned frame, range-sort the build?, strip stats?)
     variants = {
-        "clustered": emb.filter(
-            (F.col("vec_id") >= N // 2)
-            & (F.col("vec_id") < N // 2 + N // 100)).select("vec_id"),
-        "scattered": emb.filter(F.col("vec_id") % 100 == 37)
-        .select("vec_id"),
+        # the shipped default: scan-order layout, vec_id stats recorded
+        "clustered": (clustered, False, False),
+        "scattered": (scattered, False, False),
+        # the pre-r12 CONTROL: same drop with the per-file key stats
+        # stripped from the manifest — what every ids-shaped drop paid
+        # before save_index declared stats_columns
+        "clustered_nostats": (clustered, False, True),
+        # the layout-guidance variant: the build range-partitions codes
+        # by vec_id before the write, so every (task, cell) file gets a
+        # TIGHT id range (scan-order layouts inherit FilePartition
+        # bin-packing, which unions non-adjacent corpus chunks into one
+        # task and widens per-file ranges)
+        "clustered_rangesorted": (clustered, True, False),
     }
 
-    for variant, condemned in variants.items():
+    for variant, (condemned, rangesort, strip) in variants.items():
         store = TableStore(f"/tmp/amp_r12_drop_{variant}_{N // 1_000_000}m")
         if not store.exists("idx"):
             t0 = time.perf_counter()
@@ -112,14 +125,22 @@ def main() -> None:
             cents = [(i, [float(x) for x in r["embedding"]])
                      for i, r in enumerate(sample)]
             bounds = sq8_bounds(emb, dims=DIMS).localCheckpoint(eager=True)
-            save_index(store, spark, "idx", "ivf_sq8",
-                       build_ivf_sq8_codes(emb, cents, bounds, dims=DIMS,
-                                           route="vectorized"),
+            codes = build_ivf_sq8_codes(emb, cents, bounds, dims=DIMS,
+                                        route="vectorized")
+            if rangesort:
+                codes = codes.repartitionByRange(32, "vec_id")
+            save_index(store, spark, "idx", "ivf_sq8", codes,
                        parts={"centroids": centroids_to_frame(
                                   spark, [c for _, c in cents]),
                               "bounds": bounds},
                        params={"dims": DIMS, "n_cells": K},
                        partition_by=["cell"])
+            if strip:
+                def _strip(man):
+                    man["stats_columns"] = []
+                    for f in man.get("files") or []:
+                        f["min"], f["max"] = {}, {}
+                store.amend_manifest("idx", _strip)
             print(json.dumps({
                 "phase": f"build_{variant}",
                 "wall_s": round(time.perf_counter() - t0, 1)}), flush=True)
