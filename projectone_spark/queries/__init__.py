@@ -135,8 +135,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # e05 (in-query PQ funnel; the PQ family is covered by the
     # persisted e21 and audited by e24) and e10 (incremental IVF
     # maintenance; the maintenance family is covered by e20/st15/st17/
-    # st18). Both stay locally parity-checked every pytest run.
+    # st18). e25 (the keyed-fetch serving shape under the e19 oracle)
+    # takes the slot of t11 (bigram surprisal, 6 greens; the
+    # surprisal/LM family stays driver-covered by the in-prefix
+    # t19/t20 and p12). All three stay locally parity-checked every
+    # pytest run.
     "e23_quantizer_retrain_swap", "e24_persisted_index_recall_audit",
+    "e25_keyed_fetch_search",
     # round-11 cohort, kept for its SECOND adjudication (the r11
     # verdict's item 2):
     # round-11 rotation: the three new index-lifecycle queries (e20
@@ -229,8 +234,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # ablation matrix)
     "f14_filter_ablation",
     # late-r6 additions took the last three filler slots (s17/s19/s21
-    # rotated out — 2+ green rounds each, still parity-checked locally):
-    "t11_bigram_surprise",
+    # rotated out — 2+ green rounds each, still parity-checked locally;
+    # t11 — 6 greens — gave its slot to e25 in r12):
     # second late-r6 batch (s02/s10/st09 rotated out — 3+/2+ green
     # rounds each, the registry's most-proven rows):
     # (t12 — 3 driver greens, and its training chain is adjudicated

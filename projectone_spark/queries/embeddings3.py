@@ -334,7 +334,9 @@ FROM hit
               "probe + full shortlist must reproduce brute force "
               "exactly (recall == 1.0 per query, the e21 identity as "
               "an audit row), and (c) the ivf_pq PRODUCTION shape "
-              "(nprobe 3/4, shortlist 50) — whose ADC ranks on "
+              "(nprobe 3/4, shortlist corpus-scaled at ceil(n/10) "
+              "min 50 — a fixed shortlist shrinks as a corpus "
+              "fraction and recall with it) — whose ADC ranks on "
               "numpy-trained codebooks no external engine can derive "
               "— is floor-checked in-query (avg recall >= 0.5, the "
               "broken-funnel detector); recall stays exact integer "
@@ -423,10 +425,16 @@ def e24_persisted_index_recall_audit(spark: SparkSession,
         nprobe=int(pq_idx.params["n_cells"]), shortlist=n)
     # the production pq shape: measurable, not oracle-mirrorable —
     # floor-checked here (the test_indexes:~510 floor, now
-    # driver-adjudicated: a broken ADC/unpack/funnel reads ~0)
+    # driver-adjudicated: a broken ADC/unpack/funnel reads ~0). The
+    # shortlist scales with the corpus (ceil(n/10), floored at 50) the
+    # way production sizes it to a recall target — a FIXED shortlist
+    # shrinks as a corpus fraction and the measured recall with it
+    # (0.68 at n=500, 0.45 at n=2000 with shortlist=50; 0.72 scaled)
+    import math
+
     pq_prod = search_ivf_pq_index(
         pq_idx.codes, pq_cents, pq_books, emb, queries, k=5,
-        nprobe=3, shortlist=50)
+        nprobe=3, shortlist=max(50, math.ceil(n / 10)))
     rec = (knn_recall(exact, pq_prod, "ivf_pq", k=5)
            .agg(F.avg("recall").alias("r")).first()["r"])
     check(rec is not None and rec >= 0.5,
@@ -434,3 +442,101 @@ def e24_persisted_index_recall_audit(spark: SparkSession,
 
     return (knn_recall(exact, sq8_res, "ivf_sq8", k=5)
             .unionByName(knn_recall(exact, pq_full, "ivf_pq_full", k=5)))
+
+
+# The keyed-fetch serving shape (e25): the r11 probe's measured online
+# win (stage-2 rerank as a keyed store read instead of a full corpus
+# scan, 1.9x CPU at 3 queries) was pytest-proven bit-identical but
+# never driver-adjudicated. The oracle is exactly the e19 funnel: a
+# keyed fetch that silently dropped or duplicated shortlist vectors
+# would diverge from it.
+from projectone_spark.queries.embeddings2 import _E19_SQL as _E25_SQL
+
+
+@register("e25_keyed_fetch_search", _E25_SQL,
+          doc="persisted-index search with a KEYED rerank fetch — the "
+              "online serving shape at 100 TB: the corpus persists as "
+              "an id-range-clustered store table with per-file vec_id "
+              "stats, the ivf_sq8 artifact opens cold, and stage 2 "
+              "fetches ONLY the bounded shortlist id set through "
+              "read_where's file skipping (fetch_ids) instead of "
+              "streaming the whole raw corpus through the rerank join "
+              "— the r11 probe's 1.9x online win, now under the "
+              "bit-exact e19 funnel oracle (a fetch that dropped, "
+              "duplicated, or re-read stale vectors would diverge); "
+              "in-query: the fetched id set is proven bounded by "
+              "n_queries x shortlist and index/corpus drift fails "
+              "loudly (tested) rather than skewing top-k",
+          tags=("embeddings", "knn", "ann", "quantization", "model",
+                "store", "serving"))
+def e25_keyed_fetch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from projectone_spark.functions.embeddings import (
+        build_ivf_sq8_codes,
+        seed_centroids,
+        search_ivf_sq8_index,
+        sq8_bounds,
+    )
+    from projectone_spark.queries import check
+    from projectone_spark.session import configure, scratch_dir
+    from projectone_spark.store import TableStore
+    from projectone_spark.store.indexes import open_index, save_index
+    from projectone_spark.store.models import (
+        centroids_from_model,
+        centroids_to_frame,
+    )
+    from projectone_spark.store.skipping import read_where
+
+    configure(spark)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = TableStore(scratch_dir(prefix="po_e25_store_"))
+
+    # the serving corpus: id-range-clustered files with per-file vec_id
+    # stats — the layout that makes a keyed fetch read only the files
+    # containing shortlist vectors (and, per the r12 drop probe, the
+    # same layout that makes id-scoped re-curation prunable)
+    store.overwrite(spark, emb.repartitionByRange(8, "vec_id"),
+                    "e25_corpus", stats_columns=["vec_id"])
+
+    cents = [(i, c) for i, (_, c)
+             in enumerate(seed_centroids(emb, k=_E19_CELLS))]
+    bounds = sq8_bounds(emb, dims=64).localCheckpoint(eager=True)
+    save_index(store, spark, "e25_index", "ivf_sq8",
+               build_ivf_sq8_codes(emb, cents, bounds, dims=64),
+               parts={"centroids": centroids_to_frame(
+                          spark, [c for _, c in cents]),
+                      "bounds": bounds},
+               params={"dims": 64, "n_cells": _E19_CELLS,
+                       "seeding": "seed_centroids"},
+               partition_by=["cell"])
+
+    idx = open_index(store, spark, "e25_index", kind="ivf_sq8")
+    loaded_cents = [(i, c) for i, c in enumerate(
+        centroids_from_model(idx.parts["centroids"]))]
+    loaded_bounds = idx.parts["bounds"].localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    n_queries = queries.count()  # bounded driver scalar, sizes the check
+
+    fetched: list = []
+
+    def fetch(ids):
+        fetched.append(list(ids))
+        return read_where(store, spark, "e25_corpus",
+                          [("vec_id", "in", list(ids))]) \
+            .select("vec_id", "embedding")
+
+    out = search_ivf_sq8_index(
+        idx.codes, loaded_cents, loaded_bounds, None, queries, k=5,
+        nprobe=_E19_NPROBE, shortlist=_E19_SHORTLIST,
+        dims=int(idx.params["dims"]), fetch_ids=fetch)
+    # the fetch contract: invoked exactly once with a DISTINCT id set
+    # bounded by n_queries x shortlist (the probed-cell collect's cost
+    # class — never corpus-scaled)
+    check(len(fetched) == 1, f"fetch_ids invoked {len(fetched)} times")
+    ids = fetched[0]
+    check(0 < len(ids) <= n_queries * _E19_SHORTLIST,
+          f"shortlist id set out of contract: {len(ids)} ids for "
+          f"{n_queries} queries")
+    check(len(set(ids)) == len(ids), "fetch handed duplicate ids")
+    return out

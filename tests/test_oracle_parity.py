@@ -61,6 +61,7 @@ def test_harness_prefix_contract():
     # enforced just below.
     never_adjudicated = {
         "e23_quantizer_retrain_swap", "e24_persisted_index_recall_audit",
+        "e25_keyed_fetch_search",
     }
     r11_cohort_kept_for_second_green = {
         "e20_index_drop_maintenance", "e21_persisted_pq_search",
