@@ -765,3 +765,36 @@ def test_code_table_records_key_stats_and_id_drop_prunes(spark, tmp_path):
     assert drop_from_index(store, spark, "idx", ids=ghosts) is None
     assert store.version("idx") == v0
     open_index(store, spark, "idx", kind="ivf_sq8")
+
+
+def test_index_stats_across_append_commits(spark, tmp_path):
+    """Maintained indexes are multi-commit (st15/st17: base build plus
+    appended deltas) — index_stats must fold file stats across every
+    commit's directory, and the appended files must carry the inherited
+    vec_id stats so the ids-shaped drop stays prunable after
+    maintenance."""
+    from projectone_spark.store.indexes import index_stats
+
+    store, emb, cents, bounds = _built(spark, tmp_path)
+    base = open_index(store, spark, "idx", kind="ivf_sq8")
+    base_truth = {r["cell"]: r["n"] for r in
+                  base.codes.groupBy("cell")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # a maintenance append: re-encode a slice as the "delta"
+    delta = emb.filter(F.col("vec_id") % 7 == 0) \
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    store.append(spark,
+                 build_ivf_sq8_codes(delta, cents, bounds, dims=64),
+                 "idx")
+    idx = open_index(store, spark, "idx", kind="ivf_sq8")
+    truth = {r["cell"]: r["n"] for r in
+             idx.codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    prof = {r["cell"]: r["n_rows"] for r in
+            index_stats(store, spark, "idx").collect()}
+    assert prof == truth
+    assert sum(truth.values()) > sum(base_truth.values())
+    # appended files inherited the key stats
+    m = store.manifest("idx")
+    assert m["stats_columns"] == ["vec_id"]
+    assert all("vec_id" in f["min"] for f in m["files"])
