@@ -191,10 +191,10 @@ def e23_quantizer_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # answer with a retrain, not query-time rebalance=
     occ0 = {r["cell"]: int(r["occupancy_micro"])
             for r in index_stats(store, spark, "e23_index").collect()}
-    check(occ0 and max(occ0.values()) * 2 * _E23_K > 3 * 1_000_000,
+    check(occ0 and max(occ0.values()) * 2 * _E23_K >= 3 * 1_000_000,
           lambda: f"no skew signal at v0 — max occupancy "
-                  f"{max(occ0.values())} micro-units is under 1.5x the "
-                  f"uniform {1_000_000 // _E23_K}")
+                  f"{max(occ0.values(), default=0)} micro-units is "
+                  f"below 1.5x the uniform {1_000_000 // _E23_K}")
 
     # the pre-swap answer a pinned reader must keep reproducing
     # (bounded: n_queries x k rows, captured once)
@@ -207,6 +207,9 @@ def e23_quantizer_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RETRAIN on the current (drifted) corpus: Lloyd refinement
     # (bounded trained state, the e14 adjudication), re-indexed to the
     # dense cell space the layout partitions on
+    # (kmeans_lloyd_centroids projects/pins its own double view — a
+    # second bounded-lifetime corpus copy next to emb's; at retrain
+    # scale production would train on a sample anyway)
     refined = kmeans_lloyd_centroids(emb, k=_E23_K, iters=_E23_ITERS)
     cents1 = [(i, comps) for i, (_, comps) in enumerate(refined)]
 
@@ -462,8 +465,8 @@ from projectone_spark.queries.embeddings2 import _E19_SQL as _E25_SQL
               "read_where's file skipping (fetch_ids) instead of "
               "streaming the whole raw corpus through the rerank join "
               "— the r11 probe's 1.9x online win, now under the "
-              "bit-exact e19 funnel oracle (a fetch that dropped, "
-              "duplicated, or re-read stale vectors would diverge); "
+              "bit-exact e19 funnel oracle (a fetch that dropped "
+              "candidates or re-read stale vectors would diverge); "
               "in-query: the fetched id set is proven bounded by "
               "n_queries x shortlist and index/corpus drift fails "
               "loudly (tested) rather than skewing top-k",
@@ -538,5 +541,8 @@ def e25_keyed_fetch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     check(0 < len(ids) <= n_queries * _E19_SHORTLIST,
           f"shortlist id set out of contract: {len(ids)} ids for "
           f"{n_queries} queries")
-    check(len(set(ids)) == len(ids), "fetch handed duplicate ids")
+    # (id distinctness is structural — _rerank_source collects the
+    # shortlist through .distinct() — so it is not re-asserted here;
+    # what the ORACLE adjudicates is the fetch's CONTENT: dropped,
+    # stale, or re-read-differently vectors diverge from the funnel)
     return out

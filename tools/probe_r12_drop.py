@@ -117,7 +117,16 @@ def main() -> None:
     }
 
     for variant, (condemned, rangesort, strip) in variants.items():
-        store = TableStore(f"/tmp/amp_r12_drop_{variant}_{N // 1_000_000}m")
+        root = f"/tmp/amp_r12_drop_{variant}_{N // 1_000_000}m"
+        # the measured drop MUTATES the artifact, so a cached store from
+        # a previous run would time a drop whose condemned ids are
+        # already gone (rows_dropped=0) — unlike the r11 read-only
+        # probes, every run must rebuild fresh
+        if os.path.exists(root):
+            import shutil
+
+            shutil.rmtree(root)
+        store = TableStore(root)
         if not store.exists("idx"):
             t0 = time.perf_counter()
             sample = (emb.filter(F.col("vec_id") % (N // K) == 0)
