@@ -299,8 +299,25 @@ def ivf_train(df: DataFrame, n_clusters: int = 16, sample_size: int = 2000,
     return C.tolist()
 
 
+def _lit_double_array(vals: Sequence[float]) -> Column:
+    """``array<double>`` literal built from ONE parsed SQL expression
+    instead of ``len(vals) + 1`` py4j round trips (r12 guide-§1.2
+    finding: at dims=64 the per-literal path costs ~50 ms of pure
+    driver/py4j latency per centroid, re-paid on every index build,
+    micro-batch and search that embeds centroids). The Catalyst tree —
+    CreateArray over double Literals — is identical either way:
+    ``repr()`` of a finite double round-trips bit-exactly through the
+    SQL parser (verified for denormals, signed zero and exponent
+    forms). Non-finite values have no SQL literal form, so they fall
+    back to the per-literal path."""
+    fv = [float(v) for v in vals]
+    if fv and all(math.isfinite(v) for v in fv):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in fv) + ")")
+    return F.array(*[F.lit(v) for v in fv])
+
+
 def _centroid_dot(vec_col: Column, centroid: list[float]) -> Column:
-    return dot(vec_col, F.array(*[F.lit(float(v)) for v in centroid]))
+    return dot(vec_col, _lit_double_array(centroid))
 
 
 def ivf_probes(vec_col: Column, centroids: list[list[float]],
@@ -396,7 +413,13 @@ def seed_centroids(df: DataFrame, k: int = 8, id_col: str = "vec_id",
     return [(r[0], [float(x) for x in r[1]]) for r in rows]
 
 
-def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _finite_centroids(centroids: list[tuple[int, list[float]]]) -> bool:
+    return all(math.isfinite(float(v)) for _, comps in centroids
+               for v in comps)
+
+
+def assign_cell(vec_col: Column | str,
+                centroids: list[tuple[int, list[float]]]) -> Column:
     """Cell id of the nearest centroid by cosine — one struct-sort over
     per-centroid scores, pure codegen, no shuffle and no per-row join
     (the scale shape: at ingest this runs inside the scan stage, so an
@@ -417,6 +440,12 @@ def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Co
     if not centroids:
         raise ValueError("assign_cell needs at least one centroid "
                          "(seed_centroids over an empty corpus?)")
+    if isinstance(vec_col, str):
+        if _finite_centroids(centroids):
+            return F.expr("sort_array(array("
+                          + _cell_entries_sql(vec_col, centroids)
+                          + "))[0].cid")
+        vec_col = F.col(vec_col)
     entries = []
     for cid, comps in centroids:
         entries.append(F.struct(
@@ -425,6 +454,29 @@ def assign_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Co
             .alias("neg"),
             F.lit(cid).alias("cid")))
     return F.sort_array(F.array(*entries))[0]["cid"]
+
+
+def _cell_entries_sql(vec_sql: str,
+                      centroids: list[tuple[int, list[float]]]) -> str:
+    """The ``(neg score, cid)`` struct array body shared by the
+    :func:`assign_cell` / :func:`probe_cells` string fast paths — ONE
+    parsed SQL expression instead of ~90 py4j round trips per centroid
+    (r12: each higher-order function alone costs ~20 ms of py4j lambda
+    setup, re-paid per centroid per build/batch/search). The operation
+    sequence — zip-multiply in double, sequential fold, one divide by
+    the driver-folded norm, ``0.0 - score`` for the signed-zero rule —
+    is exactly the Column path's, so scores and tie order are
+    bit-identical; non-finite components fall back to the Column path
+    upstream (they have no SQL literal form)."""
+    entries = []
+    for cid, comps in centroids:
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in comps) + ")"
+        d = (f"aggregate(zip_with({vec_sql}, {arr}, (x, y) ->"
+             " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
+             " (acc, x) -> acc + x)")
+        entries.append(f"named_struct('neg', 0.0D - ({d}"
+                       f" / {_folded_norm(comps)!r}D), 'cid', {int(cid)})")
+    return ",".join(entries)
 
 
 def assign_cell_vectorized(centroids: list[tuple[int, list[float]]]):
@@ -1064,7 +1116,7 @@ def sq8_codes(vec: Column, dims: int) -> Column:
     return F.transform(F.sequence(F.lit(1), F.lit(dims)), code)
 
 
-def sq8_pack_words(code: Column, dims: int) -> list[Column]:
+def sq8_pack_words(code: Column | str, dims: int) -> list[Column]:
     """Pack an SQ8 code array into ``ceil(dims/4)`` BIGINT words, 4
     codes per word little-endian (code ``4*j + b`` occupies byte ``b``
     of word ``j``) — the :func:`sign_words` discipline one rung up the
@@ -1076,6 +1128,17 @@ def sq8_pack_words(code: Column, dims: int) -> list[Column]:
     of an array."""
     if dims <= 0:
         raise ValueError(f"dims must be positive, got {dims}")
+    if isinstance(code, str):
+        # fast path (r12): the whole word — 4 element_at/cast/mul terms
+        # and the sum — parses as ONE SQL expression instead of ~28 py4j
+        # round trips; at dims=64 that is 16 calls instead of ~450 per
+        # build, identical integer arithmetic on the same inputs
+        return [F.expr(
+            "CAST(0 + " + " + ".join(
+                f"(CAST(element_at({code}, {j + b + 1}) AS BIGINT)"
+                f" * {256 ** b})"
+                for b in range(min(4, dims - j))) + " AS BIGINT)")
+            for j in range(0, dims, 4)]
     words = []
     for j in range(0, dims, 4):
         nb = min(4, dims - j)
@@ -1101,7 +1164,7 @@ def sq8_unpack_words(dims: int, prefix: str = "w") -> Column:
         " d -> CAST((w div d) % 256 AS INT))))"), 1, dims)
 
 
-def probe_cells(vec_col: Column, centroids: list[tuple[int, list[float]]],
+def probe_cells(vec_col: Column | str, centroids: list[tuple[int, list[float]]],
                 nprobe: int) -> Column:
     """``array<int>`` of the ``nprobe`` nearest cell ids under the
     :func:`assign_cell` score ``dot(v, c) / |c|`` (ties to the lowest
@@ -1115,6 +1178,13 @@ def probe_cells(vec_col: Column, centroids: list[tuple[int, list[float]]],
         raise ValueError("probe_cells needs at least one centroid")
     if nprobe <= 0:
         raise ValueError(f"nprobe must be positive, got {nprobe}")
+    if isinstance(vec_col, str):
+        if _finite_centroids(centroids):
+            return F.expr(
+                "transform(slice(sort_array(array("
+                + _cell_entries_sql(vec_col, centroids)
+                + f")), 1, {int(nprobe)}), s -> s.cid)")
+        vec_col = F.col(vec_col)
     entries = []
     for cid, comps in centroids:
         entries.append(F.struct(
@@ -1152,18 +1222,21 @@ def build_ivf_sq8_codes(corpus: DataFrame,
         router = assign_cell_vectorized(centroids)
     elif route == "literal":
         def router(c):
+            # c is the vec column NAME (assign_cell's one-parsed-expr
+            # fast path); the vectorized route still takes a Column
             return assign_cell(c, centroids)
     else:
         raise ValueError(f"route must be 'literal' or 'vectorized', "
                          f"got {route!r}")
     coded = (corpus.crossJoin(F.broadcast(bounds))
              .select(F.col(id_col),
-                     router(F.col(vec_col)).alias("cell"),
+                     router(F.col(vec_col) if route == "vectorized"
+                            else vec_col).alias("cell"),
                      sq8_codes(F.col(vec_col), dims).alias("__code")))
     return coded.select(
         id_col, "cell",
         *[w.alias(f"w{j:02d}")
-          for j, w in enumerate(sq8_pack_words(F.col("__code"), dims))])
+          for j, w in enumerate(sq8_pack_words("__code", dims))])
 
 
 def search_ivf_sq8_index(codes: DataFrame,
@@ -1231,7 +1304,7 @@ def search_ivf_sq8_index(codes: DataFrame,
     qc = (q.crossJoin(F.broadcast(bounds))
           .select(query_id_col,
                   sq8_codes(F.col("__qvec"), dims).alias("__qc"),
-                  F.explode(probe_cells(F.col("__qvec"), centroids, nprobe))
+                  F.explode(probe_cells("__qvec", centroids, nprobe))
                   .alias("cell")))
     idx = codes
     if prune_cells:
@@ -1333,12 +1406,12 @@ def build_ivf_pq_codes(corpus: DataFrame,
     m = len(codebooks)
     coded = corpus.select(
         F.col(id_col),
-        assign_cell(F.col(vec_col), centroids).alias("cell"),
+        assign_cell(vec_col, centroids).alias("cell"),
         pq_encode_vectorized(codebooks)(F.col(vec_col)).alias("__code"))
     return coded.select(
         id_col, "cell",
         *[w.alias(f"w{j:02d}")
-          for j, w in enumerate(sq8_pack_words(F.col("__code"), m))])
+          for j, w in enumerate(sq8_pack_words("__code", m))])
 
 
 def search_ivf_pq_index(codes: DataFrame,
@@ -1378,7 +1451,7 @@ def search_ivf_pq_index(codes: DataFrame,
     qt = (q.select(query_id_col,
                    pq_adc_tables_vectorized(codebooks)(F.col("__qvec"))
                    .alias("__tabs"),
-                   F.explode(probe_cells(F.col("__qvec"), centroids, nprobe))
+                   F.explode(probe_cells("__qvec", centroids, nprobe))
                    .alias("cell")))
     idx = codes
     if prune_cells:

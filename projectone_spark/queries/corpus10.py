@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from projectone_spark.functions import multiset_diff_count
 from projectone_spark.queries import check, load, register
 from projectone_spark.queries._sql_fragments import _TOKS
 
@@ -154,7 +155,7 @@ def f16_model_version_pinning(spark: SparkSession, sf_dir: str) -> DataFrame:
           f"per-version params drifted: pinned={pmeta} latest={lmeta}")
     for got, want, tag in ((pinned, w1, "pinned!=v1"),
                            (latest, w2, "latest!=v2")):
-        d = got.exceptAll(want).unionAll(want.exceptAll(got)).count()
+        d = multiset_diff_count(got, want)
         check(d == 0, f"{tag}: version load diverges by {d} weight rows")
     # the two versions genuinely differ (the delta changed the corpus),
     # so divergence below measures refresh impact, not noise

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from projectone_spark.functions import multiset_diff_count
 from projectone_spark.queries import check, load, register
 from projectone_spark.queries._sql_fragments import _NORM, _TOKS
 from projectone_spark.queries.corpus5 import _d13_ctes, _t11_ctes, _t12_ctes
@@ -85,8 +86,7 @@ def t16_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union into ONE symmetric-difference job
     e_expr = bpe_vocab_encode(vocab, merges, engine="expr") \
         .localCheckpoint(eager=False)
-    check(e_arrow.exceptAll(e_expr)
-          .unionAll(e_expr.exceptAll(e_arrow)).count() == 0,
+    check(multiset_diff_count(e_arrow, e_expr) == 0,
           "arrow vocabulary encode diverges from the expression chain")
     return bpe_fold(wf, e_arrow)
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from projectone_spark.functions import multiset_diff_count
 from projectone_spark.queries import load, register
 from projectone_spark.queries._embed_sql import _E_DBL, _dot, _norm
 
@@ -155,7 +156,7 @@ def e10_incremental_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
 
     def assigned(df):
         return df.select("vec_id",
-                         assign_cell(F.col("embedding"), cents).alias("cell_id"))
+                         assign_cell("embedding", cents).alias("cell_id"))
 
     st = TableStore(scratch_dir(prefix="pos-ivfidx-"))
     base = emb.filter(F.col("vec_id") % 4 != 0)
@@ -955,8 +956,7 @@ def e20_index_drop_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild = build_ivf_sq8_codes(
         survivors, loaded_cents, loaded_bounds,
         dims=int(idx.params["dims"])).select(*word_cols)
-    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
-            .count())
+    diff = multiset_diff_count(acc, rebuild)
     check(diff == 0,
           f"maintained index diverges from survivor rebuild by {diff} rows")
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from projectone_spark.functions import multiset_diff_count
 from projectone_spark.queries import load, register
 from projectone_spark.queries._embed_sql import _E_DBL, _dot, _norm
 from projectone_spark.queries.embeddings2 import (
@@ -232,8 +233,7 @@ def e23_quantizer_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pinned.parts["bounds"].localCheckpoint(eager=True),
         emb, queries, k=5, nprobe=_E19_NPROBE,
         shortlist=_E19_SHORTLIST, dims=64)
-    moved = (s_pinned.exceptAll(s0).unionAll(s0.exceptAll(s_pinned))
-             .count())
+    moved = multiset_diff_count(s_pinned, s0)
     check(moved == 0,
           f"pinned search diverged from the pre-swap answer by {moved} rows")
 

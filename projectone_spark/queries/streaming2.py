@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from projectone_spark.functions import multiset_diff_count
 from projectone_spark.queries import load, register
 from projectone_spark.queries.streaming import _stream_events
 from projectone_spark.session import scratch_dir
@@ -451,7 +452,7 @@ def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return coded.select(
             "vec_id",
             *[w.alias(f"w{j:02d}") for j, w in enumerate(
-                sq8_pack_words(F.col("__code"), dims))])
+                sq8_pack_words("__code", dims))])
 
     stream = read_stream_parquet(
         spark, src_dir, "vec_id bigint, embedding array<float>",
@@ -479,8 +480,7 @@ def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-split invariance, the st13 proof: the accumulation must
     # equal a from-scratch rebuild under the SAME persisted model
     rebuild = code_frame(emb)
-    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
-            .count())
+    diff = multiset_diff_count(acc, rebuild)
     check(diff == 0,
           f"streamed SQ8 index diverges from batch rebuild by {diff} rows")
     return acc
@@ -641,8 +641,7 @@ def st16_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))  # the equality gate and the
     # returned frame share one read of the accumulated verdicts
     rebuild = gate_frame(docs.select("doc_id", "text", "source"))
-    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
-            .count())
+    diff = multiset_diff_count(acc, rebuild)
     check(diff == 0,
           f"streamed gate verdicts diverge from batch recompute by {diff}")
     return acc
@@ -788,8 +787,7 @@ def st17_stream_index_maintenance(spark: SparkSession,
     # rebuild over base+delta under the SAME persisted parts
     rebuild = build_ivf_sq8_codes(emb, loaded_cents, loaded_bounds,
                                   dims=64).select(*word_cols)
-    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
-            .count())
+    diff = multiset_diff_count(acc, rebuild)
     check(diff == 0,
           f"maintained index diverges from batch rebuild by {diff} rows")
 
@@ -942,8 +940,7 @@ def st18_stream_drop_maintenance(spark: SparkSession,
                            | (F.col("vec_id") % 5 != 2))
     rebuild = build_ivf_sq8_codes(survivors, loaded_cents, loaded_bounds,
                                   dims=64).select(*word_cols)
-    diff = (acc.exceptAll(rebuild).unionAll(rebuild.exceptAll(acc))
-            .count())
+    diff = multiset_diff_count(acc, rebuild)
     check(diff == 0,
           f"maintained index diverges from survivor rebuild by {diff} rows")
     n_condemned_left = acc.join(condemned, "vec_id", "semi").count()

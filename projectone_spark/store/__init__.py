@@ -118,7 +118,8 @@ class TableStore:
                 txn: tuple[str, int] | None = None,
                 expected_base: int | None = None,
                 set_columns: list[str] | None = None,
-                manifest_extra: dict | None = None) -> int:
+                manifest_extra: dict | None = None,
+                schemas: dict[str, str] | None = None) -> int:
         with self._commit_lock(name):
             prev = self.manifest(name)
             prev_version = -1 if prev is None else prev["version"]
@@ -144,6 +145,17 @@ class TableStore:
                 "files": files or [],
                 "txns": txns,
             }
+            # per-dir read-back schema (see _dir_schema): carried forward
+            # for retained dirs, pruned to the committed dir set so the
+            # manifest stays bounded; readers fall back to inference for
+            # any dir without an entry
+            prev_schemas = dict((prev or {}).get("schemas") or {})
+            dir_schemas = {d: prev_schemas[d] for d in dirs
+                           if d in prev_schemas}
+            dir_schemas.update({d: s for d, s in (schemas or {}).items()
+                                if d in dirs and s})
+            if dir_schemas:
+                manifest["schemas"] = dir_schemas
             # model metadata (store.models.save_model) rides the SAME
             # atomic manifest publish — never a second write — and
             # carries forward across CONTENT-PRESERVING commits (append
@@ -221,18 +233,44 @@ class TableStore:
         m = self.manifest(name)
         if m is None:
             raise FileNotFoundError(f"table '{name}' does not exist in {self.root}")
+        return self._read_manifest(spark, m)
+
+    def _read_manifest(self, spark: SparkSession, m: dict) -> DataFrame:
+        """Scan a manifest's dir set. Dirs with a recorded read-back
+        schema (``_dir_schema``) are planned WITHOUT schema inference —
+        no per-dir driver job; dirs without one (pre-r12 manifests,
+        hand-built fixtures) fall back to inference."""
+        schemas = m.get("schemas") or {}
         if m["partition_by"]:
             # hive-partitioned dirs: each data directory needs ITS OWN
             # basePath for partition-column discovery (one basePath cannot
             # cover sibling commit dirs), so multi-commit snapshots are a
             # union of per-dir scans — collapsed back to one by compaction
-            frames = [spark.read.option("basePath", d).parquet(d)
+            frames = [self._dir_frame(spark, d, schemas.get(d))
                       for d in m["dirs"]]
             out = frames[0]
             for f in frames[1:]:
                 out = out.unionByName(f)
             return out
+        known = [schemas.get(d) for d in m["dirs"]]
+        if all(known) and len(set(known)) == 1:
+            # one shared schema: a single multi-path scan, zero inference
+            return (spark.read.schema(self._schema_of(known[0]))
+                    .parquet(*m["dirs"]))
         return spark.read.parquet(*m["dirs"])
+
+    @staticmethod
+    def _schema_of(schema_json: str):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(schema_json))
+
+    def _dir_frame(self, spark: SparkSession, d: str,
+                   schema_json: str | None) -> DataFrame:
+        reader = spark.read
+        if schema_json:
+            reader = reader.schema(self._schema_of(schema_json))
+        return reader.option("basePath", d).parquet(d)
 
     def read_version(self, spark: SparkSession, name: str, version: int) -> DataFrame:
         """Time travel to an historical version. Applies the same per-dir
@@ -251,14 +289,7 @@ class TableStore:
                 raise FileNotFoundError(
                     f"version {version} of '{name}' was vacuumed; "
                     f"missing {missing}")
-            if m.get("partition_by"):
-                frames = [spark.read.option("basePath", d).parquet(d)
-                          for d in m["dirs"]]
-                out = frames[0]
-                for f in frames[1:]:
-                    out = out.unionByName(f)
-                return out
-            return spark.read.parquet(*m["dirs"])
+            return self._read_manifest(spark, m)
         raise FileNotFoundError(f"table '{name}' has no version {version}")
 
     def _new_data_dir(self, name: str) -> str:
@@ -268,11 +299,32 @@ class TableStore:
         return d
 
     def _write_dir(self, df: DataFrame, path: str,
-                   partition_by: Sequence[str] | None) -> None:
+                   partition_by: Sequence[str] | None,
+                   capture_schema: bool = True) -> str | None:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        if not capture_schema:
+            return None
+        return self._dir_schema(df.sparkSession, path, partition_by)
+
+    def _dir_schema(self, spark: SparkSession, path: str,
+                    partition_by: Sequence[str] | None) -> str:
+        """Read-back schema of a just-written data directory, captured
+        EMPIRICALLY (one footer-inference pass at write time) and recorded
+        in the manifest so every later read supplies it explicitly —
+        Delta/Iceberg keep the schema in table metadata for the same
+        reason (r12, guide §1.2): schema inference costs one driver-side
+        Spark job per directory per read, and a multi-commit partitioned
+        snapshot pays it per commit dir on every open. Capturing what
+        inference RETURNS (not ``df.schema``) keeps read-back types —
+        partition-value inference, parquet nullability — bit-identical to
+        the uninstrumented path."""
+        reader = spark.read
+        if partition_by:
+            reader = reader.option("basePath", path)
+        return reader.parquet(path).schema.json()
 
     def _stats_for(self, dirs: list[str],
                    stats_columns: list[str],
@@ -311,12 +363,13 @@ class TableStore:
         sets = list(set_columns if set_columns is not None
                     else (m.get("set_columns") or []) if m else [])
         d = self._new_data_dir(name)
-        self._write_dir(df, d, partition_by)
+        sch = self._write_dir(df, d, partition_by)
         return self._commit(name, [d], list(partition_by or []), _operation,
                             stats_columns=cols, set_columns=sets,
                             files=self._stats_for([d], cols, sets),
                             expected_base=_expected_base,
-                            manifest_extra=manifest_extra)
+                            manifest_extra=manifest_extra,
+                            schemas={d: sch})
 
     def append(self, spark: SparkSession, df: DataFrame, name: str,
                partition_by: Sequence[str] | None = None,
@@ -341,7 +394,7 @@ class TableStore:
                         else (m.get("set_columns") or []) if m else [])
             if d is None:
                 d = self._new_data_dir(name)
-                self._write_dir(df, d, part)
+                new_schema = self._write_dir(df, d, part)
                 new_files = self._stats_for([d], cols, sets)
             dirs = ([*m["dirs"], d] if m is not None else [d])
             # incremental stats: footers of the NEW directory only, carried
@@ -351,7 +404,8 @@ class TableStore:
                 return self._commit(name, dirs, part, "append",
                                     stats_columns=cols, set_columns=sets,
                                     files=files, txn=txn,
-                                    expected_base=m["version"] if m else -1)
+                                    expected_base=m["version"] if m else -1,
+                                    schemas={d: new_schema})
             except ConcurrentWriteError:
                 continue
         raise ConcurrentWriteError(
@@ -379,7 +433,7 @@ class TableStore:
 
         if partition_values and part and set(partition_values) <= set(part):
             new_dir = self._new_data_dir(name)
-            self._write_dir(df, new_dir, part)
+            self._write_dir(df, new_dir, part, capture_schema=False)
             # re-link every old partition dir that is NOT being replaced
             replaced = {
                 f"{col}={v}" for col, vals in partition_values.items() for v in vals
@@ -397,7 +451,11 @@ class TableStore:
             return self._commit(name, [new_dir], part, "selective_overwrite",
                                 {"replaced_partitions": sorted(replaced)},
                                 stats_columns=cols, set_columns=sets,
-                                files=self._stats_for([new_dir], cols, sets))
+                                files=self._stats_for([new_dir], cols, sets),
+                                # re-inferred AFTER the re-link: the dir now
+                                # holds replaced + retained partitions
+                                schemas={new_dir: self._dir_schema(
+                                    spark, new_dir, part)})
 
         if replace_where is None and partition_values:
             replace_where = " AND ".join(

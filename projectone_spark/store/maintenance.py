@@ -133,7 +133,8 @@ def restore(store: TableStore, name: str, version: int) -> int:
                          stats_columns=list(target.get("stats_columns") or []),
                          set_columns=list(target.get("set_columns") or []),
                          files=list(target.get("files") or []),
-                         manifest_extra=extra)
+                         manifest_extra=extra,
+                         schemas=dict(target.get("schemas") or {}))
 
 
 def clone(store: TableStore, name: str, target: str) -> int:
@@ -164,11 +165,14 @@ def clone(store: TableStore, name: str, target: str) -> int:
             if f["path"].startswith(old + os.sep):
                 files.append({**f, "path": new + f["path"][len(old):]})
                 break
+    src_schemas = m.get("schemas") or {}
     return store._commit(target, new_dirs, list(m["partition_by"]), "clone",
                          {"cloned_from": name, "source_version": m["version"]},
                          stats_columns=list(m.get("stats_columns") or []),
                          set_columns=list(m.get("set_columns") or []),
-                         files=files)
+                         files=files,
+                         schemas={remap[d]: src_schemas[d]
+                                  for d in m["dirs"] if d in src_schemas})
 
 
 def append_evolve(store: TableStore, spark: SparkSession, df: DataFrame,

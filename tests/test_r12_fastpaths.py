@@ -1,0 +1,213 @@
+"""Round-12 optimization equivalence gates.
+
+Every r12 fast path must be BIT-IDENTICAL to the path it replaces —
+these tests pin that contract:
+
+- O3: single-parsed-SQL construction fast paths (``assign_cell`` /
+  ``probe_cells`` / ``sq8_pack_words`` string-name forms) against the
+  Column-API originals.
+- O2: ``multiset_diff_count`` zero-ness against the double-``exceptAll``
+  union it replaced.
+- O1: manifest-recorded read-back schemas against schema-inference
+  reads (plain, partitioned, multi-commit, time travel, restore/clone
+  carry-forward, and the evolved-schema fallback).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _rand_vecs(spark, n=40, dims=16, seed=11):
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.uniform(-2.0, 2.0) for _ in range(dims)])
+            for i in range(n)]
+    # exercise signed zero / exact ties / denormal-ish smalls
+    rows.append((n, [0.0] * dims))
+    rows.append((n + 1, [-0.0] * dims))
+    rows.append((n + 2, [5e-324] * dims))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cents(dims=16, k=6, seed=3):
+    rnd = random.Random(seed)
+    out = [(i, [rnd.uniform(-1.0, 1.0) for _ in range(dims)])
+           for i in range(k)]
+    out[2] = (2, out[1][1][:])  # duplicate centroid: exact tie
+    return out
+
+
+def test_assign_cell_string_path_bit_identical(spark):
+    from projectone_spark.functions.embeddings import assign_cell
+
+    df = _rand_vecs(spark)
+    cents = _cents()
+    got = df.select("vec_id",
+                    assign_cell("embedding", cents).alias("c")).collect()
+    want = df.select("vec_id",
+                     assign_cell(F.col("embedding"), cents).alias("c")
+                     ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_assign_cell_nonfinite_centroid_falls_back(spark):
+    from projectone_spark.functions.embeddings import assign_cell
+
+    df = _rand_vecs(spark, n=10)
+    cents = _cents()
+    cents[0] = (0, [math.inf] + cents[0][1][1:])
+    got = df.select("vec_id",
+                    assign_cell("embedding", cents).alias("c")).collect()
+    want = df.select("vec_id",
+                     assign_cell(F.col("embedding"), cents).alias("c")
+                     ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_probe_cells_string_path_bit_identical(spark):
+    from projectone_spark.functions.embeddings import probe_cells
+
+    df = _rand_vecs(spark)
+    cents = _cents()
+    for nprobe in (1, 3, len(cents)):
+        got = df.select("vec_id",
+                        probe_cells("embedding", cents, nprobe).alias("p")
+                        ).collect()
+        want = df.select("vec_id",
+                         probe_cells(F.col("embedding"), cents, nprobe)
+                         .alias("p")).collect()
+        # probe ORDER is part of the contract (nearest first)
+        assert [(r["vec_id"], list(r["p"])) for r in got] \
+            == [(r["vec_id"], list(r["p"])) for r in want]
+
+
+@pytest.mark.parametrize("dims", [1, 3, 4, 7, 16])
+def test_sq8_pack_words_string_path_bit_identical(spark, dims):
+    from projectone_spark.functions.embeddings import sq8_pack_words
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.randrange(256) for _ in range(dims)])
+            for i in range(20)]
+    rows.append((20, [0] * dims))
+    rows.append((21, [255] * dims))
+    df = spark.createDataFrame(rows, "vec_id long, __code array<int>")
+    got = df.select("vec_id", *[w.alias(f"w{j:02d}") for j, w in
+                                enumerate(sq8_pack_words("__code", dims))])
+    want = df.select("vec_id", *[w.alias(f"w{j:02d}") for j, w in
+                                 enumerate(sq8_pack_words(F.col("__code"),
+                                                          dims))])
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+
+
+def test_multiset_diff_count_matches_exceptall_zeroness(spark):
+    from projectone_spark.functions import multiset_diff_count
+
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, None), (3, "y")], "k int, v string")
+    perm = spark.createDataFrame(
+        [(3, "y"), (2, None), (1, "x"), (1, "x")], "k int, v string")
+    multi = spark.createDataFrame(  # same SET, different multiplicity
+        [(1, "x"), (2, None), (3, "y")], "k int, v string")
+    nulldiff = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "z"), (3, "y")], "k int, v string")
+
+    def old(x, y):
+        return x.exceptAll(y).unionAll(y.exceptAll(x)).count()
+
+    for other in (perm, multi, nulldiff):
+        assert (multiset_diff_count(a, other) == 0) == (old(a, other) == 0)
+    assert multiset_diff_count(a, perm) == 0
+    assert multiset_diff_count(a, multi) > 0
+    assert multiset_diff_count(a, nulldiff) > 0
+    # column-order normalization: b's columns selected in a's order
+    assert multiset_diff_count(a, perm.select("v", "k")) == 0
+
+
+def _mk_store(tmp_path):
+    from projectone_spark.store import TableStore
+
+    return TableStore(str(tmp_path / "store"))
+
+
+def test_schema_capture_plain_append_read(spark, tmp_path):
+    st = _mk_store(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, float("nan"), None)], "k long, x double, s string")
+    st.append(spark, df, "t")
+    st.append(spark, df, "t")
+    m = st.manifest("t")
+    assert set(m.get("schemas", {})) == set(m["dirs"])
+    got = st.read(spark, "t")
+    # the recorded-schema read must match a from-scratch inference read
+    want = spark.read.parquet(*m["dirs"])
+    assert got.schema == want.schema
+    assert got.count() == 4
+    assert sorted(map(tuple, got.select("k", "s").collect())) \
+        == sorted(map(tuple, want.select("k", "s").collect()))
+
+
+def test_schema_capture_partitioned_multicommit(spark, tmp_path):
+    st = _mk_store(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "p0", 2.0), (2, "p1", 3.0)], "k long, part string, x double")
+    st.append(spark, df, "t", partition_by=["part"])
+    st.append(spark, df.withColumn("k", F.col("k") + 10), "t",
+              partition_by=["part"])
+    m = st.manifest("t")
+    assert set(m.get("schemas", {})) == set(m["dirs"])
+    got = st.read(spark, "t")
+    want0 = spark.read.option("basePath", m["dirs"][0]).parquet(m["dirs"][0])
+    # partition-column type must match partition-value INFERENCE
+    assert got.schema["part"].dataType == want0.schema["part"].dataType
+    assert got.filter("part = 'p1'").count() == 2
+    assert {r["k"] for r in got.collect()} == {1, 2, 11, 12}
+
+
+def test_schema_capture_survives_restore_and_clone(spark, tmp_path):
+    from projectone_spark.store.maintenance import clone, restore
+
+    st = _mk_store(tmp_path)
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    st.append(spark, df, "t")
+    v0 = st.manifest("t")["version"]
+    st.append(spark, df, "t")
+    restore(st, "t", v0)
+    m = st.manifest("t")
+    assert set(m.get("schemas", {})) == set(m["dirs"])
+    assert st.read(spark, "t").count() == 1
+    clone(st, "t", "t2")
+    m2 = st.manifest("t2")
+    assert set(m2.get("schemas", {})) == set(m2["dirs"])
+    assert st.read(spark, "t2").count() == 1
+
+
+def test_schema_capture_time_travel(spark, tmp_path):
+    st = _mk_store(tmp_path)
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    st.append(spark, df, "t")
+    v0 = st.manifest("t")["version"]
+    st.append(spark, df.withColumn("k", F.lit(9).cast("long")), "t")
+    old = st.read_version(spark, "t", v0)
+    assert old.count() == 1 and old.first()["k"] == 1
+
+
+def test_evolved_schemas_fall_back_to_inference(spark, tmp_path):
+    from projectone_spark.store.maintenance import append_evolve, read_merged
+
+    st = _mk_store(tmp_path)
+    st.append(spark, spark.createDataFrame([(1,)], "k long"), "t")
+    append_evolve(st, spark,
+                  spark.createDataFrame([(2, "b")], "k long, s string"), "t")
+    m = st.manifest("t")
+    # two dirs with DIFFERENT recorded schemas: the single-schema fast
+    # path must not engage, and the merged read stays correct
+    assert len({m["schemas"][d] for d in m["dirs"]}) == 2
+    got = read_merged(st, spark, "t")
+    assert {tuple(r) for r in got.select("k", "s").collect()} \
+        == {(1, None), (2, "b")}
