@@ -619,8 +619,27 @@ def _lloyd_refine(v: DataFrame, k: int, iters: int,
         raise ValueError(f"iters must be >= 1, got {iters}")
     cents = seed_centroids(v, k=k, id_col=id_col, vec_col="e")
     for _ in range(iters):
-        asg = assign_cell_join(v, cents, id_col=id_col, vec_col="e")
-        cm = (v.join(asg, id_col)
+        # r12 (guide §2.4): the vector rides THROUGH the argmax
+        # aggregate instead of being joined back afterwards — 2
+        # exchanges per iteration instead of 3. The comparator is the
+        # same max(struct(score, -cid)) as assign_cell_join; the carried
+        # vector field is never compared because (score, -cid) is unique
+        # within an id group. Means are bit-identical: each component
+        # sum adds float32-valued doubles (exact at any order while the
+        # term count stays below 2^29), so losing the join changes no
+        # low bit.
+        rows_c = [(cid, comps, _folded_norm(comps)) for cid, comps in cents]
+        cdf = v.sparkSession.createDataFrame(
+            rows_c, "cid long, ce array<double>, cnorm double")
+        s = dot(F.col("e"), F.col("ce")) / F.col("cnorm")
+        asg_v = (v.crossJoin(F.broadcast(cdf))
+                 .groupBy(id_col)
+                 .agg(F.max(F.struct(s.alias("s"),
+                                     (-F.col("cid")).alias("nc"),
+                                     F.col("e").alias("e"))).alias("m"))
+                 .select((-F.col("m.nc")).alias("cell_id"),
+                         F.col("m.e").alias("e")))
+        cm = (asg_v
               .select("cell_id", F.posexplode("e").alias("pos", "val"))
               .groupBy("cell_id", "pos").agg(F.avg("val").alias("m"))
               .groupBy("cell_id")
@@ -1090,7 +1109,7 @@ def sq8_bounds(corpus: DataFrame, dims: int,
             .agg(_asc("mn").alias("__mn"), _asc("mx").alias("__mx")))
 
 
-def sq8_codes(vec: Column, dims: int) -> Column:
+def sq8_codes(vec: Column | str, dims: int) -> Column:
     """int8-style scalar quantization codes (FAISS ``SQ8``): coordinate
     ``i`` maps to ``floor((x - mn_i) * 255 / (mx_i - mn_i))`` clamped to
     [0, 255], or 0 when the dimension is constant. Expects the
@@ -1102,6 +1121,21 @@ def sq8_codes(vec: Column, dims: int) -> Column:
     IEEE double op on deterministic inputs (min/max of float32 values),
     so identical expressions yield identical codes in any engine — the
     codes, and everything ranked on them, are exact integers."""
+    if isinstance(vec, str) and "`" not in vec:
+        # fast path (r12): the whole quantizer — transform, CASE, clamp —
+        # parses as ONE SQL expression instead of ~80 py4j round trips
+        # (~77 ms of pure driver latency per call site, re-paid per
+        # build, micro-batch and search); the parsed Catalyst tree is
+        # operator-for-operator the Column path's below, so codes are
+        # bit-identical
+        return F.expr(
+            f"transform(sequence(1, {int(dims)}), i -> CAST("
+            "CASE WHEN element_at(__mx, i) > element_at(__mn, i)"
+            " THEN least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),"
+            f" floor((CAST(element_at(`{vec}`, i) AS DOUBLE)"
+            " - element_at(__mn, i)) * 255.0D"
+            " / (element_at(__mx, i) - element_at(__mn, i)))))"
+            " ELSE CAST(0 AS BIGINT) END AS INT))")
 
     def code(i: Column) -> Column:
         x = F.element_at(vec, i).cast("double")
@@ -1232,7 +1266,7 @@ def build_ivf_sq8_codes(corpus: DataFrame,
              .select(F.col(id_col),
                      router(F.col(vec_col) if route == "vectorized"
                             else vec_col).alias("cell"),
-                     sq8_codes(F.col(vec_col), dims).alias("__code")))
+                     sq8_codes(vec_col, dims).alias("__code")))
     return coded.select(
         id_col, "cell",
         *[w.alias(f"w{j:02d}")
@@ -1303,7 +1337,7 @@ def search_ivf_sq8_index(codes: DataFrame,
         .localCheckpoint(eager=False)
     qc = (q.crossJoin(F.broadcast(bounds))
           .select(query_id_col,
-                  sq8_codes(F.col("__qvec"), dims).alias("__qc"),
+                  sq8_codes("__qvec", dims).alias("__qc"),
                   F.explode(probe_cells("__qvec", centroids, nprobe))
                   .alias("cell")))
     idx = codes
@@ -1528,11 +1562,11 @@ def knn_sq8(corpus: DataFrame, queries: DataFrame, k: int = 5,
                parallelism)
     bounds = sq8_bounds(c, dims, vec_col="__vec")
     cc = (c.crossJoin(F.broadcast(bounds))
-          .select(id_col, sq8_codes(F.col("__vec"), dims).alias("__c")))
+          .select(id_col, sq8_codes("__vec", dims).alias("__c")))
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).alias("__qvec"))
     qc = (q.crossJoin(F.broadcast(bounds))
-          .select(query_id_col, sq8_codes(F.col("__qvec"), dims).alias("__qc")))
+          .select(query_id_col, sq8_codes("__qvec", dims).alias("__qc")))
     sq = F.aggregate(
         F.zip_with(F.col("__c"), F.col("__qc"),
                    lambda a, b: (a - b) * (a - b)),

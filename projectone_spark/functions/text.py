@@ -528,6 +528,13 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
                     .alias("surprise")))
 
 
+#: merge steps between eager vocabulary checkpoints in
+#: :func:`bpe_train_merges` — each un-checkpointed step replays its
+#: replace() chain inside the next pair-count job (cheap on the
+#: vocabulary-bounded frame) instead of paying a materialization job
+_BPE_CKPT_EVERY = 16
+
+
 def bpe_train_merges(df: DataFrame, text_col: str = "text",
                      n_merges: int = 8, sep: str = "_",
                      parallelism: int | None = None) -> DataFrame:
@@ -544,8 +551,10 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     trains on word counts. Each iteration is one pair-count aggregate
     plus a single-ROW driver collect (the argmax pair; a bounded scalar
     per iteration, the same driver-loop discipline as
-    ``dedup.connected_components``), and the vocabulary is eagerly
-    localCheckpointed per step so iteration N+1 never replays steps 1..N.
+    ``dedup.connected_components``); the vocabulary rolls an eager
+    localCheckpoint every ``_BPE_CKPT_EVERY`` steps, so an iteration
+    replays at most that many vocabulary-sized replace() steps and the
+    lineage stays bounded for large ``n_merges``.
 
     Words are held as DOUBLE-separator symbol strings (``__c__a__t__``;
     the default ``_`` can never occur inside a symbol — ``normalize``
@@ -582,6 +591,16 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
                      .alias("sym"), "wc")
              .localCheckpoint(eager=True))
     out: list[tuple[int, str, str, str, int]] = []
+    # r12 (guide §2.4 — remove jobs outright): the per-step EAGER
+    # checkpoint was one extra Spark job per merge (2 jobs/step); a
+    # replace() over the bounded vocabulary is far cheaper to REPLAY
+    # than to materialize, so steps chain replaces over the last
+    # checkpoint and only roll the checkpoint every _BPE_CKPT_EVERY
+    # steps (lineage stays bounded for large n_merges). The replace
+    # chain and each step's argmax are the same expressions on the same
+    # logical vocabulary, so the learned rules are bit-identical.
+    base = vocab
+    chain = 0
     for step in range(1, n_merges + 1):
         # symbol array: split('__c__a__t__') -> ['', c, a, t, ''] ends dropped
         pairs = (vocab.select("wc", F.expr(
@@ -602,17 +621,21 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         out.append((step, l, r, l + r, cnt))
-        prev = vocab
-        vocab = (vocab.select(
-                     F.replace("sym", F.lit(f"{sep}{l}{sep2}{r}{sep}"),
-                               F.lit(f"{sep}{l}{r}{sep}")).alias("sym"), "wc")
-                 .localCheckpoint(eager=True))
-        # the new checkpoint has materialized (eager) — release the prior
-        # step's blocks, or n_merges vocabulary copies pile up in the
-        # block manager for the life of the session
-        release_checkpoint(prev)
+        vocab = vocab.select(
+            F.replace("sym", F.lit(f"{sep}{l}{sep2}{r}{sep}"),
+                      F.lit(f"{sep}{l}{r}{sep}")).alias("sym"), "wc")
+        chain += 1
+        if chain >= _BPE_CKPT_EVERY:
+            prev = base
+            vocab = vocab.localCheckpoint(eager=True)
+            # the new checkpoint has materialized — release the prior
+            # one's blocks, or vocabulary copies pile up in the block
+            # manager for the life of the session
+            release_checkpoint(prev)
+            base = vocab
+            chain = 0
     # the rules are fully collected — the last vocabulary copy is dead too
-    release_checkpoint(vocab)
+    release_checkpoint(base)
     return spark.createDataFrame(
         out, "step bigint, left_sym string, right_sym string,"
              " merged string, pair_count bigint")

@@ -203,17 +203,27 @@ def _stage_snapshot(spark: SparkSession,
                     group: str | None) -> list[dict[str, Any]]:
     jstore = spark.sparkContext._jsc.sc().statusStore()  # type: ignore[attr-defined]
     job_of_stage: dict[int, int] = {}
-    jobs = jstore.jobsList(None)
-    for i in range(jobs.size()):
-        j = jobs.apply(i)
-        grp = j.jobGroup()
-        grp_val = grp.get() if grp.isDefined() else None
-        if group is not None and grp_val != group:
-            continue
-        sids = j.stageIds()
-        for k in range(sids.size()):
-            sid = sids.apply(k)
-            job_of_stage[sid] = j.jobId()
+    if group is not None:
+        # r12 (guide §1.2): resolve the group's job ids server-side —
+        # one py4j call plus one per matching job — instead of walking
+        # every retained job (spark.ui.retainedJobs caps it at 1000, so
+        # a late-session snapshot paid ~4 py4j round trips per retained
+        # job per call). Same AppStatusStore underneath, same rows out.
+        tracker = spark.sparkContext.statusTracker()
+        for jid in tracker.getJobIdsForGroup(group):
+            jinfo = tracker.getJobInfo(jid)
+            if jinfo is None:  # evicted from the store mid-snapshot
+                continue
+            for sid in jinfo.stageIds:
+                job_of_stage[int(sid)] = int(jid)
+    else:
+        jobs = jstore.jobsList(None)
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            sids = j.stageIds()
+            for k in range(sids.size()):
+                sid = sids.apply(k)
+                job_of_stage[sid] = j.jobId()
     out: list[dict[str, Any]] = []
     for sid in sorted(job_of_stage):
         try:

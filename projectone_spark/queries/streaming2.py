@@ -448,7 +448,7 @@ def st15_stream_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     def code_frame(vectors: DataFrame) -> DataFrame:
         coded = (vectors.crossJoin(F.broadcast(bounds))
                  .select("vec_id",
-                         sq8_codes(F.col("embedding"), dims).alias("__code")))
+                         sq8_codes("embedding", dims).alias("__code")))
         return coded.select(
             "vec_id",
             *[w.alias(f"w{j:02d}") for j, w in enumerate(

@@ -433,11 +433,12 @@ class TableStore:
 
         if partition_values and part and set(partition_values) <= set(part):
             new_dir = self._new_data_dir(name)
-            self._write_dir(df, new_dir, part, capture_schema=False)
+            data_schema = self._write_dir(df, new_dir, part)
             # re-link every old partition dir that is NOT being replaced
             replaced = {
                 f"{col}={v}" for col, vals in partition_values.items() for v in vals
             }
+            linked = False
             for old in m["dirs"]:
                 for entry in os.listdir(old):
                     src = os.path.join(old, entry)
@@ -446,16 +447,27 @@ class TableStore:
                     dst = os.path.join(new_dir, entry)
                     if not os.path.exists(dst):
                         _link_tree(src, dst)
+                        linked = True
             cols = m.get("stats_columns") or []
             sets = m.get("set_columns") or []
+            # a re-linked dir mixes fresh files with files from prior
+            # commits; record its read-back schema ONLY when uniformity
+            # is provable — every linked-from dir carries the same
+            # recorded schema and both the fresh data (pre-link) and the
+            # whole dir (post-link) infer to exactly it. Otherwise leave
+            # the dir unrecorded: readers fall back to inference and
+            # read_merged keeps its true footer-merging path (its fast
+            # path relies on recorded dirs being internally uniform).
+            post_schema = self._dir_schema(spark, new_dir, part)
+            prior = {(m.get("schemas") or {}).get(d) for d in m["dirs"]}
+            uniform = (not linked) or (prior == {post_schema}
+                                       and data_schema == post_schema)
             return self._commit(name, [new_dir], part, "selective_overwrite",
                                 {"replaced_partitions": sorted(replaced)},
                                 stats_columns=cols, set_columns=sets,
                                 files=self._stats_for([new_dir], cols, sets),
-                                # re-inferred AFTER the re-link: the dir now
-                                # holds replaced + retained partitions
-                                schemas={new_dir: self._dir_schema(
-                                    spark, new_dir, part)})
+                                schemas=({new_dir: post_schema}
+                                         if uniform else None))
 
         if replace_where is None and partition_values:
             replace_where = " AND ".join(

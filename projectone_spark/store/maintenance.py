@@ -212,6 +212,14 @@ def read_merged(store: TableStore, spark: SparkSession, name: str) -> DataFrame:
     m = store.manifest(name)
     if m is None:
         raise FileNotFoundError(f"table '{name}' does not exist")
+    schemas = m.get("schemas") or {}
+    known = [schemas.get(d) for d in m["dirs"]]
+    if all(known) and len(set(known)) == 1:
+        # r12 (guide §1.2): every dir's recorded read-back schema is
+        # IDENTICAL, so merging footers would return exactly that
+        # schema — skip the mergeSchema footer sweep (one driver pass
+        # over every file in the snapshot) and read like TableStore.read
+        return store._read_manifest(spark, m)
     if m["partition_by"]:
         frames = [spark.read.option("mergeSchema", "true")
                   .option("basePath", d).parquet(d) for d in m["dirs"]]

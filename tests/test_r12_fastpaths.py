@@ -105,6 +105,30 @@ def test_sq8_pack_words_string_path_bit_identical(spark, dims):
         == sorted(map(tuple, want.collect()))
 
 
+def test_sq8_codes_string_path_bit_identical(spark):
+    from projectone_spark.functions.embeddings import sq8_bounds, sq8_codes
+
+    dims = 9
+    rnd = random.Random(13)
+    rows = [(i, [rnd.uniform(-3.0, 3.0) for _ in range(dims)])
+            for i in range(30)]
+    rows.append((30, [7.5] * dims))   # constant rows force mx == mn dims
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    const = spark.createDataFrame([(0, [1.0] * dims)],
+                                  "vec_id long, embedding array<double>")
+    for frame in (df, const):
+        bounds = frame.sparkSession.createDataFrame([(1,)], "x int") \
+            .crossJoin(sq8_bounds(frame, dims=dims)).drop("x")
+        base = frame.crossJoin(F.broadcast(bounds))
+        got = base.select("vec_id",
+                          sq8_codes("embedding", dims).alias("c")).collect()
+        want = base.select("vec_id",
+                           sq8_codes(F.col("embedding"), dims).alias("c")
+                           ).collect()
+        assert [(r["vec_id"], list(r["c"])) for r in got] \
+            == [(r["vec_id"], list(r["c"])) for r in want]
+
+
 def test_multiset_diff_count_matches_exceptall_zeroness(spark):
     from projectone_spark.functions import multiset_diff_count
 
@@ -127,6 +151,55 @@ def test_multiset_diff_count_matches_exceptall_zeroness(spark):
     assert multiset_diff_count(a, nulldiff) > 0
     # column-order normalization: b's columns selected in a's order
     assert multiset_diff_count(a, perm.select("v", "k")) == 0
+
+
+def test_lloyd_refine_joinless_assignment_bit_identical(spark):
+    """The r12 2-exchange Lloyd iteration (vector carried through the
+    argmax aggregate) must yield bit-identical centroids to the
+    original 3-exchange shape (assign_cell_join + join-back + mean)."""
+    from projectone_spark.functions.embeddings import (
+        _lloyd_project,
+        _lloyd_refine,
+        assign_cell_join,
+        seed_centroids,
+    )
+
+    rnd = random.Random(23)
+    rows = [(i, [rnd.uniform(-1.5, 1.5) for _ in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = _lloyd_project(df, "vec_id", "embedding")
+    got = _lloyd_refine(v, k=4, iters=3, id_col="vec_id")
+
+    cents = seed_centroids(v, k=4, id_col="vec_id", vec_col="e")
+    for _ in range(3):  # the pre-r12 shape, inline
+        asg = assign_cell_join(v, cents, id_col="vec_id", vec_col="e")
+        cm = (v.join(asg, "vec_id")
+              .select("cell_id", F.posexplode("e").alias("pos", "val"))
+              .groupBy("cell_id", "pos").agg(F.avg("val").alias("m"))
+              .groupBy("cell_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                  lambda s: s["m"]).alias("ce")))
+        cents = sorted((int(r["cell_id"]), [float(x) for x in r["ce"]])
+                       for r in cm.collect())
+    assert got == cents
+
+
+def test_bpe_merge_checkpoint_window_invariant(spark, monkeypatch):
+    """The r12 replay-window checkpointing in bpe_train_merges must not
+    change the learned rules: window 1 (the old every-step behavior)
+    and the default window yield identical merge tables."""
+    import projectone_spark.functions.text as text
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cats chat that matter"),
+         (3, "scatter the chatter"), (4, "that cat that sat")],
+        "doc_id long, text string")
+    want = text.bpe_train_merges(docs, n_merges=6).collect()
+    monkeypatch.setattr(text, "_BPE_CKPT_EVERY", 1)
+    got = text.bpe_train_merges(docs, n_merges=6).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
 def _mk_store(tmp_path):
@@ -195,6 +268,59 @@ def test_schema_capture_time_travel(spark, tmp_path):
     st.append(spark, df.withColumn("k", F.lit(9).cast("long")), "t")
     old = st.read_version(spark, "t", v0)
     assert old.count() == 1 and old.first()["k"] == 1
+
+
+def test_read_merged_fast_path_uniform_schemas(spark, tmp_path):
+    from projectone_spark.store.maintenance import read_merged
+
+    st = _mk_store(tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    st.append(spark, df, "t")
+    st.append(spark, df, "t")
+    got = read_merged(st, spark, "t")
+    want = spark.read.option("mergeSchema", "true") \
+        .parquet(*st.manifest("t")["dirs"])
+    assert got.schema == want.schema
+    assert got.count() == 4
+
+
+def test_selective_overwrite_uniform_table_records_schema(spark, tmp_path):
+    st = _mk_store(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "p0", 1.0), (2, "p1", 2.0)], "k long, part string, x double")
+    st.append(spark, df, "t", partition_by=["part"])
+    st.selective_overwrite(
+        spark, df.filter("part = 'p0'").withColumn("x", F.col("x") + 10),
+        "t", partition_values={"part": ["p0"]})
+    m = st.manifest("t")
+    # uniform table: the re-linked dir proves uniformity and records
+    assert set(m.get("schemas", {})) == set(m["dirs"])
+    got = {(r["k"], r["x"]) for r in st.read(spark, "t").collect()}
+    assert got == {(1, 11.0), (2, 2.0)}
+
+
+def test_selective_overwrite_evolved_table_skips_schema_record(spark, tmp_path):
+    from projectone_spark.store.maintenance import append_evolve, read_merged
+
+    st = _mk_store(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "p0"), (2, "p1")], "k long, part string")
+    st.append(spark, df, "t", partition_by=["part"])
+    append_evolve(st, spark,
+                  spark.createDataFrame([(3, "p2", "z")],
+                                        "k long, part string, s string"), "t")
+    st.selective_overwrite(
+        spark, spark.createDataFrame([(9, "p0", "w")],
+                                     "k long, part string, s string"),
+        "t", partition_values={"part": ["p0"]})
+    m = st.manifest("t")
+    # mixed-provenance dir on an evolved table: no schema recorded, so
+    # read_merged keeps its true footer-merging semantics
+    assert m["dirs"][-1] not in (m.get("schemas") or {})
+    merged = read_merged(st, spark, "t")
+    assert "s" in merged.columns
+    # p0 was replaced (k=1 out, k=9 in); p1/p2 survive the re-link
+    assert {r["k"] for r in merged.collect()} == {2, 3, 9}
 
 
 def test_evolved_schemas_fall_back_to_inference(spark, tmp_path):
