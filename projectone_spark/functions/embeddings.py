@@ -21,6 +21,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from projectone_spark.functions import values_frame
 from projectone_spark.functions.text import spread
 
 
@@ -542,9 +543,13 @@ def assign_cell_join(df: DataFrame, centroids: list[tuple[int, list[float]]],
     if not centroids:
         raise ValueError("assign_cell_join needs at least one centroid "
                          "(seed_centroids over an empty corpus?)")
-    rows = [(cid, comps, _folded_norm(comps)) for cid, comps in centroids]
-    cdf = df.sparkSession.createDataFrame(
-        rows, "cid long, ce array<double>, cnorm double")
+    rows = [(int(cid), comps, _folded_norm(comps))
+            for cid, comps in centroids]
+    # VALUES LocalRelation (r12): the broadcast build runs driver-side
+    # with zero tasks; createDataFrame shipped the same bounded rows as
+    # a 32-slice pickled RDD (a 32-Python-task job per action)
+    cdf = values_frame(df.sparkSession, rows,
+                       "cid long, ce array<double>, cnorm double")
     s = dot(F.col(vec_col), F.col("ce")) / F.col("cnorm")
     return (df.select(id_col, vec_col)
             .crossJoin(F.broadcast(cdf))
@@ -628,9 +633,11 @@ def _lloyd_refine(v: DataFrame, k: int, iters: int,
         # sum adds float32-valued doubles (exact at any order while the
         # term count stays below 2^29), so losing the join changes no
         # low bit.
-        rows_c = [(cid, comps, _folded_norm(comps)) for cid, comps in cents]
-        cdf = v.sparkSession.createDataFrame(
-            rows_c, "cid long, ce array<double>, cnorm double")
+        rows_c = [(int(cid), comps, _folded_norm(comps))
+                  for cid, comps in cents]
+        # VALUES LocalRelation per iteration (r12): see assign_cell_join
+        cdf = values_frame(v.sparkSession, rows_c,
+                           "cid long, ce array<double>, cnorm double")
         s = dot(F.col("e"), F.col("ce")) / F.col("cnorm")
         asg_v = (v.crossJoin(F.broadcast(cdf))
                  .groupBy(id_col)

@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 
+from projectone_spark.functions import values_frame
 from projectone_spark.session import release_checkpoint
 
 #: Tiny per-language marker vocabularies for the stopword language heuristic.
@@ -580,15 +581,41 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     # and sep is spliced into a regex replacement and SQL exprs — enforce
     # the precondition instead of assuming it
     _check_bpe_sep(sep)
-    spark = df.sparkSession
     words = (spread(df.select(tokens(text_col).alias("__toks")), parallelism)
              .select(F.explode("__toks").alias("__w"))
              .filter(F.col("__w") != ""))
+    wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("wc"))
+    return _bpe_train_from_word_counts(wc, n_merges, sep)
+
+
+def bpe_train_merges_from_counts(wf: DataFrame, n_merges: int = 8,
+                                 sep: str = "_") -> DataFrame:
+    """:func:`bpe_train_merges` over a :func:`bpe_doc_word_counts` frame
+    ``(id, __w, __c)`` instead of the raw corpus — the word-frequency
+    vocabulary is the (doc, word) counts folded by word, an exact
+    integer identity with the trainer's own corpus fold (count of
+    occurrences == sum of per-document counts), so the learned rules
+    are bit-identical. Lets a caller that trains AND encodes (t14/t16/
+    t21, f13's encode stage) share ONE corpus tokenize scan: the encode
+    pipeline already checkpoints the (doc, word) counts, and training's
+    separate spread→tokenize→explode→count pass over the corpus was the
+    single largest duplicated computation in those queries (r12, guide
+    §1.2 step 1 / §2.4: remove passes outright)."""
+    _check_bpe_sep(sep)
+    wc = wf.groupBy("__w").agg(F.sum("__c").cast("bigint").alias("wc"))
+    return _bpe_train_from_word_counts(wc, n_merges, sep)
+
+
+def _bpe_train_from_word_counts(wc: DataFrame, n_merges: int,
+                                sep: str) -> DataFrame:
+    """The merge-training loop over a ``(__w, wc)`` word-frequency
+    vocabulary — shared tail of :func:`bpe_train_merges` (corpus fold)
+    and :func:`bpe_train_merges_from_counts` (doc-word-count fold)."""
+    spark = wc.sparkSession
     sep2 = sep + sep
-    vocab = (words.groupBy("__w").agg(F.count(F.lit(1)).alias("wc"))
-             .select(F.concat(F.lit(sep2),
-                              F.regexp_replace("__w", "(.)", "$1" + sep2))
-                     .alias("sym"), "wc")
+    vocab = (wc.select(F.concat(F.lit(sep2),
+                                F.regexp_replace("__w", "(.)", "$1" + sep2))
+                       .alias("sym"), "wc")
              .localCheckpoint(eager=True))
     out: list[tuple[int, str, str, str, int]] = []
     # r12 (guide §2.4 — remove jobs outright): the per-step EAGER
@@ -636,9 +663,13 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
             chain = 0
     # the rules are fully collected — the last vocabulary copy is dead too
     release_checkpoint(base)
-    return spark.createDataFrame(
-        out, "step bigint, left_sym string, right_sym string,"
-             " merged string, pair_count bigint")
+    # r12 (guide §4): the trained table is bounded model state consumed
+    # by collects and model saves — as a VALUES LocalRelation those run
+    # zero tasks, where createDataFrame's 32-slice pickled RDD cost a
+    # 32-Python-task job per action (0.4-3 s each in the bench)
+    return values_frame(
+        spark, out, "step bigint, left_sym string, right_sym string,"
+                    " merged string, pair_count bigint")
 
 
 def _check_bpe_sep(sep: str) -> None:
@@ -1666,8 +1697,8 @@ def bm25_topk(df: DataFrame, query_terms: dict[str, Sequence[str]],
     if bad:
         raise ValueError(f"query terms must be normalized [a-z0-9]+: {bad}")
     spark = df.sparkSession
-    qt = spark.createDataFrame(
-        [(q, t) for q, ts in query_terms.items() for t in ts],
+    qt = values_frame(
+        spark, [(q, t) for q, ts in query_terms.items() for t in ts],
         "query_id string, term string").dropDuplicates()
 
     # corpus stats off a column-pruned scan: one row, broadcast

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from projectone_spark.functions import values_frame
 from projectone_spark.queries import load, register
 
 _DEC = "DECIMAL(18,2)"
@@ -225,8 +226,8 @@ def q41_skew_salted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_discount")
-    dim = spark.createDataFrame(
-        [("F", "finished"), ("N", "open"), ("R", "returned")],
+    dim = values_frame(
+        spark, [("F", "finished"), ("N", "open"), ("R", "returned")],
         "l_returnflag string, label string")
     joined = salted_join(li, dim, ["l_returnflag"], n=8)
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")

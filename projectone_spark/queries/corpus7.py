@@ -97,14 +97,25 @@ FROM agg
               "compression ratio are oracle-checked",
           tags=("text", "tokenizer", "llm"))
 def t14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from projectone_spark.functions.text import bpe_encode, bpe_train_merges
+    from projectone_spark.functions.text import (
+        bpe_doc_word_counts,
+        bpe_fold,
+        bpe_train_merges_from_counts,
+        bpe_vocab_encode,
+    )
 
     docs = load(spark, sf_dir, "documents")
+    # ONE corpus tokenize scan (r12, guide §2.4): the checkpointed
+    # (doc, word) counts feed BOTH training's word-frequency fold and
+    # the encode pipeline — bpe_train_merges previously ran its own
+    # spread→tokenize→explode→count pass over the same corpus
+    wf = bpe_doc_word_counts(docs)
     # the trained merge table is bounded MODEL STATE (n_merges rows) —
     # a driver collect of the same class as CDC bounds / t12's argmax
-    rules = bpe_train_merges(docs, n_merges=_N_MERGES).collect()
+    rules = bpe_train_merges_from_counts(wf, n_merges=_N_MERGES).collect()
     merges = [(r["left_sym"], r["right_sym"]) for r in rules]
-    return bpe_encode(docs, merges)
+    return bpe_fold(wf, bpe_vocab_encode(wf.select("__w").distinct(),
+                                         merges))
 
 
 def _t15_ctes() -> str:

@@ -68,15 +68,17 @@ def t16_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.functions.text import (
         bpe_doc_word_counts,
         bpe_fold,
-        bpe_train_merges,
+        bpe_train_merges_from_counts,
         bpe_vocab_encode,
     )
 
     docs = load(spark, sf_dir, "documents")
-    # bounded model state: n_merges rows (same driver-collect class as t14)
-    rules = bpe_train_merges(docs, n_merges=_N_MERGES).collect()
-    merges = [(r["left_sym"], r["right_sym"]) for r in rules]
+    # ONE corpus tokenize scan (r12): training folds the checkpointed
+    # (doc, word) counts the encode pipeline already computes
     wf = bpe_doc_word_counts(docs)
+    # bounded model state: n_merges rows (same driver-collect class as t14)
+    rules = bpe_train_merges_from_counts(wf, n_merges=_N_MERGES).collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in rules]
     vocab = wf.select("__w").distinct()
     e_arrow = (bpe_vocab_encode(vocab, merges, engine="arrow")
                .localCheckpoint(eager=False))
@@ -372,13 +374,19 @@ def f13_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t_encode = task("f13_encode", """
         from projectone_spark.functions.text import (
-            bpe_encode, bpe_train_merges)
+            bpe_doc_word_counts, bpe_fold, bpe_train_merges_from_counts,
+            bpe_vocab_encode)
         def encode_stage(clean):
+            # ONE corpus tokenize scan (r12): training folds the
+            # checkpointed (doc, word) counts the encode reuses
+            wf = bpe_doc_word_counts(clean)
             # bounded model state: the trained rule table (8 rows here;
             # the Arrow engine is the 30k-rule production path)
-            rules = bpe_train_merges(clean, n_merges=8).collect()
+            rules = bpe_train_merges_from_counts(wf, n_merges=8).collect()
             merges = [(r["left_sym"], r["right_sym"]) for r in rules]
-            return (bpe_encode(clean, merges, engine="arrow")
+            enc = bpe_vocab_encode(wf.select("__w").distinct(), merges,
+                                   engine="arrow")
+            return (bpe_fold(wf, enc)
                     .join(clean.select("doc_id", "source"), "doc_id"))
     """, "encode_stage",
         [{"name": "clean", "path": f"{root}:clean_out", "source": "store"}],

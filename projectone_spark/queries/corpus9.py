@@ -670,7 +670,7 @@ def t21_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectone_spark.functions.text import (
         bpe_doc_word_counts,
         bpe_fold,
-        bpe_train_merges,
+        bpe_train_merges_from_counts,
         bpe_vocab_encode,
         unigram_lm_em_step,
         unigram_seed_pieces,
@@ -679,11 +679,12 @@ def t21_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
+    wf = bpe_doc_word_counts(docs)  # the ONE corpus scan — shared by ALL
     # trained merge table = bounded model state (n_merges rows), the
-    # t14 collect class; the trainer owns its own corpus scan
-    rules = bpe_train_merges(docs, n_merges=_N_MERGES).collect()
+    # t14 collect class; r12: training folds the shared checkpointed
+    # counts instead of running its own corpus tokenize scan
+    rules = bpe_train_merges_from_counts(wf, n_merges=_N_MERGES).collect()
     merges = [(r["left_sym"], r["right_sym"]) for r in rules]
-    wf = bpe_doc_word_counts(docs)  # the ONE shared application scan
     enc = bpe_vocab_encode(wf.select("__w").distinct(), merges)
     bpe = bpe_fold(wf, enc)
     words = unigram_word_freqs_from_counts(wf, _UNI_W)

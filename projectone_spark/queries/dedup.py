@@ -14,6 +14,7 @@ from projectone_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_frame,
 )
+from projectone_spark.functions import values_frame
 from projectone_spark.functions.text import STOPWORDS
 from projectone_spark.queries import load, register
 from projectone_spark.queries._sql_fragments import _NORM, _SHINGLES, _TOKS
@@ -313,8 +314,8 @@ def d08_connected_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             comp_min[root] = h
     label = [(b, comp_min[find(b)], int(n))
              for b, n in ((r["band"], r["n"]) for r in stats)]
-    lab_df = sigs.sparkSession.createDataFrame(
-        label, "band string, component bigint, n bigint")
+    lab_df = values_frame(sigs.sparkSession, label,
+                          "band string, component bigint, n bigint")
     # a doc appears in the oracle's edge list iff either of its buckets has
     # >= 2 members (singleton buckets emit no star edges)
     return (sigs

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from projectone_spark.functions import multiset_diff_count
+from projectone_spark.functions import multiset_diff_count, values_frame
 from projectone_spark.queries import load, register
 from projectone_spark.queries._embed_sql import _E_DBL, _dot, _norm
 from projectone_spark.queries.embeddings2 import (
@@ -167,9 +167,10 @@ def e23_quantizer_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Mean over the corpus of cos(v, nearest centroid) — the
         quantization-fidelity number the retrain must move. Bounded
         model state broadcast onto one corpus scan."""
-        rows = [(cid, c, sum(x * x for x in c) ** 0.5) for cid, c in cents]
-        cdf = spark.createDataFrame(rows, "cid long, ce array<double>, "
-                                          "cn double")
+        rows = [(int(cid), c, sum(x * x for x in c) ** 0.5)
+                for cid, c in cents]
+        cdf = values_frame(spark, rows,
+                           "cid long, ce array<double>, cn double")
         s = (dot(F.col("embedding"), F.col("ce"))
              / (F.col("cn") * l2_norm(F.col("embedding"))))
         return float(

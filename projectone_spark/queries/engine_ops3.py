@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from projectone_spark.functions import values_frame
 from projectone_spark.queries import check, load, register
 from projectone_spark.session import scratch_dir
 
@@ -189,8 +190,9 @@ def s18_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = last_commit_stats(store, "orders")
     check(stats["num_files"] > 0 and stats["num_bytes"] > 0)
     n_rows = store.read(spark, "orders").count()
-    return spark.createDataFrame(
-        [(op_v0, stats["operation"], stats["version"], n_rows)],
+    return values_frame(
+        spark,
+        [(op_v0, stats["operation"], int(stats["version"]), int(n_rows))],
         "op_v0 string, op_v1 string, version int, n_rows bigint")
 
 

@@ -31,6 +31,7 @@ import textwrap
 
 from pyspark.sql import DataFrame, SparkSession
 
+from projectone_spark.functions import values_frame
 from projectone_spark.queries import check, register
 from projectone_spark.session import configure, scratch_dir
 
@@ -372,8 +373,8 @@ def v01_row_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("value"))
             .select(F.concat(F.lit("kept_"), F.col("o_orderstatus"))
                     .alias("metric"), "value"))
-    metrics = spark.createDataFrame(
-        [(k, int(v)) for k, v in sorted(counts.items())],
+    metrics = values_frame(
+        spark, [(k, int(v)) for k, v in sorted(counts.items())],
         "metric string, value long")
     return kept.unionByName(metrics)
 
@@ -485,8 +486,9 @@ def f08_event_handlers(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"status_{r['o_orderstatus']}",
             severity="FAIL" if n * 3 > total else "CONTINUE",
             detail={"kind": "status", "n": n}))
-    return spark.createDataFrame(
-        [(p["name"], p["severity"], p["detail"]["n"]) for p in received],
+    return values_frame(
+        spark,
+        [(p["name"], p["severity"], int(p["detail"]["n"])) for p in received],
         "name string, severity string, n long")
 
 

@@ -367,9 +367,12 @@ def index_stats(store: TableStore, spark: SparkSession, name: str,
     rows = [(cell, nf, nr, nb,
              (1_000_000 * nr) // total if total else 0)
             for cell, (nf, nr, nb) in sorted(per.items())]
-    df = spark.createDataFrame(
-        rows, "cell int, n_files bigint, n_rows bigint, n_bytes bigint, "
-              "occupancy_micro bigint")
+    from projectone_spark.functions import values_frame
+
+    df = values_frame(
+        spark, rows,
+        "cell int, n_files bigint, n_rows bigint, n_bytes bigint, "
+        "occupancy_micro bigint")
     from pyspark.sql import functions as F
 
     return df.withColumn(

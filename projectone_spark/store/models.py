@@ -151,15 +151,14 @@ def centroids_to_frame(spark: SparkSession,
                        centroids: Sequence[Sequence[float]]) -> DataFrame:
     """(cell, centroid) frame from ``ivf_train``'s driver-side list —
     cell ids are list positions, the ids ``assign_cell``/``ivf_probes``
-    rank over."""
-    from pyspark.sql import types as T
+    rank over. A VALUES LocalRelation (r12): the model-part save and
+    every broadcast over it run zero Python-RDD tasks."""
+    from projectone_spark.functions import values_frame
 
-    schema = T.StructType([
-        T.StructField("cell", T.IntegerType(), False),
-        T.StructField("centroid", T.ArrayType(T.DoubleType()), False)])
-    return spark.createDataFrame(
+    return values_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        schema)
+        "cell int, centroid array<double>")
 
 
 def centroids_from_model(df: DataFrame) -> list[list[float]]:
@@ -186,17 +185,15 @@ def codebooks_to_frame(spark: SparkSession,
     """(subspace, code, centroid) frame from ``pq_train``'s driver-side
     nested list — ``codebooks[s][j]`` becomes the row (s, j, centroid),
     the layout ``codebooks_from_model`` inverts for ``pq_encode`` /
-    ``pq_adc_tables``. Bounded: m × n_codes rows of sub-dim arrays."""
-    from pyspark.sql import types as T
+    ``pq_adc_tables``. Bounded: m × n_codes rows of sub-dim arrays.
+    A VALUES LocalRelation (r12), like :func:`centroids_to_frame`."""
+    from projectone_spark.functions import values_frame
 
-    schema = T.StructType([
-        T.StructField("subspace", T.IntegerType(), False),
-        T.StructField("code", T.IntegerType(), False),
-        T.StructField("centroid", T.ArrayType(T.DoubleType()), False)])
-    return spark.createDataFrame(
+    return values_frame(
+        spark,
         [(s, j, [float(x) for x in c])
          for s, book in enumerate(codebooks) for j, c in enumerate(book)],
-        schema)
+        "subspace int, code int, centroid array<double>")
 
 
 def codebooks_from_model(df: DataFrame) -> list[list[list[float]]]:

@@ -422,7 +422,12 @@ def test_bpe_vocab_rejects_hostile_words(spark):
     every later word's count in the arrow blob, a sep-bearing word
     corrupts the double-separator encoding in BOTH engines."""
     for bad in ("a\nb", "a_b"):
-        vocab = spark.createDataFrame([(bad,), ("ok",)], "__w string")
+        # one partition → one task: with the 2-row frame spread over
+        # several tasks, the raising task's ValueError can lose the
+        # job-abort race to a cancelled sibling's CancelledKeyException
+        # and the driver-visible message misses the match (seen r12)
+        vocab = spark.createDataFrame([(bad,), ("ok",)],
+                                      "__w string").coalesce(1)
         with pytest.raises(Exception, match="must not contain"):
             bpe_vocab_encode(vocab, [("o", "k")], engine="arrow").collect()
 

@@ -337,3 +337,117 @@ def test_evolved_schemas_fall_back_to_inference(spark, tmp_path):
     got = read_merged(st, spark, "t")
     assert {tuple(r) for r in got.select("k", "s").collect()} \
         == {(1, None), (2, "b")}
+
+
+# -- values_frame (bounded local rows as a VALUES LocalRelation) --------------
+
+def test_values_frame_bit_identical_rows_and_types(spark):
+    """The VALUES fast path must reproduce createDataFrame's rows and
+    column dataTypes exactly (array containsNull may tighten — the
+    documented inert difference) across every supported type, including
+    the literal edge cases: signed zero, denormals, float extremes,
+    escaped quotes/backslashes/newlines, empty arrays, NULLs."""
+    from projectone_spark.functions import values_frame
+
+    cases = [
+        ([(1, "ab", "cd", "abcd", 7), (2, "x", "y", "xy", 3)],
+         "step bigint, l string, r string, m string, c bigint"),
+        ([(0, [0.1, -0.0, 5e-324, 1.7976931348623157e308], 1.5),
+          (1, [], 0.0), (2, None, None)],
+         "cid long, ce array<double>, cnorm double"),
+        ([("it's a \\ test\nline",), (None,)], "s string"),
+        ([(True,), (False,), (None,)], "b boolean"),
+        ([(5, [1.0, 2.5])], "cell int, centroid array<double>"),
+    ]
+    for rows, ddl in cases:
+        a, b = (values_frame(spark, rows, ddl),
+                spark.createDataFrame(rows, ddl))
+        key = repr  # rows mix None with values; repr gives a total order
+        assert sorted(map(tuple, a.collect()), key=key) \
+            == sorted(map(tuple, b.collect()), key=key)
+        assert [f.name for f in a.schema.fields] \
+            == [f.name for f in b.schema.fields]
+        assert [f.dataType.simpleString() for f in a.schema.fields] \
+            == [f.dataType.simpleString() for f in b.schema.fields]
+        # and it really is a LocalRelation: zero-task collects
+        assert "LocalTableScan" in \
+            a._jdf.queryExecution().executedPlan().toString()
+
+
+def test_values_frame_falls_back_on_unrenderable(spark):
+    """NaN/Inf doubles, bool-valued int columns and unsupported DDL
+    types have no exact literal rendering — the helper must fall back
+    to createDataFrame (slower, identical rows), never coerce."""
+    from projectone_spark.functions import values_frame
+
+    nan = values_frame(spark, [(1, [float("nan")], 1.0)],
+                       "cid long, ce array<double>, cnorm double")
+    assert "LocalTableScan" not in \
+        nan._jdf.queryExecution().executedPlan().toString() \
+        or nan.collect()  # plan shape is createDataFrame's
+    assert math.isnan(nan.collect()[0]["ce"][0])
+    import datetime
+    ts = values_frame(spark, [(datetime.datetime(2026, 1, 1),)],
+                      "t timestamp")  # unsupported type -> fallback
+    assert ts.schema.fields[0].dataType.simpleString() == "timestamp"
+    assert ts.collect()[0]["t"] == datetime.datetime(2026, 1, 1)
+    with pytest.raises(Exception):
+        # bool in a bigint column: createDataFrame rejects it, so the
+        # fast path must not silently render it as 1L
+        values_frame(spark, [(True,)], "n bigint").collect()
+
+
+def test_bpe_train_from_counts_bit_identical(spark):
+    """Training from the shared (doc, word) counts must learn the exact
+    rule table the corpus-scan trainer learns — the word-frequency fold
+    is an integer identity (count of occurrences == sum of per-doc
+    counts), so every argmax sees identical pair counts."""
+    from projectone_spark.functions.text import (
+        bpe_doc_word_counts, bpe_train_merges, bpe_train_merges_from_counts)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the cat", "a cat ate the hat",
+             "aaaa aaa the the the", "mat hat cat bat", ""])],
+        "doc_id long, text string")
+    want = [tuple(r) for r in
+            bpe_train_merges(docs, n_merges=6).collect()]
+    got = [tuple(r) for r in
+           bpe_train_merges_from_counts(bpe_doc_word_counts(docs),
+                                        n_merges=6).collect()]
+    assert want == got and len(want) > 0
+
+
+def test_trained_rules_frame_collects_without_a_job(spark):
+    """bpe_train_merges returns its bounded rule table as a VALUES
+    LocalRelation — re-collecting it (what every consumer does) must
+    run ZERO jobs, where the old 32-slice pickled RDD ran a
+    32-Python-task job per action (0.4-3 s each in the bench)."""
+    from projectone_spark.functions.text import bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    rules = bpe_train_merges(docs, n_merges=2)
+    rules.collect()  # materialize once
+    store = spark.sparkContext._jsc.sc().statusStore()
+    before = store.jobsList(None).size()
+    assert len(rules.collect()) > 0
+    assert store.jobsList(None).size() == before
+
+
+def test_values_frame_size_guard_single_slice(spark):
+    """Literal-dense payloads (e.g. 64x64 centroid arrays) must NOT take
+    the VALUES path — spark.sql() analyzes eagerly and ~90 KB of double
+    literals measured ~3 s of driver parse time (the e20/f15 regression
+    caught mid-r12). Past the budget the rows ship as ONE pickled slice:
+    same rows, 1 partition, no SQL text."""
+    from projectone_spark.functions import values_frame
+
+    rows = [(i, [float(i * 64 + j) * 1e-3 for j in range(64)])
+            for i in range(64)]
+    ddl = "cell int, centroid array<double>"
+    big = values_frame(spark, rows, ddl)
+    assert "LocalTableScan" not in \
+        big._jdf.queryExecution().executedPlan().toString()
+    assert big.rdd.getNumPartitions() == 1
+    assert sorted(map(repr, big.collect())) \
+        == sorted(map(repr, spark.createDataFrame(rows, ddl).collect()))
