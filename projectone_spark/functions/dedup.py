@@ -292,8 +292,21 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
     Returns the exploded (id, fp) fingerprint table, distinct per doc.
     """
-    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
-                  parallelism).filter(F.length("__norm") > 0)
+    # repartition the RAW (id, text) rows and normalize AFTER the
+    # exchange (r13, guide §1.2 step 1): with normalize below it, the
+    # round-robin shuffle's map stage — one task per input split, a
+    # single task on a one-file table — paid the whole regex chain
+    # serially (measured 2.5 s at sf0.1) while the 32 post-exchange
+    # tasks waited; round-robin placement is value-independent, so the
+    # fingerprint SET is unchanged
+    # the empty-doc gate is expressed on the RAW text (nonempty norm ⟺
+    # lower(text) has a [a-z0-9] char — normalize keeps exactly those):
+    # written as length(__norm) > 0 it pushes below the exchange and
+    # re-derives the whole regex chain serially in the map task; rlike
+    # early-exits at the first match
+    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism)
+            .filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
+            .select(F.col(id_col), normalize(text_col).alias("__norm")))
     # __norm / __h are each referenced multiple times downstream, which
     # inhibits CollapseProject from inlining the chains into the
     # per-element lambdas (rule #1 in functions/text.py's module doc)
@@ -345,7 +358,20 @@ def winnow_fingerprint_pairs(df: DataFrame, text_col: str = "text",
     Returns (doc_id_a, doc_id_b, n_shared, n_fp_a, n_fp_b, sim) for
     pairs with sim ≥ 0.5 and n_shared ≥ ``min_shared``.
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k, w, parallelism)
+    # EAGER checkpoint of the exploded fingerprint table: the stop-gram
+    # count (a broadcast-build job), the join's probe side and the
+    # per-doc size aggregate are SEPARATE jobs under AQE, and exchange
+    # reuse does not span jobs — un-checkpointed, the gram-hash +
+    # window-minima chain (the stage's real compute) ran 3 times
+    # (r13 stage probe: 38.7 + 26.4 + 12.1 s of task time for one
+    # ~30 s evaluation). DISK_ONLY like every corpus-sized checkpoint
+    # (the bpe_doc_word_counts discipline); eager, because concurrent
+    # broadcast-build jobs racing a lazy checkpoint each recompute the
+    # partitions they touch before blocks register.
+    from pyspark import StorageLevel
+
+    fp = (winnow_fingerprints(df, text_col, id_col, k, w, parallelism)
+          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
     dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
     kept = (fp.join(dfreq.filter(F.col("__df") <= max_df).select("fp"), "fp")
             .localCheckpoint(eager=False))  # the self-join's two branches

@@ -51,16 +51,29 @@ def _q6(scale: int) -> int:
     return q
 
 
-def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Round-robin repartition before a CPU-bound per-row stage.
+def spread(df: DataFrame, parallelism: int | None = None,
+           by: str | Column | None = None) -> DataFrame:
+    """Repartition before a CPU-bound per-row stage.
 
     Small inputs (one parquet file) otherwise run single-task; the exchange
     also acts as a projection barrier (see module docstring). At real scale
     callers can pass ``parallelism=0`` to skip when inputs are already wide.
+
+    ``by`` names a high-cardinality column (a unique id) to HASH-partition
+    on instead of round-robin (r13, guide §2.5): a keyless ``repartition(n)``
+    first pays a local sort of its input (``sortBeforeRepartition``, kept on
+    for retry determinism) — measured at seconds per map task when the rows
+    carry documents — while hash partitioning is sort-free, deterministic
+    under retries by construction, and downstream aggregates keyed on a
+    superset of ``by`` (``groupBy(id, ...)``) reuse the partitioning with no
+    second exchange. Only pass a column whose values are unique (or near-);
+    a hot key would concentrate rows where round-robin cannot.
     """
     if parallelism == 0:
         return df
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if by is not None:
+        return df.repartition(n, F.col(by) if isinstance(by, str) else by)
     return df.repartition(n)
 
 
@@ -328,7 +341,9 @@ def distinctive_terms(df: DataFrame, text_col: str = "text",
 
 def surprisal_micro_fold(df: DataFrame, key_col: str,
                          text_col: str = "text",
-                         scale: int = 1_000_000) -> DataFrame:
+                         scale: int = 1_000_000,
+                         parallelism: int | None = None,
+                         spread_by: str | None = None) -> DataFrame:
     """The shared unigram-surprisal fold: per-(key, term) counts joined
     with the per-token surprisal micro-unit ``(scale * N) div c_t`` —
     ONE definition of the exact recipe, keyed by document for
@@ -348,8 +363,20 @@ def surprisal_micro_fold(df: DataFrame, key_col: str,
     and every consumer reads the materialized RDD.
     Returns (key_col, term, tf, __c, __n, __micro).
     """
-    exploded = (df.select(F.col(key_col),
-                          F.explode(tokens(text_col)).alias("term"))
+    # ``spread_by`` hash-spreads on a UNIQUE key before the tokenize so
+    # the regex/split chain runs parallel instead of inside the (serial,
+    # one-per-input-split) scan task, and the (key, term) groupBy below
+    # reuses the partitioning — one exchange total (r13; the
+    # bpe_doc_word_counts shape). Callers keyed by a LOW-cardinality
+    # column (p16's domains) leave it unset: hashing a hot key would
+    # concentrate the corpus on a few tasks. explode_OUTER + the
+    # isNotNull filter for the InferFiltersFromGenerate pushdown reason
+    # documented in bpe_train_merges (identical rows out).
+    base = df.select(F.col(key_col), F.col(text_col))
+    if spread_by is not None:
+        base = spread(base, parallelism, by=spread_by)
+    exploded = (base.select(F.col(key_col),
+                            F.explode_outer(tokens(text_col)).alias("term"))
                 .filter(F.col("term").isNotNull()))
     tf = (exploded.groupBy(key_col, "term")
           .agg(F.count(F.lit(1)).alias("tf"))
@@ -416,7 +443,8 @@ def unigram_surprise(df: DataFrame, text_col: str = "text",
     Returns (id, n_tokens, surprise_micro, surprise) for documents with
     at least one token.
     """
-    return (surprisal_micro_fold(df, id_col, text_col, scale)
+    return (surprisal_micro_fold(df, id_col, text_col, scale,
+                                 spread_by=id_col)
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  F.sum(F.col("tf") * F.col("__micro")).alias("surprise_micro"))
@@ -482,10 +510,18 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
     """
     # __toks is referenced several times below (size + slice + the
     # lambda's positional lookup), which inhibits CollapseProject from
-    # inlining the normalize/split chain into the per-element lambda
-    exploded = (df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # inlining the normalize/split chain into the per-element lambda.
+    # Hash-spread by the unique id first so the tokenize runs parallel
+    # (not inside the serial scan task) and the (id, p, w) groupBy
+    # reuses the partitioning; explode_OUTER so InferFiltersFromGenerate
+    # cannot push a tokenize-deriving size() filter below the exchange
+    # (the null filter below drops the outer rows identically — r13,
+    # same reasoning as bpe_doc_word_counts).
+    exploded = (spread(df.select(F.col(id_col), F.col(text_col)),
+                       by=id_col)
+                .select(F.col(id_col), tokens(text_col).alias("__toks"))
                 .select(F.col(id_col),
-                        F.explode(F.expr(
+                        F.explode_outer(F.expr(
                             "transform(slice(__toks, 1,"
                             " greatest(size(__toks) - 1, 0)),"
                             " (t, i) -> struct(t AS p, __toks[i + 1] AS w))"
@@ -581,8 +617,17 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     # and sep is spliced into a regex replacement and SQL exprs — enforce
     # the precondition instead of assuming it
     _check_bpe_sep(sep)
-    words = (spread(df.select(tokens(text_col).alias("__toks")), parallelism)
-             .select(F.explode("__toks").alias("__w"))
+    # tokenize AFTER the exchange (r13, guide §1.2): projected below it,
+    # the whole normalize+split chain ran inside the repartition's map
+    # task — serial on a one-file table — and the shuffle carried fat
+    # token arrays through the sort-before-repartition. explode_OUTER for
+    # the same reason winnow_fingerprints uses it: a plain explode makes
+    # InferFiltersFromGenerate add size(toks) > 0, which pushdown drags
+    # below the exchange and re-derives the tokenize serially; the
+    # __w != '' filter drops the outer-explode's NULL rows exactly where
+    # the plain explode emitted nothing.
+    words = (spread(df.select(F.col(text_col)), parallelism)
+             .select(F.explode_outer(tokens(text_col)).alias("__w"))
              .filter(F.col("__w") != ""))
     wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("wc"))
     return _bpe_train_from_word_counts(wc, n_merges, sep)
@@ -706,9 +751,19 @@ def bpe_doc_word_counts(df: DataFrame, text_col: str = "text",
     t10-style exchange-reuse fold does NOT survive here because column
     pruning collapses a count-free vocabulary fold into a plain distinct
     with its own scan). Columns: (id_col, __w, __c)."""
-    return (spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")),
-                   parallelism)
-            .select(F.col(id_col), F.explode("__toks").alias("__w"))
+    # HASH-spread by the id and tokenize AFTER the exchange (r13, guide
+    # §1.2/§2.4/§2.5): the old round-robin shape tokenized serially in the
+    # map task, sorted fat token arrays (sortBeforeRepartition), and then
+    # paid a second full exchange for the (doc, word) groupBy. Hash
+    # partitioning by the unique id is sort-free and — because (id, __w)
+    # is a superset of the partitioning key — the groupBy below reuses it:
+    # ONE exchange total, tokenize parallel. explode_OUTER + the __w != ''
+    # filter for the InferFiltersFromGenerate reason documented in
+    # bpe_train_merges (identical rows out).
+    return (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
+                   by=id_col)
+            .select(F.col(id_col),
+                    F.explode_outer(tokens(text_col)).alias("__w"))
             .filter(F.col("__w") != "")
             .groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
             # DISK_ONLY: this is the same doc-keyed ~100M-row shape whose
@@ -926,8 +981,11 @@ def unigram_word_freqs(df: DataFrame, text_col: str = "text",
     implementation detail."""
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
-    return (spread(df.select(tokens(text_col).alias("__toks")), parallelism)
-            .select(F.explode("__toks").alias("word"))
+    # tokenize after the exchange + explode_outer: the bpe_train_merges
+    # reasoning verbatim (serial map-task tokenize, inferred-filter
+    # pushdown); the word != '' filter drops the outer rows identically
+    return (spread(df.select(F.col(text_col)), parallelism)
+            .select(F.explode_outer(tokens(text_col)).alias("word"))
             .filter((F.col("word") != "")
                     & (F.length("word") <= int(max_word_len)))
             .groupBy("word")

@@ -307,6 +307,10 @@ class TableStore:
         writer.parquet(path)
         if not capture_schema:
             return None
+        derived = (None if partition_by
+                   else _derived_readback_schema(df.schema))
+        if derived is not None:
+            return derived
         return self._dir_schema(df.sparkSession, path, partition_by)
 
     def _dir_schema(self, spark: SparkSession, path: str,
@@ -479,6 +483,95 @@ class TableStore:
         kept = current.filter(f"NOT ({replace_where})")
         merged = kept.unionByName(df, allowMissingColumns=False)
         return self.overwrite(spark, merged, name, part or None)
+
+
+#: Spark type-json names whose parquet read-back provably equals the
+#: written schema made nullable: Spark embeds the writer's schema JSON in
+#: the parquet footer (``org.apache.spark.sql.parquet.row.metadata``),
+#: inference deserializes exactly that, and file-source relations force
+#: nullability — so for these types the recorded "empirical read-back
+#: schema" can be DERIVED from ``df.schema`` with zero Spark jobs (r13,
+#: guide §1.2: inference cost one driver-side job per directory per
+#: write). Anything outside the list (user-defined types, char/varchar
+#: metadata, future types) falls back to the empirical inference pass.
+_READBACK_SAFE_TYPES = frozenset({
+    "boolean", "byte", "short", "integer", "long", "float", "double",
+    "string", "binary", "date", "timestamp", "timestamp_ntz",
+    "array", "map", "struct",
+})
+
+
+def _derived_readback_schema(schema) -> str | None:
+    """``spark.read.parquet(dir).schema.json()`` for a directory just
+    written with ``schema`` — computed structurally (all fields/elements
+    forced nullable, everything else carried verbatim), or None when a
+    type outside the proven-safe set (or decimal, handled explicitly)
+    appears and the caller must fall back to real inference. Pinned
+    against actual inference across the full type matrix by
+    ``tests/test_r12_fastpaths.py``."""
+    def nullable(node):
+        if isinstance(node, dict):
+            t = node.get("type")
+            if isinstance(t, dict):
+                out = dict(node)
+                out["type"] = nullable(t)
+                if "nullable" in out:
+                    out["nullable"] = True
+                return out
+            if isinstance(t, str):
+                # a field / container node with a primitive type name
+                if not (t in _READBACK_SAFE_TYPES
+                        or t.startswith("decimal(")):
+                    raise ValueError(t)
+                out = dict(node)
+                if "nullable" in out:
+                    out["nullable"] = True
+                if "containsNull" in out:
+                    out["containsNull"] = True
+                if "valueContainsNull" in out:
+                    out["valueContainsNull"] = True
+                if t == "struct":
+                    out["fields"] = [nullable(f) for f in node["fields"]]
+                if t == "array":
+                    out["elementType"] = nullable(node["elementType"])
+                    out["containsNull"] = True
+                if t == "map":
+                    out["keyType"] = nullable(node["keyType"])
+                    out["valueType"] = nullable(node["valueType"])
+                    out["valueContainsNull"] = True
+                return out
+            raise ValueError(repr(t))
+        if isinstance(node, str):
+            if not (node in _READBACK_SAFE_TYPES
+                    or node.startswith("decimal(")):
+                raise ValueError(node)
+            return node
+        raise ValueError(repr(node))
+
+    try:
+        root = json.loads(schema.json())
+        # field metadata (char/varchar annotations, column comments) rides
+        # the embedded footer schema in ways not worth proving — inference
+        # is the ground truth there
+        def has_metadata(node) -> bool:
+            if isinstance(node, dict):
+                if node.get("metadata"):
+                    return True
+                return any(has_metadata(v) for v in node.values())
+            if isinstance(node, list):
+                return any(has_metadata(v) for v in node)
+            return False
+
+        if has_metadata(root):
+            return None
+        from pyspark.sql.types import StructType
+
+        # round-trip through StructType so the recorded JSON is
+        # byte-identical to what inference (schema.json()) produces —
+        # the manifest's shared-schema fast path compares strings
+        return StructType.fromJson(nullable(root)).json()
+    except ValueError:
+        return None
 
 
 def create_if_not_exists(store: TableStore, spark: SparkSession, table,
