@@ -44,8 +44,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """One row per distinct normalized text: the minimum id wins, with the
     duplicate count. Single hash aggregation — the canonical exact-dedup
     plan at any scale."""
-    base = spread(df.select(F.col(id_col), content_hash(text_col).alias("content_md5")),
-                  parallelism)
+    # hash-spread the raw rows by the unique id and hash AFTER the
+    # exchange (r13): projected below it, the md5/normalize chain ran
+    # inside the serial one-per-input-split map task
+    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
+                   by=id_col)
+            .select(F.col(id_col),
+                    content_hash(text_col).alias("content_md5")))
     return (base.groupBy("content_md5")
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("n_dups")))
@@ -89,8 +94,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        k: int = 5, parallelism: int | None = None) -> DataFrame:
     """MinHash via seeded md5 over char-k-gram shingles (the
     :func:`minhash_sig_cols` recipe), one row per document."""
-    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
-                  parallelism)
+    # spread raw rows by the unique id; normalize after the exchange
+    # (r13 — the serial-map-task reason documented at exact_dedup)
+    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
+                   by=id_col)
+            .select(F.col(id_col), normalize(text_col).alias("__norm")))
     base = base.withColumn("__sh", F.array_distinct(shingles_of_norm("__norm", k)))
     sig = [c.alias(f"mh{i}")
            for i, c in enumerate(minhash_sig_cols("__sh", num_hashes))]
@@ -191,8 +199,9 @@ def simhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Hex-digit arithmetic keeps it reproducible in any engine with md5 +
     string ops. Output column ``simhash`` is the 16-char bit string.
     """
-    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
-                  parallelism)
+    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
+                   by=id_col)
+            .select(F.col(id_col), normalize(text_col).alias("__norm")))
     base = base.withColumn("__toks", F.array_distinct(tokens_of_norm("__norm")))
     # hash each distinct token once; bits reuse the materialized hash array
     base = base.withColumn("__th", F.transform(F.col("__toks"),
@@ -246,8 +255,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     if band_chars is None:
         band_chars = auto_band_chars(df.count())
-    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
-                  parallelism)
+    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
+                   by=id_col)
+            .select(F.col(id_col), normalize(text_col).alias("__norm")))
     toks = base.select(
         F.col(id_col),
         F.array_distinct(tokens_of_norm("__norm")).alias("toks"),
@@ -502,8 +512,9 @@ def source_overlap(df: DataFrame, text_col: str = "text",
     # spread() exchange is a projection barrier, so the normalize regexp
     # chain runs once per document — inlined into the shingle lambda it
     # would re-evaluate per ELEMENT (measured 6x slower at sf0.1)
-    base = spread(df.select(F.col(group_col).alias("src"),
-                            normalize(text_col).alias("__norm")))
+    base = (spread(df.select(F.col(group_col).alias("src"),
+                             F.col(text_col)))
+            .select("src", normalize(text_col).alias("__norm")))
     masks = (base.select("src",
                          F.explode(F.array_distinct(
                              shingles_of_norm("__norm", k))).alias("s"))
@@ -559,8 +570,9 @@ def _source_overlap_sets(df: DataFrame, text_col: str,
     """collect_set fallback for source domains too wide for a 64-bit mask:
     same single O(corpus) shuffle, ObjectHashAggregate instead of the
     codegen long bit_or."""
-    base = spread(df.select(F.col(group_col).alias("src"),
-                            normalize(text_col).alias("__norm")))
+    base = (spread(df.select(F.col(group_col).alias("src"),
+                             F.col(text_col)))
+            .select("src", normalize(text_col).alias("__norm")))
     sets = (base.select("src",
                         F.explode(F.array_distinct(
                             shingles_of_norm("__norm", k))).alias("s"))
@@ -680,8 +692,9 @@ def cross_doc_ngram_dedup(df: DataFrame, text_col: str = "text",
     false merge; at larger corpora raise to a 128-bit key (concat of two
     seeds) rather than shuffling strings.
     """
-    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
-                  parallelism)
+    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
+                   by=id_col)
+            .select(F.col(id_col), normalize(text_col).alias("__norm")))
     base = base.withColumn("__toks", tokens_of_norm("__norm"))
     gd = (base.select(
             F.col(id_col),
@@ -717,9 +730,9 @@ def _duplicate_position_frames(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(
             f"min_run_tokens must be >= n (a single duplicated window "
             f"already spans n={n} tokens), got {min_run_tokens}")
-    base = spread(df.select(F.col(id_col),
-                            normalize(text_col).alias("__norm")),
-                  parallelism)
+    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
+                   by=id_col)
+            .select(F.col(id_col), normalize(text_col).alias("__norm")))
     base = base.withColumn("__toks", tokens_of_norm("__norm"))
     gd = (base.select(F.col(id_col),
                       F.posexplode(ngram_join(F.col("__toks"), n))

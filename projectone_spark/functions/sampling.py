@@ -185,9 +185,11 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
         # materialize __norm before the shingle lambda (text.py rule 1:
         # HOF lambdas re-evaluate embedded chains per element) and spread
         # the CPU-heavy explode across cores (rule 2)
-        base = spread(frame.select(F.col(id_col),
-                                   normalize(text_col).alias("__norm")),
-                      parallelism)
+        # spread raw rows by the unique id; normalize AFTER the exchange
+        # (r13 — below it the regex chain ran in the serial map task)
+        base = (spread(frame.select(F.col(id_col), F.col(text_col)),
+                       parallelism, by=id_col)
+                .select(F.col(id_col), normalize(text_col).alias("__norm")))
         sh = F.array_distinct(shingles_of_norm("__norm", k))
         return base.select(F.col(id_col), F.explode(sh).alias("__sh"))
 
@@ -351,9 +353,11 @@ def token_ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
         raise ValueError(f"n must be >= 1, got {n}")
 
     def grams(frame: DataFrame, cols: list[str]) -> DataFrame:
-        base = spread(frame.select(*cols,
-                                   normalize(text_col).alias("__norm")),
-                      parallelism)
+        # normalize after the exchange (r13; hash-spread when the unique
+        # id is among the carried columns, round-robin otherwise)
+        base = (spread(frame.select(*cols, F.col(text_col)), parallelism,
+                       by=id_col if cols else None)
+                .select(*cols, normalize(text_col).alias("__norm")))
         toks = tokens_of_norm("__norm")
         return base.select(
             *cols,
@@ -383,8 +387,8 @@ def bloom_exact_shingles(benchmark: DataFrame, text_col: str = "text",
     (and checkpointable) once so a streaming caller's micro-batches skip
     re-deriving it (pass to :func:`bloom_doc_flags` as
     ``bench_shingles``)."""
-    base = spread(benchmark.select(normalize(text_col).alias("__norm")),
-                  parallelism)
+    base = (spread(benchmark.select(F.col(text_col)), parallelism)
+            .select(normalize(text_col).alias("__norm")))
     return (base.select(F.explode(
                 F.array_distinct(shingles_of_norm("__norm", k)))
                 .alias("__sh"))
@@ -427,8 +431,10 @@ def bloom_doc_flags(corpus: DataFrame, benchmark: DataFrame,
     def exploded(frame: DataFrame) -> DataFrame:
         cols = [F.col(id_col)] + ([F.col(group_col)]
                                   if group_col in frame.columns else [])
-        base = spread(frame.select(*cols, normalize(text_col).alias("__norm")),
-                      parallelism)
+        # normalize after the hash-by-id exchange (r13 serial-map fix)
+        base = (spread(frame.select(*cols, F.col(text_col)), parallelism,
+                       by=id_col)
+                .select(*cols, normalize(text_col).alias("__norm")))
         sh = F.array_distinct(shingles_of_norm("__norm", k))
         return base.select(*cols, F.explode(sh).alias("__sh"))
 

@@ -134,10 +134,12 @@ def fingerprint(col: Column | str) -> Column:
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                parallelism: int | None = None) -> DataFrame:
     """Per-document statistics frame (the `documents` table operator)."""
-    base = spread(
-        df.select(F.col(id_col), F.col(text_col).alias("__text"),
-                  normalize(text_col).alias("__norm")),
-        parallelism)
+    # spread raw rows by the unique id; normalize after the exchange
+    # (r13 — below it the regex chain ran in the serial map task)
+    base = (spread(df.select(F.col(id_col), F.col(text_col).alias("__text")),
+                   parallelism, by=id_col)
+            .select(F.col(id_col), F.col("__text"),
+                    normalize("__text").alias("__norm")))
     toks = tokens_of_norm("__norm")
     n_tok = F.size(toks).cast("bigint")
     punct = char_ratio("__text", r"[^A-Za-z0-9\s]")
@@ -166,10 +168,10 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     token-hit scores; zh scored by non-ASCII character count; ties resolve
     alphabetically; all-zero → 'und')."""
     keep = [id_col] + ([truth_col] if truth_col else [])
-    base = spread(
-        df.select(*keep, F.col(text_col).alias("__text"),
-                  tokens(text_col).alias("__toks")),
-        parallelism)
+    base = (spread(df.select(*keep, F.col(text_col).alias("__text")),
+                   parallelism, by=id_col)
+            .select(*keep, F.col("__text"),
+                    tokens("__text").alias("__toks")))
     def marker_filter(markers: tuple[str, ...]):
         # factory keeps the F.filter callable unary (two-parameter callables
         # receive the array index as the second argument)
@@ -243,8 +245,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     token array — per-document work is O(tokens), nothing shuffles except
     the final result rows.
     """
-    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
-                  parallelism)
+    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
+                   by=id_col)
+            .select(F.col(id_col), normalize(text_col).alias("__norm")))
     base = base.withColumn("__toks", tokens_of_norm("__norm"))
 
     def dup_frac(n: int) -> Column:
@@ -1302,9 +1305,14 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
     Returns, for rows NOT in the training split: (id, n_tokens,
     logit_micro, score_micro, pred, label).
     """
-    base = (df.select(F.col(id_col), label.alias("__y"),
-                      train.alias("__tr"),
-                      F.explode(tokens(text_col)).alias("term"))
+    # hash-spread by the unique id + tokenize post-exchange +
+    # explode_outer (r13): the bpe_doc_word_counts shape — parallel
+    # tokenize, and the (id, ...) groupBy reuses the partitioning
+    base = (spread(df.select(F.col(id_col), label.alias("__y"),
+                             train.alias("__tr"), F.col(text_col)),
+                   by=id_col)
+            .select(F.col(id_col), F.col("__y"), F.col("__tr"),
+                    F.explode_outer(tokens(text_col)).alias("term"))
             .filter(F.col("term").isNotNull()))
     tf = (base.groupBy(id_col, "__y", "__tr", "term")
           .agg(F.count(F.lit(1)).alias("tf"))
@@ -1382,8 +1390,12 @@ def token_weight_table(df: DataFrame, label: Column,
     → the broadcast-totals weight fold. No checkpoint needed — there
     is exactly one consumer per stage."""
     base = df.filter(train) if train is not None else df
-    tok = (base.select(label.alias("__y"),
-                       F.explode(tokens(text_col)).alias("term"))
+    # round-robin spread (no unique key survives the projection) so the
+    # tokenize runs parallel; explode_outer + isNotNull per the
+    # bpe_train_merges pushdown note (identical rows out)
+    tok = (spread(base.select(label.alias("__y"), F.col(text_col)))
+           .select(F.col("__y"),
+                   F.explode_outer(tokens(text_col)).alias("term"))
            .filter(F.col("term").isNotNull()))
     vocab = (tok.groupBy("term")
              .agg(F.sum(F.when(F.col("__y"), 1).otherwise(0))
@@ -1425,8 +1437,12 @@ def apply_token_classifier(df: DataFrame, weights: DataFrame,
 
     Returns (id, n_tokens, logit_micro, score_micro, pred) for every
     document with at least one in-vocabulary token."""
-    tf = (df.select(F.col(id_col),
-                    F.explode(tokens(text_col)).alias("term"))
+    # hash-spread by the unique id + post-exchange tokenize, partitioning
+    # reused by the (id, term) groupBy — one exchange (r13, the
+    # bpe_doc_word_counts shape; explode_outer per its pushdown note)
+    tf = (spread(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+          .select(F.col(id_col),
+                  F.explode_outer(tokens(text_col)).alias("term"))
           .filter(F.col("term").isNotNull())
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
@@ -1649,10 +1665,12 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError(
             f"gopher_rules keep_cols collide with output/reserved columns "
             f"or repeat: {bad or sorted(set(c for c in keep_cols if list(keep_cols).count(c) > 1))}")
-    base = spread(df.select(F.col(id_col),
-                            *[F.col(c) for c in keep_cols],
-                            normalize(text_col).alias("__norm")),
-                  parallelism)
+    base = (spread(df.select(F.col(id_col),
+                             *[F.col(c) for c in keep_cols],
+                             F.col(text_col)),
+                   parallelism, by=id_col)
+            .select(F.col(id_col), *[F.col(c) for c in keep_cols],
+                    normalize(text_col).alias("__norm")))
     base = base.withColumn("__toks", tokens_of_norm("__norm"))
     toks = F.col("__toks")
     n = F.size(toks).cast("bigint")
