@@ -255,9 +255,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     if band_chars is None:
         band_chars = auto_band_chars(df.count())
-    base = (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
-                   by=id_col)
-            .select(F.col(id_col), normalize(text_col).alias("__norm")))
+    # heavy projection stays BELOW the exchange here, unlike the other
+    # r13 spread sites: the banded SELF-JOIN reads this exchange twice,
+    # and shuffle-file reuse then delivers the normalize/hash chain to
+    # both branches computed once — above the exchange each branch
+    # re-derives it (measured 3x the CPU at sf0.1)
+    base = spread(df.select(F.col(id_col), normalize(text_col).alias("__norm")),
+                  parallelism)
     toks = base.select(
         F.col(id_col),
         F.array_distinct(tokens_of_norm("__norm")).alias("toks"),
@@ -745,7 +749,10 @@ def _duplicate_position_frames(df: DataFrame, text_col: str, id_col: str,
           # would make row_number() (and thus every run statistic)
           # nondeterministic
           .distinct()
-          .localCheckpoint(eager=False))
+          # EAGER since r13: the dup-key aggregate and the run/dup-count
+          # consumers materialize in separate jobs; a lazy checkpoint let
+          # them race-recompute the gram pipeline (measured 3x CPU)
+          .localCheckpoint(eager=True))
     dup_keys = (gd.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
                 .filter(F.col("__c") >= 2).select("__g"))
     # checkpointed: both the run window and the per-doc dup count fold
@@ -757,7 +764,7 @@ def _duplicate_position_frames(df: DataFrame, text_col: str, id_col: str,
             # tie-free (and a position is "duplicated", not "duplicated
             # twice")
             .distinct()
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
     return gd, dpos
 
 

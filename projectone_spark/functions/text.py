@@ -372,14 +372,13 @@ def surprisal_micro_fold(df: DataFrame, key_col: str,
     # reuses the partitioning — one exchange total (r13; the
     # bpe_doc_word_counts shape). Callers keyed by a LOW-cardinality
     # column (p16's domains) leave it unset: hashing a hot key would
-    # concentrate the corpus on a few tasks. explode_OUTER + the
-    # isNotNull filter for the InferFiltersFromGenerate pushdown reason
-    # documented in bpe_train_merges (identical rows out).
+    # concentrate the corpus on a few tasks. Plain explode (see the
+    # bpe_train_merges codegen note).
     base = df.select(F.col(key_col), F.col(text_col))
     if spread_by is not None:
         base = spread(base, parallelism, by=spread_by)
     exploded = (base.select(F.col(key_col),
-                            F.explode_outer(tokens(text_col)).alias("term"))
+                            F.explode(tokens(text_col)).alias("term"))
                 .filter(F.col("term").isNotNull()))
     tf = (exploded.groupBy(key_col, "term")
           .agg(F.count(F.lit(1)).alias("tf"))
@@ -390,11 +389,14 @@ def surprisal_micro_fold(df: DataFrame, key_col: str,
           # merely BUILDING the frame costs nothing — the corpus scan
           # runs on the first action, once, and every later consumer
           # reads the materialized RDD (the bpe_doc_word_counts
-          # pattern). Lifecycle: the checkpoint blocks live until the
+          # pattern). EAGER since r13: the vocabulary/total/join
+          # consumers materialize in separate (broadcast-build) jobs and
+          # a lazy checkpoint lets them race-recompute the corpus fold.
+          # Lifecycle: the checkpoint blocks live until the
           # session ends; a long-lived session invoking this in a loop
           # should release_checkpoint() the returned frame's ancestors
           # when done with ALL consumers (as bpe_train_merges does)
-          .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY))
+          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("__c"))
     total = vocab.agg(F.sum("__c").alias("__n"))
     return (tf.join(vocab, "term")
@@ -516,15 +518,13 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
     # inlining the normalize/split chain into the per-element lambda.
     # Hash-spread by the unique id first so the tokenize runs parallel
     # (not inside the serial scan task) and the (id, p, w) groupBy
-    # reuses the partitioning; explode_OUTER so InferFiltersFromGenerate
-    # cannot push a tokenize-deriving size() filter below the exchange
-    # (the null filter below drops the outer rows identically — r13,
-    # same reasoning as bpe_doc_word_counts).
+    # reuses the partitioning (r13, the bpe_doc_word_counts shape;
+    # plain explode per its codegen note).
     exploded = (spread(df.select(F.col(id_col), F.col(text_col)),
                        by=id_col)
                 .select(F.col(id_col), tokens(text_col).alias("__toks"))
                 .select(F.col(id_col),
-                        F.explode_outer(F.expr(
+                        F.explode(F.expr(
                             "transform(slice(__toks, 1,"
                             " greatest(size(__toks) - 1, 0)),"
                             " (t, i) -> struct(t AS p, __toks[i + 1] AS w))"
@@ -543,9 +543,10 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
     # the bounded RDD
     bf = (exploded.groupBy(id_col, "p", "w")
           .agg(F.count(F.lit(1)).alias("tf"))
-          # eager=False: no scan at build time; first action
-          # materializes once (lifecycle note at surprisal_micro_fold)
-          .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY))
+          # EAGER since r13: the bigram-vocabulary and prefix folds
+          # materialize in separate jobs; lazy blocks raced (lifecycle
+          # note at surprisal_micro_fold)
+          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
     bgv = bf.groupBy("p", "w").agg(F.sum("tf").alias("__cbg"))
     pre = bgv.groupBy("p").agg(F.sum("__cbg").alias("__cp"))
     return (bf.join(bgv, ["p", "w"]).join(pre, "p")
@@ -623,14 +624,13 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
     # tokenize AFTER the exchange (r13, guide §1.2): projected below it,
     # the whole normalize+split chain ran inside the repartition's map
     # task — serial on a one-file table — and the shuffle carried fat
-    # token arrays through the sort-before-repartition. explode_OUTER for
-    # the same reason winnow_fingerprints uses it: a plain explode makes
-    # InferFiltersFromGenerate add size(toks) > 0, which pushdown drags
-    # below the exchange and re-derives the tokenize serially; the
-    # __w != '' filter drops the outer-explode's NULL rows exactly where
-    # the plain explode emitted nothing.
+    # token arrays through the sort-before-repartition. PLAIN explode:
+    # on this Spark, InferFiltersFromGenerate only infers for attribute
+    # generator inputs (verified in-plan), so the inline tokens() chain
+    # draws no pushed-down size() filter — and an OUTER generate would
+    # fall out of whole-stage codegen (measured 20x the tokenize CPU).
     words = (spread(df.select(F.col(text_col)), parallelism)
-             .select(F.explode_outer(tokens(text_col)).alias("__w"))
+             .select(F.explode(tokens(text_col)).alias("__w"))
              .filter(F.col("__w") != ""))
     wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("wc"))
     return _bpe_train_from_word_counts(wc, n_merges, sep)
@@ -760,20 +760,23 @@ def bpe_doc_word_counts(df: DataFrame, text_col: str = "text",
     # paid a second full exchange for the (doc, word) groupBy. Hash
     # partitioning by the unique id is sort-free and — because (id, __w)
     # is a superset of the partitioning key — the groupBy below reuses it:
-    # ONE exchange total, tokenize parallel. explode_OUTER + the __w != ''
-    # filter for the InferFiltersFromGenerate reason documented in
-    # bpe_train_merges (identical rows out).
+    # ONE exchange total, tokenize parallel (plain explode — see the
+    # bpe_train_merges codegen note). EAGER checkpoint: the returned
+    # frame's consumers materialize in SEPARATE jobs (broadcast builds,
+    # AQE stages) and a lazy checkpoint lets them race-recompute the
+    # tokenize before blocks register (measured as duplicated corpus CPU
+    # in every train-and-encode query).
     return (spread(df.select(F.col(id_col), F.col(text_col)), parallelism,
                    by=id_col)
             .select(F.col(id_col),
-                    F.explode_outer(tokens(text_col)).alias("__w"))
+                    F.explode(tokens(text_col)).alias("__w"))
             .filter(F.col("__w") != "")
             .groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
             # DISK_ONLY: this is the same doc-keyed ~100M-row shape whose
             # default-storage checkpoint OOM'd an 8g heap at the r8 ×100
             # probe (surprisal_micro_fold's tf); disk blocks are
             # shuffle-class IO and strictly cheaper than re-tokenizing
-            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY))
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
 
 
 def bpe_vocab_encode(vocab: DataFrame, merges: Sequence[tuple[str, str]],
@@ -984,16 +987,17 @@ def unigram_word_freqs(df: DataFrame, text_col: str = "text",
     implementation detail."""
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
-    # tokenize after the exchange + explode_outer: the bpe_train_merges
-    # reasoning verbatim (serial map-task tokenize, inferred-filter
-    # pushdown); the word != '' filter drops the outer rows identically
+    # tokenize after the exchange (the bpe_train_merges shape: serial
+    # map-task fix, plain explode per its codegen note); EAGER checkpoint
+    # so the seeding/Viterbi consumers' separate jobs cannot
+    # race-recompute the corpus fold
     return (spread(df.select(F.col(text_col)), parallelism)
-            .select(F.explode_outer(tokens(text_col)).alias("word"))
+            .select(F.explode(tokens(text_col)).alias("word"))
             .filter((F.col("word") != "")
                     & (F.length("word") <= int(max_word_len)))
             .groupBy("word")
             .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
 
 
 def unigram_word_freqs_from_counts(wf: DataFrame,
@@ -1305,20 +1309,21 @@ def linear_token_classifier(df: DataFrame, label: Column, train: Column,
     Returns, for rows NOT in the training split: (id, n_tokens,
     logit_micro, score_micro, pred, label).
     """
-    # hash-spread by the unique id + tokenize post-exchange +
-    # explode_outer (r13): the bpe_doc_word_counts shape — parallel
-    # tokenize, and the (id, ...) groupBy reuses the partitioning
+    # hash-spread by the unique id + tokenize post-exchange (r13): the
+    # bpe_doc_word_counts shape — parallel tokenize, the (id, ...)
+    # groupBy reuses the partitioning, plain explode per its codegen note
     base = (spread(df.select(F.col(id_col), label.alias("__y"),
                              train.alias("__tr"), F.col(text_col)),
                    by=id_col)
             .select(F.col(id_col), F.col("__y"), F.col("__tr"),
-                    F.explode_outer(tokens(text_col)).alias("term"))
+                    F.explode(tokens(text_col)).alias("term"))
             .filter(F.col("term").isNotNull()))
     tf = (base.groupBy(id_col, "__y", "__tr", "term")
           .agg(F.count(F.lit(1)).alias("tf"))
           # DISK_ONLY: doc-keyed corpus-scaled counts, the same shape
-          # whose default-storage checkpoint OOM'd at the r8 ×100 probe
-          .localCheckpoint(eager=False,
+          # whose default-storage checkpoint OOM'd at the r8 ×100 probe.
+          # EAGER since r13 (the surprisal_micro_fold race note)
+          .localCheckpoint(eager=True,
                            storageLevel=StorageLevel.DISK_ONLY))
     vocab = (tf.filter(F.col("__tr"))
              .groupBy("term")
@@ -1391,11 +1396,11 @@ def token_weight_table(df: DataFrame, label: Column,
     is exactly one consumer per stage."""
     base = df.filter(train) if train is not None else df
     # round-robin spread (no unique key survives the projection) so the
-    # tokenize runs parallel; explode_outer + isNotNull per the
-    # bpe_train_merges pushdown note (identical rows out)
+    # tokenize runs parallel; plain explode per the bpe_train_merges
+    # codegen note
     tok = (spread(base.select(label.alias("__y"), F.col(text_col)))
            .select(F.col("__y"),
-                   F.explode_outer(tokens(text_col)).alias("term"))
+                   F.explode(tokens(text_col)).alias("term"))
            .filter(F.col("term").isNotNull()))
     vocab = (tok.groupBy("term")
              .agg(F.sum(F.when(F.col("__y"), 1).otherwise(0))
@@ -1439,10 +1444,10 @@ def apply_token_classifier(df: DataFrame, weights: DataFrame,
     document with at least one in-vocabulary token."""
     # hash-spread by the unique id + post-exchange tokenize, partitioning
     # reused by the (id, term) groupBy — one exchange (r13, the
-    # bpe_doc_word_counts shape; explode_outer per its pushdown note)
+    # bpe_doc_word_counts shape; plain explode per its codegen note)
     tf = (spread(df.select(F.col(id_col), F.col(text_col)), by=id_col)
           .select(F.col(id_col),
-                  F.explode_outer(tokens(text_col)).alias("term"))
+                  F.explode(tokens(text_col)).alias("term"))
           .filter(F.col("term").isNotNull())
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))

@@ -163,8 +163,15 @@ def test_spread_by_key_partitioning_reused(spark):
         [(i, "a b c") for i in range(10)], "doc_id bigint, text string")
     agg = (spread(docs.select("doc_id", "text"), by="doc_id")
            .select(F.col("doc_id"),
-                   F.explode_outer(tokens("text")).alias("__w"))
+                   F.explode(tokens("text")).alias("__w"))
            .filter(F.col("__w") != "")
            .groupBy("doc_id", "__w").count())
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+    # the plain-explode precondition: the inline tokens() chain must not
+    # draw an inferred size() filter that pushdown drags below the
+    # exchange (it would re-derive the tokenize in the serial map task).
+    # Everything printed after the Exchange line is the exchange's INPUT
+    # subtree in explain output — no tokenize chain may appear there.
+    below_exchange = plan.split("Exchange")[-1]
+    assert "regexp_replace" not in below_exchange, plan

@@ -1,6 +1,7 @@
-"""Dump `.explain("formatted")` for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump `.explain("formatted")` for named queries to
+plans/$PLANS_ROUND/<q>_<tag>.txt (PLANS_ROUND defaults to r13).
 
-The r12 judge checks plan claims (Exchange counts, join strategies,
+The judge checks plan claims (Exchange counts, join strategies,
 PushedFilters) against these committed files, so capture is part of the
 optimization workflow: run with tag=before on the untouched code, tag=after
 on the optimized code.
@@ -20,7 +21,8 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     from projectone_spark.queries import queries
     from projectone_spark.session import get_spark
