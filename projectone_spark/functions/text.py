@@ -71,10 +71,34 @@ def spread(df: DataFrame, parallelism: int | None = None,
     """
     if parallelism == 0:
         return df
-    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    n = parallelism or _spread_width(df)
     if by is not None:
         return df.repartition(n, F.col(by) if isinstance(by, str) else by)
     return df.repartition(n)
+
+
+#: input bytes (plan estimate) per spread task. Sized so a task's fixed
+#: overhead (~10-30 ms: setup, shuffle write, SMT contention in one local
+#: JVM) stays well under its chunk's per-row work (regex/md5 chains run
+#: ~50-300 ms per 16 KiB) — the r13 A/B measured a 32-way spread of a
+#: 250 KB corpus at 4x the CPU of the same work 8-way, for no wall win.
+_SPREAD_CHUNK_BYTES = 16 * 1024
+
+
+def _spread_width(df: DataFrame) -> int:
+    """Scale-adaptive spread width (guide §2: derive partitioning from
+    input size, not a constant): ~one task per ``_SPREAD_CHUNK_BYTES`` of
+    the plan's estimated input, clamped to [4, defaultParallelism].
+    Frames without statistics (in-memory micro-batches, local relations)
+    estimate huge and get full width — at real scale every estimate
+    exceeds the cap, so this only narrows tiny local inputs."""
+    default = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        est = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # pragma: no cover - stats always exist in practice
+        return default
+    return max(4, min(default, est // _SPREAD_CHUNK_BYTES + 1))
 
 
 def normalize(col: Column | str) -> Column:
